@@ -1,0 +1,114 @@
+"""Unit tests per check operator: exact violation sets vs planted fixtures.
+
+Mirrors the reference's expected-status ground truth (known-good /
+known-bad items with exact expected verdicts, /root/reference/README.md)
+— every planted bad row must be flagged, and nothing else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tokenqc.checks import base as cb
+from tokenqc.checks import completeness, format as format_check, invariant, referential, structural, uniqueness
+
+CFG = cb.CheckConfig(n_partitions=16)
+
+
+def _flagged_ids(df, facets, facet_name):
+    f = next(x for x in facets if x.facet == facet_name)
+    return df.where(f.cond)
+
+
+def _planted_ids(seq_pa, idx):
+    ids = seq_pa.column("doc_id").to_pylist()
+    return sorted(ids[i] for i in idx if ids[i] is not None)
+
+
+def test_completeness_facets(tables, seq_pa, expected):
+    df = tables["sequences"]
+    fs = completeness.facets(CFG)
+    assert df.where(_cond(fs, "null_doc_id")).count() == len(expected.null_doc_id)
+    assert df.where(_cond(fs, "null_tokens")).count() == len(expected.null_tokens)
+    assert df.where(_cond(fs, "empty_tokens")).count() == len(expected.empty_tokens)
+    assert df.where(_cond(fs, "null_n_tok")).count() == len(expected.null_ntok)
+    assert df.where(_cond(fs, "null_source")).count() == len(expected.null_source)
+
+
+def _cond(facets, name):
+    return next(x for x in facets if x.facet == name).cond
+
+
+def test_structural_exact_ids(tables, seq_pa, expected):
+    df = tables["sequences"]
+    fs = structural.facets(CFG)
+    got = sorted(
+        r.doc_id
+        for r in df.where(_cond(fs, "ntok_mismatch")).select("doc_id").collect()
+        if r.doc_id is not None
+    )
+    assert got == _planted_ids(seq_pa, expected.ntok_mismatch)
+    assert df.where(_cond(fs, "negative_n_tok")).count() == 0
+
+
+def test_format_exact_ids(tables, seq_pa, expected):
+    df = tables["sequences"]
+    fs = format_check.facets(CFG)
+    got = sorted(r.doc_id for r in df.where(_cond(fs, "bad_doc_id")).select("doc_id").collect())
+    assert got == _planted_ids(seq_pa, expected.bad_format)
+
+
+def test_referential_exact(tables, expected):
+    df = referential.attach(tables["sequences"], tables["allowed_sources"])
+    fs = referential.facets(CFG)
+    bad = df.where(_cond(fs, "unknown_source"))
+    assert bad.count() == len(expected.rogue_source)
+    assert {r.source for r in bad.select("source").distinct().collect()} == {"spam9"}
+
+
+def test_uniqueness_exact(tables, seq_pa, expected):
+    v = uniqueness.violations(tables["sequences"], CFG)
+    got = sorted(r.doc_id for r in v.select("doc_id").collect())
+    want = sorted({seq_pa.column("doc_id").to_pylist()[i] for i in expected.dup_pairs})
+    assert got == want
+    obs = {r.observed for r in v.collect()}
+    assert obs == {"count=2"}
+
+
+def test_uniqueness_salted_matches_plain(tables):
+    plain = uniqueness.violations(tables["sequences"], CFG).select("doc_id", "observed")
+    salted = uniqueness.violations(tables["sequences"], CFG, salt=8).select("doc_id", "observed")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_invariant_exact(tables, seq_pa, expected):
+    v = invariant.violations(tables["sequences"], tables["reference_tokens"], CFG)
+    got = sorted(r.doc_id for r in v.select("doc_id").collect())
+    assert got == _planted_ids(seq_pa, expected.perturbed_ref)
+    # exact-array mode agrees with the hash mode on this data
+    v2 = invariant.violations(tables["sequences"], tables["reference_tokens"], CFG, exact=True)
+    assert sorted(r.doc_id for r in v2.select("doc_id").collect()) == got
+
+
+def test_assemble_violations_long_format(tables, expected):
+    df = referential.attach(
+        tables["sequences"], tables["allowed_sources"]
+    ).withColumn("partition_id", cb.partition_id_col(CFG))
+    facets = (
+        completeness.facets(CFG)
+        + structural.facets(CFG)
+        + format_check.facets(CFG)
+        + referential.facets(CFG)
+    )
+    viol = cb.assemble_violations(df, facets)
+    counts = {r.check_name: r.cnt for r in viol.groupBy("check_name").agg(F.count("*").alias("cnt")).collect()}
+    assert counts["format"] == len(expected.bad_format)
+    assert counts["referential"] == len(expected.rogue_source)
+    assert counts["structural"] == len(expected.ntok_mismatch)
+    assert counts["completeness"] == (
+        len(expected.null_doc_id)
+        + len(expected.null_tokens)
+        + len(expected.empty_tokens)
+        + len(expected.null_ntok)
+        + len(expected.null_source)
+    )

@@ -1,0 +1,74 @@
+"""Drift gate: planted drift on `code` must FAIL exactly that source;
+p-value math is validated against closed-form/known values."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from tokenqc.checks import base as cb, drift
+
+CFG = cb.CheckConfig(n_partitions=16)
+
+
+def test_chi2_sf_known_values():
+    # chi-square sf at dof=1: P[X>=3.841] ≈ 0.05; dof=10: P[X>=18.307] ≈ 0.05
+    assert abs(drift.chi2_sf(3.841, 1) - 0.05) < 1e-3
+    assert abs(drift.chi2_sf(18.307, 10) - 0.05) < 1e-3
+    assert drift.chi2_sf(0.0, 5) == 1.0
+    assert drift.chi2_sf(1e9, 5) < 1e-12
+
+
+def test_ks_pvalue_monotone():
+    assert drift.ks_pvalue(0.0, 1000) == 1.0
+    assert drift.ks_pvalue(0.5, 1000) < 1e-10
+    p1 = drift.ks_pvalue(0.05, 1000)
+    p2 = drift.ks_pvalue(0.10, 1000)
+    assert p2 < p1 < 1.0
+
+
+def test_drift_stats_pdf_no_drift():
+    rng = np.random.default_rng(0)
+    p = rng.random(64)
+    p /= p.sum()
+    n = 100_000
+    obs = (p * n).round()
+    pdf = pd.DataFrame({"source": ["s"] * 64, "bucket": range(64), "cnt": obs, "p": p})
+    out = drift.drift_stats_pdf(pdf)
+    assert out["chi2_p"].iloc[0] > 0.5
+    assert out["ks_p"].iloc[0] > 0.5
+
+
+def test_drift_stats_pdf_missing_baseline():
+    pdf = pd.DataFrame({"source": ["s"] * 4, "bucket": range(4), "cnt": [10.0] * 4, "p": [math.nan] * 4})
+    out = drift.drift_stats_pdf(pdf)
+    assert not out["has_baseline"].iloc[0]
+
+
+def test_planted_drift_fails_code_only(tables):
+    dv = drift.verdicts(tables["sequences"], tables["baseline_hist"], CFG)
+    res = {r.source: r.status for r in dv.collect()}
+    assert res["code"] == "FAIL"
+    assert res["web"] == "PASS"
+    assert res["books"] == "PASS"
+    assert res["wiki"] == "PASS"
+    # rogue source has no baseline → UNKNOWN, not FAIL
+    assert res["spam9"] == "UNKNOWN"
+
+
+def test_binned_ks_close_to_raw_ks(tables):
+    """KS on 64-wide buckets approximates raw-data KS (SURVEY §7.3)."""
+    seq = tables["sequences"].where("source = 'web' and n_tok is not null")
+    ntok = np.array([r.n_tok for r in seq.select("n_tok").collect()], dtype=float)
+    base = tables["baseline_hist"].where("source = 'web'").toPandas().sort_values("bucket")
+    # raw empirical CDF evaluated at bucket edges vs binned CDF
+    edges = (base["bucket"].to_numpy() + 1) * 64
+    cdf_raw = np.searchsorted(np.sort(ntok), edges, side="right") / len(ntok)
+    cdf_base = base["p"].cumsum().to_numpy()
+    d_raw = np.abs(cdf_raw - cdf_base).max()
+    hist = drift.observed_histogram(seq, CFG).toPandas().set_index("bucket")["cnt"]
+    obs = np.array([hist.get(b, 0) for b in base["bucket"]], dtype=float)
+    d_binned = np.abs(np.cumsum(obs) / obs.sum() - cdf_base).max()
+    assert abs(d_raw - d_binned) < 0.01

@@ -1,0 +1,144 @@
+"""End-to-end runner: verdicts, violations, state, resume, error isolation.
+
+Mirrors the reference test strategy (/root/reference/main.nf.test): a
+happy-path run with exact expected counts, negative-config cases, and a
+resume case (Nextflow `-resume` analogue)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tokenqc.checks.base import CheckConfig
+from tokenqc.runner import QCRunner
+
+
+def _total_expected_violations(expected):
+    return (
+        len(expected.null_doc_id)
+        + len(expected.null_tokens)
+        + len(expected.empty_tokens)
+        + len(expected.null_ntok)
+        + len(expected.null_source)
+        + len(expected.ntok_mismatch)
+        + len(expected.bad_format)
+        + len(expected.rogue_source)
+        + len(set(expected.dup_pairs.tolist()))  # one violation per dup key
+        + len(expected.perturbed_ref)
+    )
+
+
+@pytest.fixture()
+def runner(spark, tmp_path):
+    return QCRunner(spark, CheckConfig(n_partitions=16), out_dir=str(tmp_path / "qc_out"))
+
+
+def test_end_to_end(runner, tables, expected):
+    res = runner.run(
+        tables["sequences"],
+        allowed_sources=tables["allowed_sources"],
+        baseline_hist=tables["baseline_hist"],
+        reference_tokens=tables["reference_tokens"],
+        run_id="r1",
+    )
+    assert res.errors == {}
+    assert res.violations.count() == _total_expected_violations(expected)
+    # per-check violation totals are exact
+    by_check = {
+        r.check_name: r.c
+        for r in res.violations.groupBy("check_name").agg(F.count("*").alias("c")).collect()
+    }
+    assert by_check["format"] == len(expected.bad_format)
+    assert by_check["referential"] == len(expected.rogue_source)
+    assert by_check["uniqueness"] == len(set(expected.dup_pairs.tolist()))
+    assert by_check["invariant"] == len(expected.perturbed_ref)
+
+    # every (partition, check) pair has a verdict; thresholds=0 ⇒ any
+    # violation fails the partition
+    verd = res.verdicts.where(F.col("partition_id") >= 0)
+    assert verd.count() == 16 * 6  # 6 non-drift checks
+    assert verd.where("status not in ('PASS','FAIL')").count() == 0
+    fail_parts = {
+        r.partition_id for r in verd.where("status = 'FAIL'").select("partition_id").distinct().collect()
+    }
+    viol_parts = {
+        r.partition_id for r in res.violations.select("partition_id").distinct().collect()
+    }
+    assert fail_parts == viol_parts
+
+    # drift verdicts present: code FAILs, web PASSes, spam9 UNKNOWN
+    drift = {r.check_name: r.status for r in res.verdicts.where("partition_id = -1").collect()}
+    assert drift["drift:code"] == "FAIL"
+    assert drift["drift:web"] == "PASS"
+    assert drift["drift:spam9"] == "UNKNOWN"
+
+    # qc_state covers all partitions with consistent totals
+    st = res.state
+    assert st.select("partition_id").distinct().count() == 16
+    assert st.agg(F.sum("n_rows")).first()[0] == 5000
+
+
+def test_resume_skips_completed(runner, tables):
+    r1 = runner.run(tables["sequences"], allowed_sources=tables["allowed_sources"], run_id="rr")
+    assert r1.skipped_partitions == []
+    r2 = runner.run(tables["sequences"], allowed_sources=tables["allowed_sources"], run_id="rr")
+    assert r2.skipped_partitions == list(range(16))
+    # idempotent: outputs unchanged after the no-op resume
+    assert r2.violations.count() == r1.violations.count()
+
+
+def test_partial_resume(spark, tables, tmp_path):
+    """Seed state for partitions 0..7, assert only 8..15 get re-validated."""
+    out = str(tmp_path / "qc_out")
+    runner = QCRunner(spark, CheckConfig(n_partitions=16), out_dir=out)
+    full = runner.run(tables["sequences"], run_id="full")
+
+    import shutil
+
+    # simulate an interrupted run: copy only a state slice for partitions 0..7
+    seeded = full.state.where("partition_id < 8").select(
+        "partition_id", "status", "n_rows", "n_viol", "wall_ms", "finished_at"
+    )
+    seeded.write.mode("overwrite").parquet(f"{out}/qc_state/run_id=part/batch=0")
+    r = runner.run(tables["sequences"], run_id="part")
+    assert r.skipped_partitions == list(range(8))
+    done = {x.partition_id for x in r.violations.select("partition_id").distinct().collect()}
+    assert done <= set(range(8, 16))
+
+
+def test_threshold_tolerance(spark, tables, tmp_path):
+    """With a generous threshold every partition passes despite violations."""
+    cfg = CheckConfig(n_partitions=16, default_threshold=0.5, checks=("completeness", "format"))
+    runner = QCRunner(spark, cfg, out_dir=str(tmp_path / "qc2"))
+    res = runner.run(tables["sequences"], run_id="tol")
+    verd = res.verdicts.where("partition_id >= 0")
+    assert verd.where("status = 'FAIL'").count() == 0
+    assert res.violations.count() > 0
+
+
+def test_missing_baseline_is_unknown(spark, tables, tmp_path):
+    runner = QCRunner(spark, CheckConfig(n_partitions=4, checks=("drift",)), out_dir=str(tmp_path / "qc3"))
+    res = runner.run(tables["sequences"], run_id="nb")
+    row = res.verdicts.where("check_name = 'drift'").first()
+    assert row.status == "UNKNOWN"
+
+
+def test_bad_config_rejected():
+    with pytest.raises(ValueError):
+        CheckConfig(n_partitions=0)
+    with pytest.raises(ValueError):
+        CheckConfig(default_threshold=1.5)
+    with pytest.raises(ValueError):
+        CheckConfig(thresholds={"format": -0.1})
+    with pytest.raises(ValueError):
+        CheckConfig(checks=("nonsense",))
+
+
+def test_report_scores(runner, tables):
+    runner.run(tables["sequences"], allowed_sources=tables["allowed_sources"], run_id="rep")
+    rep = runner.report("rep")
+    rows = rep.collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert 0.0 <= r.overall_score <= 1.0
+        assert r.n_checks == 5  # completeness, structural, format, uniqueness, referential

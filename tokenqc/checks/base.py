@@ -1,0 +1,134 @@
+"""Shared check plumbing: config, facet descriptors, violation assembly.
+
+A *facet* is one named row-level predicate belonging to a check (e.g.
+check ``completeness`` has facets ``null_doc_id``, ``null_tokens``, ...).
+The reference accumulates per-check PASS/FAIL columns into one status row
+(/root/reference/modules/ProcessRepo.nf:85); the engine accumulates
+boolean facet columns into one DataFrame pass and explodes failures into
+long-format violation rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DOC_ID_PATTERN = r"^doc-\d{8}$"
+
+
+@dataclass
+class CheckConfig:
+    """Engine-wide check configuration (validated up front, like the
+    reference's param guards at /root/reference/main.nf:49-59 — but bad
+    *data* never throws; it becomes violation rows)."""
+
+    n_partitions: int = 64
+    doc_id_pattern: str = DOC_ID_PATTERN
+    bucket_width: int = 64
+    # per-check max violation-rate for a partition to PASS
+    thresholds: dict[str, float] = field(default_factory=dict)
+    default_threshold: float = 0.0
+    # drift decision: p-value floor (two-sided) per test
+    drift_alpha: float = 0.001
+    drift_out_frac_max: float = 0.01
+    min_drift_rows: int = 200
+    checks: tuple[str, ...] = (
+        "completeness",
+        "structural",
+        "format",
+        "uniqueness",
+        "referential",
+        "invariant",
+        "drift",
+    )
+
+    def __post_init__(self) -> None:
+        if self.n_partitions <= 0:
+            raise ValueError(f"n_partitions must be positive, got {self.n_partitions}")
+        if not 0.0 <= self.default_threshold <= 1.0:
+            raise ValueError("default_threshold must be in [0, 1]")
+        for k, v in self.thresholds.items():
+            if not 0.0 <= v <= 1.0:
+                raise ValueError(f"threshold for {k!r} must be in [0, 1], got {v}")
+        known = {
+            "completeness",
+            "structural",
+            "format",
+            "uniqueness",
+            "referential",
+            "invariant",
+            "drift",
+        }
+        bad = set(self.checks) - known
+        if bad:
+            raise ValueError(f"unknown check(s): {sorted(bad)}")
+
+    def threshold(self, check: str) -> float:
+        return self.thresholds.get(check, self.default_threshold)
+
+
+@dataclass(frozen=True)
+class Facet:
+    """One row-level predicate: True ⇒ this row violates the check."""
+
+    check: str
+    facet: str
+    cond: Column
+    observed: Column
+    expected: str
+
+
+def partition_id_col(cfg: CheckConfig, doc_id: Column | None = None) -> Column:
+    """Deterministic partition assignment: pmod(xxhash64(doc_id), P).
+
+    Hash-on-key (not spark_partition_id) so the verdict partition of a
+    row is stable across cluster sizes, shuffles and resumes — the unit
+    of lineage in qc_state, mirroring Nextflow's per-task workdir hash
+    (/root/reference/nextflow.config:14).
+    """
+    key = F.coalesce(doc_id if doc_id is not None else F.col("doc_id"), F.lit(""))
+    return F.pmod(F.xxhash64(key), F.lit(cfg.n_partitions)).cast("int")
+
+
+def assemble_violations(df: DataFrame, facets: list[Facet]) -> DataFrame:
+    """Explode failing facets into long-format violation rows.
+
+    One narrow pass: pre-filter on the OR of all facets (lets most rows
+    short-circuit inside whole-stage codegen), then build a compact
+    array of violation structs and explode it. No shuffle.
+    Output: (partition_id, doc_id, check_name, observed, expected).
+    """
+    any_bad = facets[0].cond
+    for f in facets[1:]:
+        any_bad = any_bad | f.cond
+    structs = [
+        F.when(
+            f.cond,
+            F.struct(
+                F.lit(f.check).alias("check_name"),
+                F.lit(f.facet).alias("facet"),
+                f.observed.cast("string").alias("observed"),
+                F.lit(f.expected).alias("expected"),
+            ),
+        )
+        for f in facets
+    ]
+    return (
+        df.where(any_bad)
+        .select(
+            F.col("partition_id"),
+            F.col("doc_id"),
+            F.explode(F.array_compact(F.array(*structs))).alias("v"),
+        )
+        .select(
+            "partition_id",
+            "doc_id",
+            F.col("v.check_name").alias("check_name"),
+            F.concat(F.col("v.facet"), F.lit(": "), F.coalesce(F.col("v.observed"), F.lit("NULL"))).alias(
+                "observed"
+            ),
+            F.col("v.expected").alias("expected"),
+        )
+    )

@@ -1,0 +1,203 @@
+"""Distribution-drift gate: per-source n_tok histogram vs baseline.
+
+Engine analogue of the reference's expected-status comparison + threshold
+verdicts (/root/reference/README.md expected-status table,
+bin/analyze_joss.py:302-345): observed behavior is compared to a stored
+expectation, and a graded verdict is emitted.
+
+Scale plan (the pandas-UDF discipline from BASELINE.json `input_hint`):
+the statistics run on **pre-aggregated histograms, never raw rows**. One
+distributed `groupBy(source, bucket).count()` reduces 10^12 rows to
+(sources × 64 buckets) rows; `applyInPandas` then computes KS and
+chi-square per source on those tiny groups. Python touches kilobytes.
+
+Statistics (numpy-only; scipy is not in the image):
+- Pearson chi-square of observed bucket counts vs expected = n·p, with
+  p-value via the regularized upper incomplete gamma Q(k/2, x/2)
+  (standard series/continued-fraction evaluation).
+- One-sample KS on the binned CDF, D = max|F_obs - F_base|, with the
+  asymptotic Kolmogorov p-value Q(λ) = 2 Σ (-1)^{j-1} e^{-2 j² λ²} and
+  the usual finite-n correction. KS-on-binned-data is an approximation
+  (SURVEY.md section 7.3) — bucket width is pinned in CheckConfig and
+  tested against raw-data KS at small scale.
+
+Verdict: FAIL if either p < alpha (given ≥ min_drift_rows rows);
+UNKNOWN when the source has no baseline — mirroring the reference's
+missing-input default (bin/analyze_joss.py:96-105).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tokenqc.checks.base import CheckConfig
+
+CHECK = "drift"
+
+_RESULT_SCHEMA = (
+    "source string, n_rows long, chi2 double, chi2_p double, "
+    "ks_d double, ks_p double, out_frac double, has_baseline boolean"
+)
+
+
+# ---------------------------------------------------------------------------
+# p-value math (pure numpy/math, standard textbook evaluations)
+# ---------------------------------------------------------------------------
+def _gammainc_upper_reg(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x), a>0, x>=0."""
+    if x <= 0.0:
+        return 1.0
+    if x < a + 1.0:
+        # lower series: P(a,x), return 1-P
+        term = 1.0 / a
+        total = term
+        for n in range(1, 500):
+            term *= x / (a + n)
+            total += term
+            if abs(term) < abs(total) * 1e-15:
+                break
+        p = total * math.exp(-x + a * math.log(x) - math.lgamma(a))
+        return max(0.0, min(1.0, 1.0 - p))
+    # continued fraction for Q(a,x) (modified Lentz)
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for n in range(1, 500):
+        an = -n * (n - a)
+        b += 2.0
+        d = an * d + b
+        d = tiny if abs(d) < tiny else d
+        c = b + an / c
+        c = tiny if abs(c) < tiny else c
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    return max(0.0, min(1.0, h * math.exp(-x + a * math.log(x) - math.lgamma(a))))
+
+
+def chi2_sf(stat: float, dof: int) -> float:
+    """P[X >= stat] for chi-square with `dof` degrees of freedom."""
+    if dof <= 0:
+        return 1.0
+    return _gammainc_upper_reg(dof / 2.0, stat / 2.0)
+
+
+def ks_pvalue(d: float, n: float) -> float:
+    """Asymptotic one-sample Kolmogorov p-value with finite-n correction."""
+    if n <= 0 or d <= 0:
+        return 1.0
+    lam = (math.sqrt(n) + 0.12 + 0.11 / math.sqrt(n)) * d
+    if lam < 0.3:
+        # alternating series is numerically useless here; Q(0.3) > 1-1e-7
+        return 1.0
+    s = 0.0
+    for j in range(1, 101):
+        term = 2.0 * (-1.0) ** (j - 1) * math.exp(-2.0 * j * j * lam * lam)
+        s += term
+        if abs(term) < 1e-12:
+            break
+    return max(0.0, min(1.0, s))
+
+
+def drift_stats_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-source group: observed bucket counts + baseline p → statistics.
+
+    Input columns: source, bucket, cnt (observed; 0/NaN ok), p (baseline
+    probability; NaN if the source has no baseline row for that bucket).
+    """
+    pdf = pdf.sort_values("bucket")  # group rows arrive unordered; CDF needs order
+    src = pdf["source"].iloc[0]
+    has_base = bool(pdf["p"].notna().any())
+    obs = pdf["cnt"].fillna(0.0).to_numpy(dtype=np.float64)
+    n = float(obs.sum())
+    if not has_base or n == 0:
+        return pd.DataFrame(
+            [{"source": src, "n_rows": int(n), "chi2": float("nan"), "chi2_p": float("nan"),
+              "ks_d": float("nan"), "ks_p": float("nan"), "out_frac": float("nan"),
+              "has_baseline": has_base}]
+        )
+    p = pdf["p"].fillna(0.0).to_numpy(dtype=np.float64)
+    p = p / p.sum() if p.sum() > 0 else p
+    # chi-square over the baseline's support, renormalized; mass observed
+    # outside the support is reported separately as out_frac (a baseline
+    # built from a finite snapshot has hard zeros in its tails — a row
+    # there is evidence, but graded by *rate*, not an infinite statistic)
+    support = p > 0
+    n_in = float(obs[support].sum())
+    out_frac = float(obs[~support].sum()) / n if n > 0 else 0.0
+    if n_in > 0:
+        p_in = p[support] / p[support].sum()
+        exp = n_in * p_in
+        chi2 = float(((obs[support] - exp) ** 2 / exp).sum())
+        dof = int(support.sum()) - 1
+        chi2_p = chi2_sf(chi2, dof)
+        cdf_obs = np.cumsum(obs[support]) / n_in
+        cdf_base = np.cumsum(p_in)
+        ks_d = float(np.abs(cdf_obs - cdf_base).max())
+        ks_p = ks_pvalue(ks_d, n_in)
+    else:
+        chi2 = chi2_p = ks_d = ks_p = float("nan")
+    return pd.DataFrame(
+        [{"source": src, "n_rows": int(n), "chi2": chi2, "chi2_p": chi2_p,
+          "ks_d": ks_d, "ks_p": ks_p, "out_frac": out_frac, "has_baseline": True}]
+    )
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level operator
+# ---------------------------------------------------------------------------
+def observed_histogram(df: DataFrame, cfg: CheckConfig) -> DataFrame:
+    """groupBy(source, floor(n_tok/w)) — 10^12 rows → ~sources×64 rows.
+
+    Only (source, n_tok) are read: column pruning keeps the tokens
+    array out of this scan entirely (verify via .explain / ReadSchema).
+    """
+    return (
+        df.where(F.col("source").isNotNull() & (F.col("n_tok") > 0))
+        .groupBy(
+            "source",
+            F.floor(F.col("n_tok") / cfg.bucket_width).cast("int").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def verdicts(df: DataFrame, baseline_hist: DataFrame, cfg: CheckConfig) -> DataFrame:
+    """Per-source drift verdict rows.
+
+    Output: (source, status, n_rows, chi2, chi2_p, ks_d, ks_p).
+    """
+    hist = observed_histogram(df, cfg)
+    joined = hist.join(baseline_hist, on=["source", "bucket"], how="full_outer")
+    stats = joined.groupBy("source").applyInPandas(drift_stats_pdf, schema=_RESULT_SCHEMA)
+    alpha = float(cfg.drift_alpha)
+    status = (
+        F.when(~F.col("has_baseline"), F.lit("UNKNOWN"))
+        .when(F.col("n_rows") < cfg.min_drift_rows, F.lit("UNKNOWN"))
+        .when(
+            (F.col("chi2_p") < alpha)
+            | (F.col("ks_p") < alpha)
+            | (F.col("out_frac") > cfg.drift_out_frac_max),
+            F.lit("FAIL"),
+        )
+        .otherwise(F.lit("PASS"))
+    )
+    return stats.select(
+        "source",
+        status.alias("status"),
+        "n_rows",
+        "chi2",
+        "chi2_p",
+        "ks_d",
+        "ks_p",
+        "out_frac",
+    )

