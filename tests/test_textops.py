@@ -1,0 +1,168 @@
+"""Dedup / simsearch / text-QC / multimodal operator tests on tiny
+hand-computable corpora (planted near-dups, known neighbours)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tokenqc.textops import dedup, multimodal, simsearch, textqc
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra"),  # near dup of 1
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "completely different words here nothing shared at all ok"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(corpus):
+    out = dedup.exact_duplicates(corpus).collect()
+    assert len(out) == 1 and out[0].cnt == 2
+
+
+def test_ngram_jaccard_pairs(corpus):
+    out = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.5).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 1.0
+    assert (1, 3) in out and 0.5 < out[(1, 3)] < 1.0
+    assert (2, 3) in out
+    assert not any(4 in p or 5 in p for p in out)
+
+
+def test_minhash_lsh_finds_planted_pairs(corpus):
+    out = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(corpus, threshold=0.5).collect()}
+    assert (1, 2) in out and (1, 3) in out and (2, 3) in out
+    assert not any(4 in p or 5 in p for p in out)
+
+
+def test_minhash_similarity_estimate(spark):
+    """MinHash signature agreement approximates true Jaccard."""
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    df = spark.createDataFrame([(1, a), (2, a + " tail")], "doc_id long, text string")
+    sigs = {r.id: r.sig for r in dedup.minhash_signatures(df, k=128).collect()}
+    est = sum(1 for x, y in zip(sigs[1], sigs[2]) if x == y) / 128
+    true_j = dedup.ngram_jaccard_pairs(df, threshold=0.0).first().jaccard
+    assert abs(est - true_j) < 0.2
+
+
+def test_simhash_near_pairs(spark):
+    # simhash needs enough words for the per-bit majority vote to be
+    # stable; one changed word in a 60-word doc flips only a few bits
+    import random
+
+    rnd = random.Random(13)
+    vocab = [f"tok{i}" for i in range(500)]
+    long_a = " ".join(rnd.choice(vocab) for _ in range(60))
+    long_b = long_a.rsplit(" ", 1)[0] + " changedword"
+    other = " ".join(rnd.choice(vocab) for _ in range(60))
+    df = spark.createDataFrame(
+        [(1, long_a), (2, long_a), (3, long_b), (4, other)], "doc_id long, text string"
+    )
+    out = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_near_pairs(df, max_hamming=12).collect()}
+    assert out[(1, 2)] == 0
+    assert (1, 3) in out and out[(1, 3)] <= 12
+    assert (1, 4) not in out and (3, 4) not in out
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((6, 8))
+    base[1] = base[0] + 0.01 * rng.standard_normal(8)  # vec 1 ≈ vec 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(vectors):
+    out = simsearch.brute_force_topk(vectors, query_id=0, k=3).collect()
+    assert out[0].rank == 1 and out[0].vec_id == 1  # the planted neighbour
+    assert len(out) == 3
+
+
+def test_pandas_topk_matches_exprs(vectors):
+    a = [(r.rank, r.vec_id) for r in simsearch.brute_force_topk(vectors, 0, k=5).collect()]
+    b = [(r.rank, r.vec_id) for r in simsearch.pandas_cosine_topk(vectors, 0, k=5).collect()]
+    assert a == b
+
+
+def test_ivf_topk_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((200, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = simsearch.seed_centroids(df, n_cells=8)
+    exact = {r.vec_id for r in simsearch.brute_force_topk(df, 7, k=10).collect()}
+    approx = {r.vec_id for r in simsearch.ivf_topk(df, cents, 7, k=10, n_probe=4).collect()}
+    assert len(exact & approx) >= 5  # recall@10 >= 0.5 with 4/8 cells probed
+
+
+def test_hyperplane_lsh_buckets(vectors):
+    out = {r.id: r.bucket for r in simsearch.hyperplane_lsh_bucket(vectors, n_planes=12, dim=8).collect()}
+    # near-identical vectors land in the same bucket
+    assert out[0] == out[1]
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "a bb ccc dddd eeeee")], "doc_id long, text string")
+    r = textqc.token_count(df).first()
+    assert r.n_words == 5
+    assert r.n_tokens_est == 1 + 1 + 1 + 1 + 2
+
+
+def test_quality_score_bounds(corpus):
+    for r in textqc.quality_score(corpus).collect():
+        assert 0.0 <= r.quality_score <= 1.0
+        assert 0.0 <= r.stop_ratio <= 1.0
+        assert 0.0 < r.distinct_ratio <= 1.0
+
+
+def test_lang_id(spark):
+    rows = [
+        (1, "the cat is in the house and that is fine"),
+        (2, "der hund ist nicht das problem und die katze"),
+        (3, "el perro es la casa de que y en un"),
+        (4, "xyzzy plugh quux"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.lang_pred for r in textqc.lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.md5_fingerprint, r.rolling_fingerprint) for r in textqc.fingerprint(df).collect()}
+    assert out[1][0] == out[2][0]  # normalization: case + whitespace
+    assert out[1][1] != out[3][1]
+
+
+def test_multimodal_decode_and_plans(spark):
+    rows = [
+        ("m1", "image", multimodal.pack_fake_image(640, 480), {"n_frames": "0"}),
+        ("m2", "image", multimodal.pack_fake_image(100, 200), {"n_frames": "0"}),
+        ("m3", "video", b"not-a-real-payload", {"n_frames": "95"}),
+        ("m4", "image", None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    meta = {r.media_id: (r.width, r.height) for r in multimodal.decode_image_meta(df).collect()}
+    assert meta["m1"] == (640, 480)
+    assert meta["m3"] == (None, None)  # stub refuses non-fake payloads, row survives
+    plan = {r.media_id: (r.out_width, r.out_height) for r in multimodal.resize_plan(df, 224).collect()}
+    assert plan["m1"] == (224, 168)
+    frames = {r.media_id: r.frame_indices for r in multimodal.frame_sample_plan(df, 30, 8).collect()}
+    assert frames["m3"] == [0, 30, 60, 90]
+    assert frames["m1"] == [0]

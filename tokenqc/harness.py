@@ -1,0 +1,469 @@
+"""Oracle harness: engine checks as (spark, sf_dir) queries + DuckDB SQL.
+
+The driver's correctness gate runs each query in Spark AND its ANSI-SQL
+twin in DuckDB over the same parquet, comparing row counts, schemas and
+order-insensitive value hashes. To make the *engine's own gates* (not
+just TPC-H lookalikes) oracle-checkable, this module derives a
+`sequences(doc_id, tokens, n_tok, source)` table **deterministically from
+the `orders` table with pure SQL arithmetic** — the same modular
+planting rules as tokenqc.synth, keyed on a dense row number — so DuckDB
+can reproduce every violation set in closed form while Spark runs the
+real check operators on a real tokens array column.
+
+Determinism contract (both engines, identical arithmetic):
+    rn      = row_number() over (order by o_orderkey) - 1
+    doc_id  = NULL                      if rn % 211 = 0
+            | lag(candidate)            if rn % 197 = 3 and rn > 0   (dup)
+            | 'BAD_' || rn               if rn % 223 = 1
+            | 'doc-' || lpad(rn, 8, '0') otherwise
+    source  = 'spam9' (rn%181=2) | NULL (rn%191=4)
+            | web/books/code/wiki by rn % 10 (0-6/7/8/9) — web is hot (skew)
+    sz      = NULL (rn%233=5) | 0 (rn%239=6) | (rn*7919) % 997 + 1
+    tokens  = int array of length sz, values (x*31 + rn) % 50257
+    n_tok   = NULL (rn%251=8) | sz + 1 (rn%193=7) | sz
+    partition_id = rn % 16   (modular, not xxhash64, so SQL can mirror it)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tokenqc.checks import base as cb
+from tokenqc.checks import completeness, format as format_check, referential, structural
+
+N_PART = 16
+CFG = cb.CheckConfig(n_partitions=N_PART)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# derived sequences table — Spark side
+# ---------------------------------------------------------------------------
+def derive_sequences(spark: SparkSession, sf_dir: str, with_ref: bool = False) -> DataFrame:
+    """Build the sequences table (and optionally reference_tokens columns)
+    from orders, per the module-level determinism contract."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    w = Window.orderBy("o_orderkey")
+    rn = (F.row_number().over(w) - 1).cast("long")
+    df = orders.select(rn.alias("rn"))
+
+    cand = F.when(
+        F.col("rn") % 223 == 1, F.concat(F.lit("BAD_"), F.col("rn").cast("string"))
+    ).otherwise(F.concat(F.lit("doc-"), F.lpad(F.col("rn").cast("string"), 8, "0")))
+    df = df.withColumn("cand_id", cand)
+    lag_cand = F.lag("cand_id").over(Window.orderBy("rn"))
+    doc_id = (
+        F.when(F.col("rn") % 211 == 0, F.lit(None).cast("string"))
+        .when((F.col("rn") % 197 == 3) & (F.col("rn") > 0), lag_cand)
+        .otherwise(F.col("cand_id"))
+    )
+    source = (
+        F.when(F.col("rn") % 181 == 2, F.lit("spam9"))
+        .when(F.col("rn") % 191 == 4, F.lit(None).cast("string"))
+        .when(F.col("rn") % 10 <= 6, F.lit("web"))
+        .when(F.col("rn") % 10 == 7, F.lit("books"))
+        .when(F.col("rn") % 10 == 8, F.lit("code"))
+        .otherwise(F.lit("wiki"))
+    )
+    sz = (
+        F.when(F.col("rn") % 233 == 5, F.lit(None).cast("int"))
+        .when(F.col("rn") % 239 == 6, F.lit(0))
+        .otherwise(((F.col("rn") * 7919) % 997 + 1).cast("int"))
+    )
+    df = df.withColumn("doc_id", doc_id).withColumn("source", source).withColumn("sz", sz)
+    tokens = F.when(
+        F.col("sz").isNotNull(),
+        F.transform(
+            F.sequence(F.lit(1), F.col("sz")),
+            lambda x: ((x * 31 + F.col("rn")) % 50257).cast("int"),
+        ),
+    )
+    # sequence(1, 0) would count *down*; guard the empty case explicitly
+    tokens = F.when(F.col("sz") == 0, F.array().cast("array<int>")).otherwise(tokens)
+    n_tok = (
+        F.when(F.col("rn") % 251 == 8, F.lit(None).cast("int"))
+        .when(F.col("rn") % 193 == 7, (F.col("sz") + 1).cast("int"))
+        .otherwise(F.col("sz"))
+    )
+    out = df.select(
+        F.col("rn"),
+        (F.col("rn") % N_PART).cast("int").alias("partition_id"),
+        F.col("doc_id"),
+        tokens.alias("tokens"),
+        n_tok.alias("n_tok"),
+        F.col("source"),
+    )
+    if with_ref:
+        # reference tokens: same array, first element perturbed when rn % 503 = 9
+        ref = F.when(
+            (F.col("rn") % 503 == 9) & F.col("tokens").isNotNull() & (F.size("tokens") > 0),
+            F.concat(
+                F.array((F.element_at("tokens", 1) + 1) % 50257),
+                F.slice("tokens", 2, F.greatest(F.size("tokens") - 1, F.lit(0))),
+            ).cast("array<int>"),
+        ).otherwise(F.col("tokens"))
+        out = out.withColumn("tokens_ref", ref)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# derived sequences table — DuckDB side (shared CTE prefix)
+# ---------------------------------------------------------------------------
+SEQ_CTE = """
+WITH base AS (
+  SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rn FROM orders
+), raw AS (
+  SELECT rn,
+    CASE WHEN rn % 223 = 1 THEN 'BAD_' || CAST(rn AS VARCHAR)
+         ELSE 'doc-' || lpad(CAST(rn AS VARCHAR), 8, '0') END AS cand_id,
+    CASE WHEN rn % 181 = 2 THEN 'spam9'
+         WHEN rn % 191 = 4 THEN NULL
+         WHEN rn % 10 <= 6 THEN 'web'
+         WHEN rn % 10 = 7 THEN 'books'
+         WHEN rn % 10 = 8 THEN 'code'
+         ELSE 'wiki' END AS source,
+    CASE WHEN rn % 233 = 5 THEN NULL
+         WHEN rn % 239 = 6 THEN 0
+         ELSE CAST((rn * 7919) % 997 + 1 AS INTEGER) END AS sz
+  FROM base
+), seq AS (
+  SELECT rn, CAST(rn % 16 AS INTEGER) AS partition_id,
+    CASE WHEN rn % 211 = 0 THEN NULL
+         WHEN rn % 197 = 3 AND rn > 0 THEN lag(cand_id) OVER (ORDER BY rn)
+         ELSE cand_id END AS doc_id,
+    sz,
+    CASE WHEN rn % 251 = 8 THEN NULL
+         WHEN rn % 193 = 7 THEN CAST(sz + 1 AS INTEGER)
+         ELSE sz END AS n_tok,
+    source
+  FROM raw
+)
+"""
+
+# per-facet violation predicates in portable SQL (sz stands in for
+# size(tokens): NULL sz == NULL tokens, 0 == empty)
+_FACET_SQL = {
+    ("completeness", "null_doc_id"): "doc_id IS NULL",
+    ("completeness", "null_tokens"): "sz IS NULL",
+    ("completeness", "empty_tokens"): "sz = 0",
+    ("completeness", "null_n_tok"): "n_tok IS NULL",
+    ("completeness", "null_source"): "source IS NULL",
+    ("structural", "ntok_mismatch"): "sz IS NOT NULL AND n_tok IS NOT NULL AND n_tok <> sz",
+    ("format", "bad_doc_id"): "doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '^doc-[0-9]{8}$')",
+    ("referential", "unknown_source"): "source IS NOT NULL AND source NOT IN ('web','books','code','wiki')",
+}
+
+
+def _facet_count_sql() -> str:
+    """UNION ALL of per-check violation counts per partition."""
+    checks: dict[str, list[str]] = {}
+    for (check, _facet), pred in _FACET_SQL.items():
+        checks.setdefault(check, []).append(pred)
+    parts = [
+        f"SELECT partition_id, '{check}' AS check_name, "
+        + "CAST(" + " + ".join(f"sum(CASE WHEN {p} THEN 1 ELSE 0 END)" for p in preds)
+        + " AS BIGINT) AS n_viol FROM seq GROUP BY partition_id"
+        for check, preds in sorted(checks.items())
+    ]
+    return SEQ_CTE + " UNION ALL ".join(parts)
+
+
+def _spark_row_facets(df: DataFrame, allowed: DataFrame) -> tuple[DataFrame, list[cb.Facet]]:
+    df = referential.attach(df, allowed)
+    facets = (
+        completeness.facets(CFG)
+        + structural.facets(CFG)
+        + format_check.facets(CFG)
+        + referential.facets(CFG)
+    )
+    return df, facets
+
+
+def _allowed_sources_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(s, True) for s in ["web", "books", "code", "wiki"]], "source string, active boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries (engine side) + oracle SQL, in registration order
+# ---------------------------------------------------------------------------
+def q_seq_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(partition, check) violation counts from the fused row-level pass."""
+    seq = derive_sequences(spark, sf_dir)
+    df, facets = _spark_row_facets(seq, _allowed_sources_df(spark))
+    viol = cb.assemble_violations(df, facets)
+    return viol.groupBy("partition_id", "check_name").agg(
+        F.count(F.lit(1)).alias("n_viol")
+    )
+
+
+def oracle_seq_violation_counts() -> str:
+    # DuckDB side counts only partitions that HAVE violations; align by
+    # filtering zero rows (Spark's explode drops clean partitions too).
+    return (
+        "SELECT partition_id, check_name, n_viol FROM ("
+        + _facet_count_sql()
+        + ") t WHERE n_viol > 0"
+    )
+
+
+def q_seq_format_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (partition_id, doc_id) rows flagged by the format gate."""
+    seq = derive_sequences(spark, sf_dir)
+    f = format_check.facets(CFG)[0]
+    return seq.where(f.cond).select("partition_id", "doc_id")
+
+
+def oracle_seq_format_violations() -> str:
+    return SEQ_CTE + (
+        "SELECT partition_id, doc_id FROM seq "
+        "WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '^doc-[0-9]{8}$')"
+    )
+
+
+def q_seq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate doc_id keys (engine's shuffle-heavy gate), key-level."""
+    from tokenqc.checks import uniqueness
+
+    seq = derive_sequences(spark, sf_dir)
+    return uniqueness.violations(seq, CFG).select("doc_id", "observed")
+
+
+def oracle_seq_uniqueness() -> str:
+    return SEQ_CTE + (
+        "SELECT doc_id, 'count=' || CAST(count(*) AS VARCHAR) AS observed "
+        "FROM seq WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING count(*) > 1"
+    )
+
+
+def q_seq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rogue-source rows via broadcast left-anti semantics, per partition."""
+    seq = derive_sequences(spark, sf_dir)
+    df, _ = _spark_row_facets(seq, _allowed_sources_df(spark))
+    bad = df.where(referential.facets(CFG)[0].cond)
+    return bad.groupBy("partition_id", "source").agg(F.count(F.lit(1)).alias("n_viol"))
+
+
+def oracle_seq_referential() -> str:
+    return SEQ_CTE + (
+        "SELECT partition_id, source, count(*) AS n_viol FROM seq "
+        "WHERE source IS NOT NULL AND source NOT IN ('web','books','code','wiki') "
+        "GROUP BY partition_id, source"
+    )
+
+
+def q_seq_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-(partition, check) PASS/FAIL verdicts at threshold 0,
+    every (partition × row-level check) present — the engine's status row
+    (ProcessRepo.nf:85 analogue)."""
+    seq = derive_sequences(spark, sf_dir)
+    df, facets = _spark_row_facets(seq, _allowed_sources_df(spark))
+    aggs = []
+    checks = sorted({f.check for f in facets})
+    for check in checks:
+        conds = [f.cond for f in facets if f.check == check]
+        any_c = conds[0]
+        for c in conds[1:]:
+            any_c = any_c | c
+        aggs.append(F.sum(any_c.cast("long")).alias(check))
+    counts = df.groupBy("partition_id").agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    long = counts.select(
+        "partition_id",
+        "n_rows",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in checks]),
+                F.array(*[F.col(c) for c in checks]),
+            )
+        ).alias("check_name", "n_viol"),
+    )
+    return long.select(
+        "partition_id",
+        "check_name",
+        F.col("n_viol").cast("long").alias("n_viol"),
+        F.when(F.col("n_viol") == 0, F.lit("PASS")).otherwise(F.lit("FAIL")).alias("status"),
+    )
+
+
+def oracle_seq_verdicts() -> str:
+    # count rows where ANY facet of the check fires (a row with two null
+    # fields is one violating row for completeness, not two)
+    checks: dict[str, list[str]] = {}
+    for (check, _facet), pred in _FACET_SQL.items():
+        checks.setdefault(check, []).append(pred)
+    parts = [
+        f"SELECT partition_id, '{check}' AS check_name, "
+        + "CAST(sum(CASE WHEN " + " OR ".join(f"({p})" for p in preds)
+        + " THEN 1 ELSE 0 END) AS BIGINT) AS n_viol FROM seq GROUP BY partition_id"
+        for check, preds in sorted(checks.items())
+    ]
+    return (
+        SEQ_CTE
+        + "SELECT partition_id, check_name, n_viol, "
+        + "CASE WHEN n_viol = 0 THEN 'PASS' ELSE 'FAIL' END AS status FROM ("
+        + " UNION ALL ".join(parts)
+        + ") t"
+    )
+
+
+def q_seq_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-array-equality invariant: engine join vs closed-form oracle."""
+    from tokenqc.checks import invariant
+
+    seq = derive_sequences(spark, sf_dir, with_ref=True)
+    # drop duplicated ids from the reference side (unique-by-key contract)
+    ref = (
+        seq.where(F.col("doc_id").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"), F.first("tokens_ref").alias("tokens_ref"))
+        .where(F.col("c") == 1)
+        .select("doc_id", "tokens_ref")
+    )
+    return invariant.violations(seq, ref, CFG).select("doc_id")
+
+
+def oracle_seq_invariant() -> str:
+    # mismatches = perturbation rule rows with nonempty tokens, excluding
+    # doc_ids that appear more than once (dropped from the reference side)
+    return SEQ_CTE + (
+        "SELECT doc_id FROM seq WHERE rn % 503 = 9 AND sz IS NOT NULL AND sz > 0 "
+        "AND doc_id IS NOT NULL "
+        "AND doc_id IN (SELECT doc_id FROM seq WHERE doc_id IS NOT NULL "
+        "GROUP BY doc_id HAVING count(*) = 1)"
+    )
+
+
+def q_seq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n_tok bucket histogram (drift's distributed reduction)."""
+    from tokenqc.checks import drift
+
+    seq = derive_sequences(spark, sf_dir)
+    return drift.observed_histogram(seq, CFG).withColumnRenamed("cnt", "cnt")
+
+
+def oracle_seq_histogram() -> str:
+    return SEQ_CTE + (
+        "SELECT source, CAST(floor(n_tok / 64) AS INTEGER) AS bucket, count(*) AS cnt "
+        "FROM seq WHERE source IS NOT NULL AND n_tok > 0 GROUP BY source, bucket"
+    )
+
+
+def q_seq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-stats profile (Almanack analogue) — exact-distinct variant so
+    the oracle can match (the engine's HLL path is benchmarked separately)."""
+    seq = derive_sequences(spark, sf_dir)
+    return (
+        seq.groupBy(F.coalesce(F.col("source"), F.lit("__null__")).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("doc_id").isNull().cast("long")).alias("null_doc_id"),
+            F.sum(F.col("tokens").isNull().cast("long")).alias("null_tokens"),
+            F.sum(F.col("n_tok").isNull().cast("long")).alias("null_n_tok"),
+            F.min("n_tok").alias("min_n_tok"),
+            F.max("n_tok").alias("max_n_tok"),
+            F.round(F.avg("n_tok"), 6).alias("avg_n_tok"),
+            F.countDistinct("doc_id").alias("distinct_doc_id"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+def oracle_seq_stats() -> str:
+    return SEQ_CTE + (
+        "SELECT coalesce(source, '__null__') AS source, count(*) AS n_rows, "
+        "CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_doc_id, "
+        "CAST(sum(CASE WHEN sz IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_tokens, "
+        "CAST(sum(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_n_tok, "
+        "min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok, "
+        "round(avg(n_tok), 6) AS avg_n_tok, "
+        "count(DISTINCT doc_id) AS distinct_doc_id, "
+        "CAST(sum(n_tok) AS BIGINT) AS total_tokens "
+        "FROM seq GROUP BY source"
+    )
+
+
+def q_seq_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score roll-up per partition (analyze_joss.py:505-508 semantics)."""
+    from tokenqc.checks import scoring
+
+    verd = q_seq_verdicts(spark, sf_dir)
+    counts = verd.join(
+        derive_sequences(spark, sf_dir).groupBy("partition_id").agg(F.count(F.lit(1)).alias("n_rows")),
+        on="partition_id",
+    ).select("partition_id", "check_name", "n_rows", "n_viol")
+    return scoring.partition_report(counts)
+
+
+def oracle_seq_scores() -> str:
+    checks: dict[str, list[str]] = {}
+    for (check, _facet), pred in _FACET_SQL.items():
+        checks.setdefault(check, []).append(pred)
+    union = " UNION ALL ".join(
+        f"SELECT partition_id, '{check}' AS check_name, "
+        + "CAST(sum(CASE WHEN " + " OR ".join(f"({p})" for p in preds)
+        + " THEN 1 ELSE 0 END) AS BIGINT) AS n_viol FROM seq GROUP BY partition_id"
+        for check, preds in sorted(checks.items())
+    )
+    return SEQ_CTE + (
+        ", verd AS (" + union + "), "
+        "tot AS (SELECT partition_id, count(*) AS n_rows FROM seq GROUP BY partition_id), "
+        "graded AS (SELECT v.partition_id, "
+        "CASE WHEN (1.0 - CAST(v.n_viol AS DOUBLE)/t.n_rows) >= 0.9 THEN 1.0 "
+        "     WHEN (1.0 - CAST(v.n_viol AS DOUBLE)/t.n_rows) >= 0.7 THEN 0.5 "
+        "     ELSE 0.0 END AS score "
+        "FROM verd v JOIN tot t ON v.partition_id = t.partition_id) "
+        "SELECT partition_id, count(*) AS n_checks, sum(score) AS total_score, "
+        "sum(score)/count(*) AS overall_score FROM graded GROUP BY partition_id"
+    )
+
+
+def q_seq_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift statistics per source vs a baseline derived in-SQL: the
+    baseline histogram is the observed histogram of the *web* source
+    (scaled to probabilities) applied to every source — so web must match
+    itself (chi2 ~ 0) and other sources show their true distance. The
+    chi-square/KS arithmetic here mirrors drift.drift_stats_pdf on the
+    support of the baseline; rounded to 4 decimals for cross-engine float
+    stability."""
+    from tokenqc.checks import drift
+
+    seq = derive_sequences(spark, sf_dir)
+    hist = drift.observed_histogram(seq, CFG)
+    base = (
+        hist.where(F.col("source") == "web")
+        .select("bucket", F.col("cnt").alias("bc"))
+    )
+    tot = base.agg(F.sum("bc").alias("bt")).crossJoin(
+        hist.groupBy("source").agg(F.sum("cnt").alias("n"))
+    )
+    j = (
+        hist.join(base, on="bucket", how="inner")  # support of baseline only
+        .join(tot, on="source")
+        .withColumn("e", F.col("n") * F.col("bc") / F.col("bt"))
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_in"),
+            F.round(F.sum((F.col("cnt") - F.col("e")) ** 2 / F.col("e")), 4).alias("chi2"),
+        )
+    )
+
+
+def oracle_seq_drift_stats() -> str:
+    return SEQ_CTE + (
+        ", hist AS (SELECT source, CAST(floor(n_tok/64) AS INTEGER) AS bucket, count(*) AS cnt "
+        "  FROM seq WHERE source IS NOT NULL AND n_tok > 0 GROUP BY source, bucket), "
+        "bhist AS (SELECT bucket, cnt AS bc FROM hist WHERE source = 'web'), "
+        "tot AS (SELECT h.source, sum(h.cnt) AS n, (SELECT sum(bc) FROM bhist) AS bt "
+        "  FROM hist h GROUP BY h.source) "
+        "SELECT h.source, CAST(sum(h.cnt) AS BIGINT) AS n_in, "
+        "round(sum(pow(h.cnt - t.n * b.bc / t.bt, 2) / (t.n * b.bc / t.bt)), 4) AS chi2 "
+        "FROM hist h JOIN bhist b ON h.bucket = b.bucket JOIN tot t ON h.source = t.source "
+        "GROUP BY h.source"
+    )

@@ -1,0 +1,353 @@
+"""Oracle harness part 2: dedup / similarity / text-QC / TPC-H-shaped
+checks over the driver's documents, embeddings, events, lineitem, orders
+tables — each Spark query an engine operator, each oracle pure DuckDB SQL.
+
+Near-dup fixtures are derived in closed form from `documents`: a corpus =
+documents ∪ mutated copies (doc_id+100000, text + 3 extra words, every
+20th doc) ∪ exact copies (doc_id+200000, every 25th doc) — expressible in
+both engines, so dedup results are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tokenqc.harness import load
+from tokenqc.textops import dedup, simsearch, textqc
+
+# ---------------------------------------------------------------------------
+# derived dedup corpus
+# ---------------------------------------------------------------------------
+def derive_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" pad pad pad")).alias("text"),
+    )
+    exact = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+CORPUS_CTE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' pad pad pad' AS text
+  FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+)
+"""
+
+# DuckDB word-3-gram shingles, identical to dedup._shingles
+_SHINGLE_CTE = (
+    ", sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    "  range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),"
+    "  i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')))) AS s"
+    "  FROM corpus)"
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup queries
+# ---------------------------------------------------------------------------
+def q_doc_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(derive_corpus(spark, sf_dir))
+
+
+def oracle_doc_exact_dup() -> str:
+    return CORPUS_CTE + (
+        "SELECT md5(text) AS text_hash, count(*) AS cnt FROM corpus "
+        "GROUP BY md5(text) HAVING count(*) > 1"
+    )
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(derive_corpus(spark, sf_dir), threshold=0.6)
+
+
+def oracle_doc_ngram_jaccard() -> str:
+    return CORPUS_CTE + _SHINGLE_CTE + (
+        ", sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+        "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT id_a, id_b, round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.6"
+    )
+
+
+def q_embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_pairs(load(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def oracle_embed_cosine_pairs() -> str:
+    cos = (
+        "list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
+        "list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
+    )
+    return (
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE {cos} >= 0.45"
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simsearch.brute_force_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def oracle_ann_topk() -> str:
+    cos = (
+        "list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+        "list_transform(q.embedding, x -> CAST(x AS DOUBLE)))"
+    )
+    return (
+        "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), "
+        f"scored AS (SELECT e.vec_id, {cos} AS cos FROM embeddings e, q WHERE e.vec_id <> 0) "
+        "SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS rank, vec_id "
+        "FROM scored ORDER BY cos DESC, vec_id LIMIT 10"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text QC
+# ---------------------------------------------------------------------------
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textqc.token_count(load(spark, sf_dir, "documents"))
+
+
+def oracle_doc_token_count() -> str:
+    return (
+        "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words, "
+        "CAST(list_aggregate(list_transform(string_split_regex(trim(text), '\\s+'), "
+        "  x -> CAST(ceil(length(x) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS n_tokens_est "
+        "FROM documents"
+    )
+
+
+def _stoplist_sql(stops: list[str]) -> str:
+    return ", ".join(f"'{s}'" for s in stops)
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textqc.quality_score(load(spark, sf_dir, "documents"))
+
+
+def oracle_doc_quality() -> str:
+    all_stop = sorted({s for v in textqc.LANG_STOPWORDS.values() for s in v})
+    return (
+        "WITH f AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w, "
+        "  CAST(length(text) AS DOUBLE) AS n_chars FROM documents), "
+        "g AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS n_words, n_chars, "
+        f"  CAST(len(list_filter(w, x -> x IN ({_stoplist_sql(all_stop)}))) AS DOUBLE) AS n_stop, "
+        "  CAST(len(list_distinct(w)) AS DOUBLE) AS n_distinct FROM f) "
+        "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+        "round((n_chars - (n_words - 1)) / n_words, 6) AS mean_word_len, "
+        "round(n_stop / n_words, 6) AS stop_ratio, "
+        "round(n_distinct / n_words, 6) AS distinct_ratio, "
+        "round(0.3 * (CASE WHEN n_words >= 10 AND n_words <= 1000 THEN 1.0 ELSE 0.0 END) "
+        "    + 0.2 * (CASE WHEN (n_chars - (n_words - 1)) / n_words >= 2.5 "
+        "            AND (n_chars - (n_words - 1)) / n_words <= 12.0 THEN 1.0 ELSE 0.0 END) "
+        "    + 0.2 * least(n_stop / n_words * 5, 1.0) "
+        "    + 0.3 * least(n_distinct / n_words * 2, 1.0), 6) AS quality_score "
+        "FROM g"
+    )
+
+
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textqc.lang_id(load(spark, sf_dir, "documents"))
+
+
+def oracle_doc_langid() -> str:
+    hits = {
+        lang: f"len(list_filter(w, x -> x IN ({_stoplist_sql(stops)})))"
+        for lang, stops in textqc.LANG_STOPWORDS.items()
+    }
+    gmax = "greatest(" + ", ".join(f"h_{g}" for g in textqc.LANG_ORDER) + ")"
+    case = " ".join(f"WHEN h_{g} = {gmax} THEN '{g}'" for g in textqc.LANG_ORDER)
+    sel = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    return (
+        "WITH f AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), "
+        f"g AS (SELECT doc_id, {sel} FROM f) "
+        f"SELECT doc_id, CASE WHEN {gmax} = 0 THEN 'und' {case} END AS lang_pred FROM g"
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textqc.fingerprint(load(spark, sf_dir, "documents")).select(
+        "doc_id", "md5_fingerprint"
+    )
+
+
+def oracle_doc_fingerprint() -> str:
+    return (
+        "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+        "AS md5_fingerprint FROM documents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# QC gates applied to the TPC-H-ish tables (the engine generalizes past
+# the sequences schema: same check operators, different table)
+# ---------------------------------------------------------------------------
+def q_events_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_value"),
+        F.sum(F.col("props").isNull().cast("long")).alias("null_props"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_user"),
+    )
+
+
+def oracle_events_completeness() -> str:
+    return (
+        "SELECT event_type, count(*) AS n_rows, "
+        "CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value, "
+        "CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props, "
+        "CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user "
+        "FROM events GROUP BY event_type"
+    )
+
+
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value histogram per event_type + json-extracted props.k stats."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.floor(F.col("value") / 50).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        )
+    )
+
+
+def oracle_events_histogram() -> str:
+    return (
+        "SELECT event_type, CAST(floor(value / 50) AS INTEGER) AS bucket, count(*) AS cnt, "
+        "CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k "
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2"
+    )
+
+
+def q_lineitem_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key uniqueness gate on (l_orderkey, l_linenumber)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+def oracle_lineitem_uniqueness() -> str:
+    return (
+        "SELECT l_orderkey, l_linenumber, count(*) AS cnt FROM lineitem "
+        "GROUP BY 1, 2 HAVING count(*) > 1"
+    )
+
+
+def q_lineitem_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast left-anti referential gate: lineitem → supplier, orders
+    (counts per returnflag; empty when clean — also a valid oracle match)."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("l_suppkey"))
+    orphans = li.join(F.broadcast(supp), on="l_suppkey", how="left_anti")
+    return orphans.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_orphans"))
+
+
+def oracle_lineitem_referential() -> str:
+    return (
+        "SELECT l_returnflag, count(*) AS n_orphans FROM lineitem "
+        "WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier) "
+        "GROUP BY l_returnflag"
+    )
+
+
+def q_lineitem_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-domain structural gate per returnflag/linestatus."""
+    li = load(spark, sf_dir, "lineitem")
+    bad_disc = (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(bad_disc.cast("long")).alias("bad_discount"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("bad_quantity"),
+        F.sum((F.col("l_extendedprice") < 0).cast("long")).alias("bad_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
+def oracle_lineitem_structural() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
+        "CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount, "
+        "CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_quantity, "
+        "CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem GROUP BY 1, 2"
+    )
+
+
+def q_customer_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format gate on customer names (reference URL-regex analogue)."""
+    c = load(spark, sf_dir, "customer")
+    ok = F.col("c_name").rlike(r"^Customer#\d{9}$")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((~ok).cast("long")).alias("bad_name"),
+    )
+
+
+def oracle_customer_format() -> str:
+    return (
+        "SELECT c_mktsegment, count(*) AS n_rows, "
+        "CAST(sum(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]{9}$') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS bad_name FROM customer GROUP BY c_mktsegment"
+    )
+
+
+def q_top_violation_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 violation examples per check (window top-k for reports)."""
+    from tokenqc import harness as H
+    from tokenqc.checks import base as cb
+
+    seq = H.derive_sequences(spark, sf_dir)
+    df, facets = H._spark_row_facets(seq, H._allowed_sources_df(spark))
+    viol = cb.assemble_violations(df, facets).where(F.col("doc_id").isNotNull())
+    w = Window.partitionBy("check_name").orderBy(F.desc("doc_id"))
+    return (
+        viol.select("check_name", "doc_id")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("check_name", "doc_id", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def oracle_top_violation_examples() -> str:
+    from tokenqc.harness import SEQ_CTE, _FACET_SQL
+
+    preds = {}
+    for (check, _f), pred in _FACET_SQL.items():
+        preds.setdefault(check, []).append(pred)
+    union = " UNION ALL ".join(
+        f"SELECT DISTINCT '{check}' AS check_name, doc_id FROM seq "
+        + "WHERE doc_id IS NOT NULL AND (" + " OR ".join(f"({p})" for p in ps) + ")"
+        for check, ps in sorted(preds.items())
+    )
+    return SEQ_CTE + (
+        ", viol AS (" + union + ") "
+        "SELECT check_name, doc_id, CAST(row_number() OVER "
+        "(PARTITION BY check_name ORDER BY doc_id DESC) AS INTEGER) AS rk "
+        "FROM viol QUALIFY rk <= 3"
+    )

@@ -1,0 +1,242 @@
+"""Deduplication operators over a (doc_id, text) corpus.
+
+Four tiers, all Spark-first:
+
+- **exact**: hash-groupBy on a content digest — one shuffle of 16-byte
+  digests, never of text.
+- **n-gram Jaccard**: exact pairwise set similarity via an inverted
+  shingle index (explode → self-equi-join on shingle → count/sizes).
+  Quadratic in bucket sizes; the honest baseline for verification.
+- **MinHash + LSH**: the 100-TB path. Per doc: shingle-hash array →
+  k affine min-hashes (JVM-side `transform`/`array_min`, no Python) →
+  band buckets → candidate pairs only within equal (band, bucket) —
+  replaces the all-pairs join with a near-linear bucket join; verified
+  with exact Jaccard on candidates only.
+- **SimHash**: 64-bit per-doc signature via per-bit majority vote over
+  word hashes; near-dups = signatures at small Hamming distance found
+  via chunk buckets (pigeonhole: d ≤ 3 ⇒ some 16-bit chunk equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Mersenne prime 2^31-1: affine permutation family for minhash. Kept at
+# 31 bits so h*a+b stays < 2^62 (no long overflow under ANSI arithmetic).
+_P = (1 << 31) - 1
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, cnt) with cnt > 1."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+def _shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a text column (JVM-side only)."""
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, threshold: float = 0.6,
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard >= threshold: (id_a, id_b, jaccard).
+
+    Inverted-index join: |pairs| is bounded by shingle co-occurrence, not
+    |docs|²; still the exact (verification-grade) algorithm. At scale the
+    LSH variant below prunes candidates first.
+    """
+    sh = df.select(F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("s"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    j = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(j >= threshold)
+        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, k: int = 64, seed: int = 7,
+) -> DataFrame:
+    """(id, sig: array<long>[k]) — k affine min-hash values per doc.
+
+    All JVM-side: shingle hashes once via xxhash64, then k
+    `array_min(transform(...))` over the in-row array — no explode, no
+    Python, no shuffle. Deterministic (fixed a/b parameters from seed).
+    """
+    import random
+
+    rnd = random.Random(seed)
+    params = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(k)]
+    hashed = F.transform(_shingles(text_col, n), lambda s: F.abs(F.xxhash64(s)) % _P)
+    df2 = df.select(F.col(id_col).alias("id"), hashed.alias("hs"))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("hs"), lambda h: (h * a + b) % _P))
+            for a, b in params
+        ]
+    )
+    return df2.where(F.size("hs") > 0).select("id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, k: int = 64, bands: int = 16, threshold: float = 0.6, seed: int = 7,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with exact Jaccard.
+
+    bands=16 × rows=4 over k=64 → S-curve threshold ≈ (1/16)^(1/4) ≈ 0.5.
+    The band bucket join shuffles (band, bucket_hash, id) triples only.
+    """
+    rows = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, k, seed)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice("sig", b * rows + 1, rows)).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("id", F.explode(band_arr).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard (join back to shingle sets)
+    sh = df.select(F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh"))
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("u", F.size("sh_a") + F.size("sh_b") - F.col("i"))
+        .where(F.col("i") / F.col("u") >= threshold)
+    )
+    return verified.select(
+        "id_a", "id_b", F.round(F.col("i") / F.col("u"), 6).alias("jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc: per-bit majority vote over word hashes.
+
+    Vote for bit j = Σ_words (2·bit_j(h) − 1); sign → bit. Expressed as
+    one aggregate over the word-hash array per row (aggregate + shiftright
+    — JVM expressions, no Python, no shuffle).
+    """
+    # one pass over the word-hash array; SQL-expression form because the
+    # Python functions API only takes literal ints for shift amounts,
+    # while the SQL ShiftLeft/ShiftRight accept full expressions
+    sig = F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform(split({text_col}, ' '), w -> xxhash64(w)),
+              array_repeat(cast(0 as bigint), {bits}),
+              (acc, h) -> zip_with(
+                acc,
+                transform(sequence(0, {bits - 1}),
+                          j -> (shiftright(h, j) & cast(1 as bigint)) * 2 - 1),
+                (a, v) -> a + v)),
+            sequence(0, {bits - 1}),
+            (v, j) -> if(v > 0, shiftleft(cast(1 as bigint), cast(j as int)),
+                         cast(0 as bigint))),
+          cast(0 as bigint), (acc, x) -> acc | x)
+        """
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming via 16-bit chunk buckets
+    (pigeonhole over 4 chunks guarantees recall for d <= 3)."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.where(ham <= max_hamming).select("id_a", "id_b", ham.alias("hamming"))
+
+
+def embedding_near_pairs(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.9
+) -> DataFrame:
+    """Near-duplicate vectors by cosine >= threshold (brute-force pairs).
+
+    Exact all-pairs baseline; at scale, bucket by LSH (random hyperplane
+    signs) first — see simsearch.lsh_bucketed_topk for the pattern.
+    """
+    from tokenqc.textops.simsearch import cosine_expr
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return pairs.where(cos >= threshold).select(
+        "id_a", "id_b", F.round(cos, 6).alias("cosine")
+    )
