@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""tokenqc benchmark: the headline QC suite over a synthetic sequences
+table sized to the scale factor, printing ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>, ...extras}
+
+The primary engine metric (BASELINE.json) is validated sequences/sec for
+the full QC pass (verdicts + violation rows written); reported in the
+extras as `throughput_rows_per_sec`.
+
+Scaling evidence (north rule: >=0.8 efficiency N -> 4N executors):
+  python bench.py --scaling
+runs the identical job in two fresh JVMs at local[8] and local[32] over
+the same input and reports throughput at both plus efficiency
+(thr_4N / thr_N) / 4. Results land in BENCH/BASELINE.md via
+scripts in the repo (see README).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_CACHE = os.environ.get("TOKENQC_BENCH_CACHE", "/tmp/tokenqc_bench")
+SEED = 42
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_bench_data(sf: float, n_files: int = 64) -> str:
+    """Synthesize (once, cached) the sequences tables at this scale:
+    n_rows = sf * 6e6 (sf0.1 -> 600k rows, ~1.8 GB of token arrays)."""
+    from tokenqc import synth
+
+    n = int(sf * 6_000_000)
+    out = os.path.join(BENCH_CACHE, f"sf{sf}")
+    marker = os.path.join(out, ".complete")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    t0 = time.monotonic()
+    synth.write_bench_dataset(out, n, SEED, n_files=n_files)
+    with open(marker, "w") as f:
+        f.write(f"n={n} gen_sec={time.monotonic() - t0:.1f}\n")
+    return out
+
+
+def build_spark(master: str):
+    from tokenqc.session import get_spark
+
+    return get_spark(
+        "tokenqc-bench",
+        master=master,
+        extra_conf={
+            # pack ~2 bench files per input partition so the scan fans
+            # out across the whole pool even at small SF
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        },
+    )
+
+
+def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Headline queries. Returns (per-query seconds, extras)."""
+    from pyspark.sql import functions as F
+
+    from tokenqc.checks.base import CheckConfig
+    from tokenqc.runner import QCRunner
+    from tokenqc.textops import dedup, simsearch
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    seq = spark.read.parquet(os.path.join(data_dir, "sequences"))
+    ref = spark.read.parquet(os.path.join(data_dir, "reference_tokens"))
+    allowed = spark.read.parquet(os.path.join(data_dir, "allowed_sources.parquet"))
+    baseline = spark.read.parquet(os.path.join(data_dir, "baseline_hist.parquet"))
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # warm-up: touch every column of both token tables once (page cache +
+    # codegen warm), so timings measure engine efficiency, not disk cold
+    # reads; the wide token arrays dominate both
+    from pyspark.sql import functions as _F
+
+    timed("warmup_scan", lambda: seq.select(_F.sum(_F.size("tokens"))).collect())
+    timed("warmup_ref", lambda: ref.select(_F.sum(_F.size("tokens_ref"))).collect())
+    n_rows = timed("warm_count", lambda: seq.count())
+    extras["n_rows"] = float(n_rows)
+
+    # the primary metric: full QC run (all gates, outputs written)
+    qc_out = tempfile.mkdtemp(prefix="tokenqc_bench_out_")
+    runner = QCRunner(spark, CheckConfig(n_partitions=64), out_dir=qc_out)
+
+    def full_qc():
+        res = runner.run(
+            seq, allowed_sources=allowed, baseline_hist=baseline,
+            reference_tokens=ref, run_id="bench",
+        )
+        # force materialization of every output
+        return res.violations.count() + res.verdicts.count() + res.state.count()
+
+    timed("q_full_qc_run", full_qc)
+    shutil.rmtree(qc_out, ignore_errors=True)
+    extras["throughput_rows_per_sec"] = round(n_rows / timings["q_full_qc_run"], 1)
+
+    # individual gates (count() forces execution; outputs not written)
+    from tokenqc.checks import base as cb
+    from tokenqc.checks import completeness, drift, format as fmt, invariant, referential, stats, structural, uniqueness
+
+    cfg = CheckConfig(n_partitions=64)
+    attached = referential.attach(
+        seq.withColumn("partition_id", cb.partition_id_col(cfg)), allowed
+    )
+    facets = (
+        completeness.facets(cfg) + structural.facets(cfg) + fmt.facets(cfg) + referential.facets(cfg)
+    )
+    timed("q_row_gates", lambda: cb.assemble_violations(attached, facets).count())
+    timed("q_uniqueness", lambda: uniqueness.violations(seq, cfg).count())
+    timed("q_uniqueness_salted", lambda: uniqueness.violations(seq, cfg, salt=16).count())
+    timed("q_invariant", lambda: invariant.violations(seq, ref, cfg).count())
+    timed("q_drift", lambda: drift.verdicts(seq, baseline, cfg).count())
+    timed("q_stats_profile", lambda: stats.profile(seq, cfg).count())
+
+    # text/embedding headliners on the driver testdata
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    timed("q_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.6).count())
+    timed("q_ann_topk", lambda: simsearch.brute_force_topk(emb, query_id=0, k=10).count())
+    timed(
+        "q_exact_dedup",
+        lambda: dedup.exact_duplicates(docs).count(),
+    )
+    return timings, extras
+
+
+def single_run(master: str, sf_dir: str) -> dict:
+    sf = _sf_of(sf_dir)
+    data_dir = ensure_bench_data(sf)
+    spark = build_spark(master)
+    timings, extras = run_suite(spark, data_dir, sf_dir)
+    queries = {k: v for k, v in timings.items() if k.startswith("q_")}
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "tokenqc_headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "master": master,
+        **extras,
+    }
+
+
+def scaling_run(sf_dir: str, low: int = 8, high: int = 32) -> dict:
+    """Spawn fresh JVMs at local[low] and local[high]; same input, same
+    job; report throughput at both + scaling efficiency over the 4x."""
+    ensure_bench_data(_sf_of(sf_dir))  # generate once, outside timing
+    results = {}
+    for n in (low, high):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--master", f"local[{n}]",
+             "--sf-dir", sf_dir],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    thr_lo = results[low]["throughput_rows_per_sec"]
+    thr_hi = results[high]["throughput_rows_per_sec"]
+    factor = high / low
+    eff = round((thr_hi / thr_lo) / factor, 3)
+    return {
+        "metric": "tokenqc_scaling_efficiency",
+        "value": eff,
+        "unit": f"efficiency local[{low}]->local[{high}]",
+        "sf": _sf_of(sf_dir),
+        "throughput_low": thr_lo,
+        "throughput_high": thr_hi,
+        "qc_sec_low": results[low]["queries"]["q_full_qc_run"],
+        "qc_sec_high": results[high]["queries"]["q_full_qc_run"],
+        "suite_low": results[low]["queries"],
+        "suite_high": results[high]["queries"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--master", default=f"local[{DEFAULT_CPUS}]")
+    ap.add_argument("--scaling", action="store_true")
+    args = ap.parse_args()
+    if args.scaling:
+        print(json.dumps(scaling_run(args.sf_dir)))
+    else:
+        print(json.dumps(single_run(args.master, args.sf_dir)))
+
+
+if __name__ == "__main__":
+    main()

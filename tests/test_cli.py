@@ -1,0 +1,51 @@
+"""CLI arg validation + end-to-end spark-submit-style invocation."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tokenqc import cli
+
+
+def test_bad_args_rejected(capsys):
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--input", "x", "--out", "y", "--partitions", "0"])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--input", "x", "--out", "y", "--threshold", "2"])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--out", "y"])  # missing --input
+
+
+def test_cli_end_to_end(spark, synth_dir, tmp_path, capsys):
+    rc = cli.main(
+        [
+            "--input", f"{synth_dir}/sequences.parquet",
+            "--out", str(tmp_path / "out"),
+            "--allowed-sources", f"{synth_dir}/allowed_sources.parquet",
+            "--baseline-hist", f"{synth_dir}/baseline_hist.parquet",
+            "--reference-tokens", f"{synth_dir}/reference_tokens.parquet",
+            "--run-id", "cli-test",
+            "--partitions", "8",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["run_id"] == "cli-test"
+    assert out["violations"] > 0
+    assert out["errors"] == {}
+
+
+def test_pyfiles_zip(tmp_path):
+    import subprocess
+    import sys
+    import zipfile
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    subprocess.run([sys.executable, str(root / "scripts" / "make_pyfiles.py")], check=True)
+    z = zipfile.ZipFile(root / "dist" / "tokenqc.zip")
+    names = z.namelist()
+    assert "tokenqc/runner.py" in names
+    assert "tokenqc/checks/drift.py" in names

@@ -92,31 +92,44 @@ def partition_id_col(cfg: CheckConfig, doc_id: Column | None = None) -> Column:
     return F.pmod(F.xxhash64(key), F.lit(cfg.n_partitions)).cast("int")
 
 
-def assemble_violations(df: DataFrame, facets: list[Facet]) -> DataFrame:
-    """Explode failing facets into long-format violation rows.
+def project_facets(df: DataFrame, facets: list[Facet], extra: list[Column] = ()) -> DataFrame:
+    """The single narrow scan: evaluate every facet's predicate and
+    observed-value once, emitting only (partition_id, doc_id, flags,
+    observed-strings [, extra]). Wide payload columns (tokens) are read
+    exactly once here and never carried further — anything downstream
+    (joins, explodes, aggregations) moves a few bytes per row."""
+    cols = [F.col("partition_id"), F.col("doc_id")]
+    for i, f in enumerate(facets):
+        cols.append(f.cond.alias(f"__c{i}"))
+        cols.append(F.when(f.cond, f.observed.cast("string")).alias(f"__o{i}"))
+    cols.extend(extra)
+    return df.select(*cols)
 
-    One narrow pass: pre-filter on the OR of all facets (lets most rows
-    short-circuit inside whole-stage codegen), then build a compact
-    array of violation structs and explode it. No shuffle.
+
+def explode_flags(flagged: DataFrame, facets: list[Facet]) -> DataFrame:
+    """Flagged narrow rows → long-format violation rows.
+
+    Pre-filter on the OR of all flags (most rows short-circuit inside
+    whole-stage codegen), then explode a compacted struct array.
     Output: (partition_id, doc_id, check_name, observed, expected).
     """
-    any_bad = facets[0].cond
-    for f in facets[1:]:
-        any_bad = any_bad | f.cond
+    any_bad = F.col("__c0")
+    for i in range(1, len(facets)):
+        any_bad = any_bad | F.col(f"__c{i}")
     structs = [
         F.when(
-            f.cond,
+            F.col(f"__c{i}"),
             F.struct(
                 F.lit(f.check).alias("check_name"),
                 F.lit(f.facet).alias("facet"),
-                f.observed.cast("string").alias("observed"),
+                F.col(f"__o{i}").alias("observed"),
                 F.lit(f.expected).alias("expected"),
             ),
         )
-        for f in facets
+        for i, f in enumerate(facets)
     ]
     return (
-        df.where(any_bad)
+        flagged.where(any_bad)
         .select(
             F.col("partition_id"),
             F.col("doc_id"),
@@ -132,3 +145,8 @@ def assemble_violations(df: DataFrame, facets: list[Facet]) -> DataFrame:
             F.col("v.expected").alias("expected"),
         )
     )
+
+
+def assemble_violations(df: DataFrame, facets: list[Facet]) -> DataFrame:
+    """project_facets + explode_flags in one narrow, shuffle-free pass."""
+    return explode_flags(project_facets(df, facets), facets)

@@ -1,0 +1,86 @@
+"""spark-submit entry point.
+
+Cluster usage (the north rule's packaging contract):
+
+    python scripts/make_pyfiles.py                       # -> dist/tokenqc.zip
+    spark-submit --py-files dist/tokenqc.zip \\
+        --master spark://... --deploy-mode cluster \\
+        cli.py --input /data/sequences --out /data/qc_out \\
+        --allowed-sources /data/allowed.parquet \\
+        --baseline-hist /data/baseline.parquet \\
+        --reference-tokens /data/ref.parquet \\
+        --run-id nightly-2026-08-16 --partitions 4096
+
+Config errors are rejected up front with specific messages (the
+reference's param guards, /root/reference/main.nf:49-59); data problems
+never throw — they become violation rows and FAIL verdicts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    ap = argparse.ArgumentParser(prog="tokenqc")
+    ap.add_argument("--input", required=True, help="sequences table path (parquet dir or Iceberg name)")
+    ap.add_argument("--out", required=True, help="output base dir (verdicts/violations/qc_state)")
+    ap.add_argument("--allowed-sources", default=None)
+    ap.add_argument("--baseline-hist", default=None)
+    ap.add_argument("--reference-tokens", default=None)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--batches", type=int, default=1)
+    ap.add_argument("--checks", default=None, help="comma-separated subset of checks")
+    ap.add_argument("--threshold", type=float, default=0.0)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+    if args.partitions <= 0:
+        ap.error("--partitions must be positive")
+    if not 0.0 <= args.threshold <= 1.0:
+        ap.error("--threshold must be in [0, 1]")
+    return args
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    from tokenqc.checks.base import CheckConfig
+    from tokenqc.runner import QCRunner
+    from tokenqc.session import get_spark
+
+    kw = {}
+    if args.checks:
+        kw["checks"] = tuple(args.checks.split(","))
+    cfg = CheckConfig(
+        n_partitions=args.partitions, default_threshold=args.threshold, **kw
+    )
+    spark = get_spark("tokenqc", master=args.master)
+
+    def read(path):
+        return spark.read.parquet(path) if path else None
+
+    seq = spark.read.parquet(args.input)
+    runner = QCRunner(spark, cfg, out_dir=args.out, n_batches=args.batches)
+    res = runner.run(
+        seq,
+        allowed_sources=read(args.allowed_sources),
+        baseline_hist=read(args.baseline_hist),
+        reference_tokens=read(args.reference_tokens),
+        run_id=args.run_id,
+    )
+    summary = {
+        "run_id": res.run_id,
+        "skipped_partitions": len(res.skipped_partitions),
+        "verdicts": res.verdicts.count(),
+        "violations": res.violations.count(),
+        "failed_partitions": res.state.where("status = 'FAIL'").count(),
+        "errors": res.errors,
+    }
+    print(json.dumps(summary))
+    return 0 if not res.errors else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

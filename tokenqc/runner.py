@@ -174,26 +174,52 @@ class QCRunner:
         full_batch = len(parts) == cfg.n_partitions
         bdf = df if full_batch else df.where(F.col("partition_id").isin(parts))
 
-        # --- violations: row-level fused pass + key/join-level checks ----
+        # --- violations: ONE narrow scan for all row-level gates, with the
+        # invariant fused in (tokens hashed once, 8-byte hashes joined to
+        # the pre-hashed reference — the tokens column is read exactly
+        # once per side across the whole run) + the uniqueness shuffle
         viol_parts: list[DataFrame] = []
         facets = _row_level_facets(cfg)
+        want_invariant = "invariant" in cfg.checks and reference is not None
         if facets:
             try:
-                viol_parts.append(cb.assemble_violations(bdf, facets))
+                extra = (
+                    [F.xxhash64("tokens").alias("__tok_hash")] if want_invariant else []
+                )
+                narrow = cb.project_facets(bdf, facets, extra)
+                all_facets = list(facets)
+                if want_invariant:
+                    refh = reference.select(
+                        "doc_id", F.xxhash64("tokens_ref").alias("__ref_hash")
+                    )
+                    narrow = narrow.join(refh, on="doc_id", how="left")
+                    inv = cb.Facet(
+                        invariant.CHECK,
+                        "tokens_mismatch",
+                        F.col("__ref_hash").isNotNull()
+                        & (F.col("__tok_hash") != F.col("__ref_hash")),
+                        F.lit("hash(tokens) != hash(tokens_ref)"),
+                        "tokens == tokens_ref",
+                    )
+                    i = len(all_facets)
+                    narrow = narrow.withColumn(f"__c{i}", inv.cond).withColumn(
+                        f"__o{i}", F.when(inv.cond, inv.observed)
+                    )
+                    all_facets.append(inv)
+                viol_parts.append(cb.explode_flags(narrow, all_facets))
             except Exception as e:  # errorStrategy 'ignore'
                 errors["row_level"] = repr(e)
+        elif want_invariant:
+            try:
+                viol_parts.append(invariant.violations(bdf, reference, cfg))
+            except Exception as e:
+                errors["invariant"] = repr(e)
         if "uniqueness" in cfg.checks:
             try:
                 u = uniqueness.violations(df, cfg)  # global check; filter to batch
                 viol_parts.append(u if full_batch else u.where(F.col("partition_id").isin(parts)))
             except Exception as e:
                 errors["uniqueness"] = repr(e)
-        if "invariant" in cfg.checks and reference is not None:
-            try:
-                iv = invariant.violations(bdf, reference, cfg)
-                viol_parts.append(iv)
-            except Exception as e:
-                errors["invariant"] = repr(e)
 
         if not viol_parts:
             viol_parts.append(

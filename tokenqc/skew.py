@@ -13,14 +13,17 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salt: int, col_name: str = "__salt") -> DataFrame:
-    """Add a deterministic salt bucket in [0, n_salt).
+    """Add a salt bucket in [0, n_salt) from the *input partition id*.
 
-    Deterministic (hash of all columns, not rand()) so retries of a
-    failed stage re-produce identical buckets — required for the
-    exactly-once-ish resume story (SURVEY.md section 7.3).
+    The salt must differ across copies of the same hot key (hashing the
+    key itself would send every copy to one reducer again — no spread).
+    spark_partition_id is deterministic for a fixed input layout and
+    avoids rand(), so a retried stage re-produces identical buckets —
+    required for the exactly-once-ish resume story (SURVEY.md §7.3).
+    A hot key spanning many input splits lands in many salt buckets.
     """
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(n_salt)).cast("int")
+        col_name, F.pmod(F.spark_partition_id(), F.lit(n_salt)).cast("int")
     )
 
 

@@ -271,6 +271,141 @@ def generate_baseline_hist(
     )
 
 
+def write_bench_dataset(
+    out_dir: str, n: int, seed: int = 42, n_files: int = 64
+) -> dict[str, str]:
+    """Bench-scale variant: sequences + reference_tokens written as
+    `n_files` parquet parts each, so the Spark scan parallelizes across
+    the full executor pool (one small file per task bucket; pair with
+    spark.sql.files.maxPartitionBytes to control packing). Generation is
+    chunked so peak memory stays ~1/n_files of the table.
+
+    Global planting rules stay index-based: chunk c covers rows
+    [c*chunk, ...) with the same modular rules as generate_sequences, so
+    expected totals are identical to a single-shot generation.
+    """
+    import os
+    import shutil
+
+    for sub in ("sequences", "reference_tokens"):
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    chunk = -(-n // n_files)
+    for c in range(n_files):
+        lo = c * chunk
+        hi = min(n, lo + chunk)
+        if lo >= hi:
+            break
+        # offset-aware generation: reuse generate_sequences on the slice
+        # by generating ids with a row offset
+        tbl, internals = _generate_slice(lo, hi, seed, return_internals=True)
+        pq.write_table(tbl, os.path.join(out_dir, "sequences", f"part-{c:05d}.parquet"))
+        ref = _reference_slice_from_internals(lo, hi, seed, internals)
+        pq.write_table(ref, os.path.join(out_dir, "reference_tokens", f"part-{c:05d}.parquet"))
+    paths = {
+        "sequences": os.path.join(out_dir, "sequences"),
+        "reference_tokens": os.path.join(out_dir, "reference_tokens"),
+    }
+    for name, gen in [
+        ("allowed_sources", generate_allowed_sources()),
+        ("baseline_hist", generate_baseline_hist(seed)),
+    ]:
+        p = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(gen, p)
+        paths[name] = p
+    return paths
+
+
+def _generate_slice(lo: int, hi: int, seed: int, return_internals: bool = False):
+    """generate_sequences for global rows [lo, hi) — same rules keyed on
+    the global index, per-chunk RNG streams seeded by (seed, lo)."""
+    import pandas as pd
+
+    n = hi - lo
+    i = np.arange(lo, hi, dtype=np.int64)
+
+    # vectorized id construction (pandas C string kernels, no row loop)
+    digits = pd.Series(i).astype(str).str.zfill(8)
+    ids = ("doc-" + digits).to_numpy(dtype=object)
+    bad = _is(i, RULE_BAD_ID)
+    ids[bad] = ("BAD_" + pd.Series(i[bad]).astype(str)).to_numpy(dtype=object)
+    # dup rule: global precedence NULL > dup > BAD; prev row may live in
+    # the previous chunk — recompute its candidate id directly
+    dup = _is(i, RULE_DUP_ID) & (i > 0)
+    nulled = _is(i, RULE_NULL_ID)
+    dup_idx = np.nonzero(dup & ~nulled)[0]
+    prev = i[dup_idx] - 1
+    ok_prev = ~(_is(prev, RULE_NULL_ID) | _is(prev, RULE_BAD_ID))
+    dup_idx = dup_idx[ok_prev]
+    ids[dup_idx] = ("doc-" + pd.Series(i[dup_idx] - 1).astype(str).str.zfill(8)).to_numpy(
+        dtype=object
+    )
+    ids[nulled] = None
+    ids_arr = pa.array(ids, type=pa.string())
+
+    src_rng = np.random.default_rng((seed ^ 0x5EED) + lo)
+    u = src_rng.random(n)
+    src_idx = np.zeros(n, dtype=np.int64)
+    lo_p = 0.0
+    for kk, hi_p in enumerate(SOURCE_CUM):
+        src_idx[(u >= lo_p) & (u < hi_p)] = kk
+        lo_p = hi_p
+    src = np.array(SOURCES, dtype=object)[src_idx]
+    src[_is(i, RULE_ROGUE_SRC)] = "spam9"
+    src[_is(i, RULE_NULL_SRC)] = None
+    src_arr = pa.array(src, type=pa.string())
+
+    len_rng = np.random.default_rng((seed ^ 0x1E46) + lo)
+    z = len_rng.standard_normal(n)
+    mean = np.array([LEN_PARAMS[s][0] for s in SOURCES])[src_idx]
+    std = np.array([LEN_PARAMS[s][1] for s in SOURCES])[src_idx]
+    lens = np.clip((mean + std * z).astype(np.int64), 1, MAX_TOK - 1)
+    lens[_is(i, RULE_EMPTY_TOK)] = 0
+    null_tok = _is(i, RULE_NULL_TOK)
+    lens_eff = np.where(null_tok, 0, lens)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens_eff, out=offsets[1:])
+    tok_rng = np.random.default_rng((seed ^ 0x70CE) + lo)
+    flat = tok_rng.integers(0, VOCAB, size=int(offsets[-1]), dtype=np.int32)
+    tok_arr = pa.LargeListArray.from_arrays(
+        pa.array(offsets), pa.array(flat), mask=pa.array(null_tok)
+    ).cast(pa.list_(pa.int32()))
+
+    ntok = lens_eff.copy()
+    mism = _is(i, RULE_MISMATCH)
+    ntok[mism] = ntok[mism] + 1
+    null_ntok = _is(i, RULE_NULL_NTOK)
+    ntok_arr = pa.array(ntok.astype(np.int32), mask=null_ntok)
+    tbl = pa.table({"doc_id": ids_arr, "tokens": tok_arr, "n_tok": ntok_arr, "source": src_arr})
+    if return_internals:
+        return tbl, (ids_arr, offsets, flat, null_tok)
+    return tbl
+
+
+def _reference_slice_from_internals(lo: int, hi: int, seed: int, internals) -> pa.Table:
+    """Vectorized reference slice: reuse the chunk's flat token buffer,
+    perturb one element of each rule-hit row, drop null-id rows.
+    (Duplicate-id rows are a ~0.5% minority left in at bench scale; the
+    invariant hash join tolerates them.)"""
+    ids_arr, offsets, flat, null_tok = internals
+    i = np.arange(lo, hi, dtype=np.int64)
+    flat2 = flat.copy()
+    rng = np.random.default_rng((seed ^ 0x9EF5) + lo)
+    hit = np.nonzero(_is(i, RULE_PERTURB_REF))[0]
+    for k in hit:
+        a, b = int(offsets[k]), int(offsets[k + 1])
+        if b > a:
+            j = a + int(rng.integers(0, b - a))
+            flat2[j] = np.int32((int(flat2[j]) + 1) % VOCAB)
+    tok_arr = pa.LargeListArray.from_arrays(
+        pa.array(offsets), pa.array(flat2), mask=pa.array(null_tok)
+    ).cast(pa.list_(pa.int32()))
+    tbl = pa.table({"doc_id": ids_arr, "tokens_ref": tok_arr})
+    import pyarrow.compute as pc
+
+    return tbl.filter(pc.is_valid(tbl.column("doc_id")))
+
+
 def write_dataset(out_dir: str, n: int, seed: int = 42) -> dict[str, str]:
     """Materialize all synthetic tables to ``out_dir`` as parquet."""
     import os

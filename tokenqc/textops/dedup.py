@@ -90,11 +90,15 @@ def minhash_signatures(
     params = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(k)]
     hashed = F.transform(_shingles(text_col, n), lambda s: F.abs(F.xxhash64(s)) % _P)
     df2 = df.select(F.col(id_col).alias("id"), hashed.alias("hs"))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("hs"), lambda h: (h * a + b) % _P))
-            for a, b in params
-        ]
+    # one compact expression (zip_with over the k literal (a, b) pairs)
+    # instead of k separate array_min columns — keeps the generated code
+    # small enough to stay inside whole-stage codegen
+    a_lit = F.array(*[F.lit(a).cast("long") for a, _ in params])
+    b_lit = F.array(*[F.lit(b).cast("long") for _, b in params])
+    sig = F.zip_with(
+        a_lit,
+        b_lit,
+        lambda a, b: F.array_min(F.transform(F.col("hs"), lambda h: (h * a + b) % _P)),
     )
     return df2.where(F.size("hs") > 0).select("id", sig.alias("sig"))
 
