@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_structural": HT.q_lineitem_structural,
         "customer_format": HT.q_customer_format,
         "top_violation_examples": HT.q_top_violation_examples,
+        "outcome_counts": HT.q_outcome_counts,
+        "content_flags": HT.q_content_flags,
     }
     q.update(_rows_only_queries())
     return q
@@ -149,4 +151,6 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_structural": HT.oracle_lineitem_structural(),
         "customer_format": HT.oracle_customer_format(),
         "top_violation_examples": HT.oracle_top_violation_examples(),
+        "outcome_counts": HT.oracle_outcome_counts(),
+        "content_flags": HT.oracle_content_flags(),
     }

@@ -316,6 +316,85 @@ def oracle_customer_format() -> str:
     )
 
 
+# a synthetic test-log corpus derived from documents: every 3rd doc gets
+# appended outcome markers keyed on doc_id arithmetic — SQL-reproducible
+_LOGS_CTE = """
+WITH logs AS (
+  SELECT doc_id,
+    text || ' collected ' || CAST(doc_id % 7 + 3 AS VARCHAR) || ' items'
+         || repeat(' PASSED', CAST(doc_id % 3 AS INTEGER))
+         || repeat(' FAILED', CAST(doc_id % 2 AS INTEGER))
+         || CASE WHEN doc_id % 5 = 0 THEN ' SKIPPED XPASS PASSED' ELSE '' END
+      AS text
+  FROM documents
+)
+"""
+
+
+def _derive_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" collected "), (F.col("doc_id") % 7 + 3).cast("string"), F.lit(" items"),
+            F.repeat(F.lit(" PASSED"), (F.col("doc_id") % 3).cast("int")),
+            F.repeat(F.lit(" FAILED"), (F.col("doc_id") % 2).cast("int")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" SKIPPED XPASS PASSED")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_outcome_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run_tests.py-style outcome parsing (A1/A2) over derived logs."""
+    return textqc.outcome_counts(_derive_logs(spark, sf_dir))
+
+
+def oracle_outcome_counts() -> str:
+    def c(word: str) -> str:
+        return f"CAST(len(regexp_extract_all(text, '\\b{word}\\b')) AS BIGINT)"
+
+    passed, failed, skipped, xfail, xpass = (
+        c("PASSED"), c("FAILED"), c("SKIPPED"), c("XFAIL"), c("XPASS")
+    )
+    return _LOGS_CTE + (
+        "SELECT doc_id, "
+        + f"{passed} - {xpass} AS passed, "
+        + f"{failed} - {xfail} AS failed, "
+        + f"{skipped} AS skipped, "
+        + f"{xfail} AS xfail, "
+        + f"{xpass} AS xpass, "
+        + "coalesce(CAST(nullif(regexp_extract(text, 'collected (\\d+) items', 1), '') AS BIGINT), "
+        + f"  {passed} - {xpass} + {failed} - {xfail} + {skipped} + {xfail} + {xpass}) AS total "
+        + "FROM logs"
+    )
+
+
+_CONTENT_PHRASES = {
+    "query": ["query", "scan"],
+    "join": ["join", "merge"],
+    "stream": ["stream", "batch"],
+}
+
+
+def q_content_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README-content keyword flags (P8) over documents."""
+    return textqc.content_flags(load(spark, sf_dir, "documents"), _CONTENT_PHRASES)
+
+
+def oracle_content_flags() -> str:
+    cols = []
+    conds = []
+    for name, phrases in _CONTENT_PHRASES.items():
+        cond = " OR ".join(f"contains(lower(text), '{p.lower()}')" for p in phrases)
+        cols.append(f"({cond}) AS has_{name}")
+        conds.append(f"({cond})")
+    return (
+        "SELECT doc_id, " + ", ".join(cols) + ", (" + " AND ".join(conds) + ") AS has_all "
+        "FROM documents"
+    )
+
+
 def q_top_violation_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 violation examples per check (window top-k for reports)."""
     from tokenqc import harness as H

@@ -1,0 +1,72 @@
+"""Incremental QC over a stream of sequences (Structured Streaming).
+
+The reference is a pure batch DAG and the north rule's resumability is
+batch-shaped (SURVEY.md §2.9), so streaming is an *extension*: the same
+check operators applied per micro-batch via ``foreachBatch``, writing to
+the same violations layout keyed by (run_id, epoch). Checkpointing rides
+on Spark's streaming checkpoint (file-source offsets), composing with —
+not replacing — the batch qc_state story.
+
+Only row-level gates run per micro-batch (completeness, structural,
+format, referential): they are embarrassingly incremental. Global gates
+(uniqueness, drift) need cross-batch state and stay in the batch runner;
+a watermarked streaming-dedup variant is expressible with
+``dropDuplicatesWithinWatermark`` when an event-time column exists.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tokenqc.checks import base as cb
+from tokenqc.checks import completeness, format as format_check, referential, structural
+from tokenqc.schema import SEQUENCES
+
+
+def _row_facets(cfg: cb.CheckConfig) -> list[cb.Facet]:
+    return (
+        completeness.facets(cfg)
+        + structural.facets(cfg)
+        + format_check.facets(cfg)
+        + referential.facets(cfg)
+    )
+
+
+def qc_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    allowed_sources: DataFrame,
+    cfg: cb.CheckConfig | None = None,
+    run_id: str = "stream",
+    checkpoint_dir: str | None = None,
+):
+    """Start a file-source stream over `input_dir` parquet; each
+    micro-batch flows through the fused row-level gate pass and appends
+    violation rows under out_dir/violations_stream. Returns the
+    StreamingQuery (caller stops it / awaits termination)."""
+    cfg = cfg or cb.CheckConfig()
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    stream = spark.readStream.schema(SEQUENCES).parquet(input_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        df = referential.attach(
+            batch_df.withColumn("partition_id", cb.partition_id_col(cfg)), allowed_sources
+        )
+        viol = cb.assemble_violations(df, _row_facets(cfg))
+        (
+            viol.withColumn("run_id", F.lit(run_id))
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(os.path.join(out_dir, "violations_stream"))
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

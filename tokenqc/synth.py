@@ -291,17 +291,15 @@ def write_bench_dataset(
         shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
     chunk = -(-n // n_files)
-    for c in range(n_files):
-        lo = c * chunk
-        hi = min(n, lo + chunk)
-        if lo >= hi:
-            break
-        # offset-aware generation: reuse generate_sequences on the slice
-        # by generating ids with a row offset
-        tbl, internals = _generate_slice(lo, hi, seed, return_internals=True)
-        pq.write_table(tbl, os.path.join(out_dir, "sequences", f"part-{c:05d}.parquet"))
-        ref = _reference_slice_from_internals(lo, hi, seed, internals)
-        pq.write_table(ref, os.path.join(out_dir, "reference_tokens", f"part-{c:05d}.parquet"))
+    jobs = [
+        (out_dir, c, c * chunk, min(n, (c + 1) * chunk), seed)
+        for c in range(n_files)
+        if c * chunk < n
+    ]
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(max_workers=min(len(jobs), os.cpu_count() or 8)) as ex:
+        list(ex.map(_write_chunk, jobs))
     paths = {
         "sequences": os.path.join(out_dir, "sequences"),
         "reference_tokens": os.path.join(out_dir, "reference_tokens"),
@@ -314,6 +312,17 @@ def write_bench_dataset(
         pq.write_table(gen, p)
         paths[name] = p
     return paths
+
+
+def _write_chunk(job: tuple) -> None:
+    """One (sequences, reference_tokens) chunk — process-pool worker."""
+    import os
+
+    out_dir, c, lo, hi, seed = job
+    tbl, internals = _generate_slice(lo, hi, seed, return_internals=True)
+    pq.write_table(tbl, os.path.join(out_dir, "sequences", f"part-{c:05d}.parquet"))
+    ref = _reference_slice_from_internals(lo, hi, seed, internals)
+    pq.write_table(ref, os.path.join(out_dir, "reference_tokens", f"part-{c:05d}.parquet"))
 
 
 def _generate_slice(lo: int, hi: int, seed: int, return_internals: bool = False):

@@ -92,6 +92,67 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return df.select(F.col(id_col), pred.alias("lang_pred"))
 
 
+def outcome_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Count test outcomes in raw runner logs — a direct re-expression of
+    the reference's pytest-output parser (/root/reference/bin/
+    run_tests.py:131-162): per-line include/exclude regex pairs (PASSED
+    but not XPASS, FAILED but not XFAIL), a `collected (\\d+) items`
+    total, and the fallback total = sum of counted buckets.
+
+    One pass of regexp_count / regexp_extract — JVM-side, no Python.
+    """
+    c = lambda pat: F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")  # noqa: E731
+    passed = c(r"\bPASSED\b") - c(r"\bXPASS\b")
+    failed = c(r"\bFAILED\b") - c(r"\bXFAIL\b")
+    skipped = c(r"\bSKIPPED\b")
+    xfail = c(r"\bXFAIL\b")
+    xpass = c(r"\bXPASS\b")
+    collected = F.regexp_extract(F.col(text_col), r"collected (\d+) items", 1)
+    total = F.coalesce(
+        F.nullif(collected, F.lit("")).cast("long"),
+        passed + failed + skipped + xfail + xpass,
+    )
+    return df.select(
+        F.col(id_col),
+        passed.alias("passed"),
+        failed.alias("failed"),
+        skipped.alias("skipped"),
+        xfail.alias("xfail"),
+        xpass.alias("xpass"),
+        total.alias("total"),
+    )
+
+
+def content_flags(
+    df: DataFrame,
+    phrase_lists: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-content predicates: one boolean flag per named any-of
+    phrase list, plus the all-of conjunction — the reference's README
+    content checks (/root/reference/bin/analyze_joss.py:107-157: has
+    problem statement / audience / installation ...).
+
+    Each flag is an OR of `contains` on the lowercased text (single
+    scan, whole-stage codegen)."""
+    low = F.lower(F.col(text_col))
+    flags = {}
+    for name, phrases in phrase_lists.items():
+        cond = low.contains(phrases[0].lower())
+        for p in phrases[1:]:
+            cond = cond | low.contains(p.lower())
+        flags[name] = cond
+    all_of = None
+    for cond in flags.values():
+        all_of = cond if all_of is None else (all_of & cond)
+    return df.select(
+        F.col(id_col),
+        *[v.alias(f"has_{k}") for k, v in flags.items()],
+        (all_of if all_of is not None else F.lit(True)).alias("has_all"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprints: a normalized md5 (portable) and a 64-bit
     rolling polynomial hash over word hashes (locality-free content id,
