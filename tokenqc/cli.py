@@ -20,7 +20,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# direct-path invocation (`spark-submit .../tokenqc/cli.py` without
+# --py-files, or `python tokenqc/cli.py` from another cwd) must still
+# find the package next to this file
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:

@@ -59,6 +59,7 @@ class RunResult:
     state: DataFrame
     skipped_partitions: list[int] = field(default_factory=list)
     errors: dict[str, str] = field(default_factory=dict)
+    timings: dict[str, float] = field(default_factory=dict)
 
 
 def _row_level_facets(cfg: cb.CheckConfig) -> list[cb.Facet]:
@@ -112,6 +113,7 @@ class QCRunner:
         if "referential" in cfg.checks and allowed_sources is not None:
             df = referential.attach(df, allowed_sources)
 
+        timings: dict[str, float] = {}
         batches = self._plan_batches(pending)
         for bi, parts in enumerate(batches):
             self._run_batch(
@@ -119,6 +121,7 @@ class QCRunner:
                 allowed=allowed_sources,
                 baseline=baseline_hist,
                 reference=reference_tokens,
+                timings=timings,
             )
 
         verdicts = qio.read_table(self.spark, self.out_dir, "verdicts", run_id)
@@ -134,6 +137,7 @@ class QCRunner:
             state=state if state is not None else empty_s,
             skipped_partitions=sorted(completed),
             errors=errors,
+            timings=timings,
         )
 
     # ------------------------------------------------------------------
@@ -168,7 +172,15 @@ class QCRunner:
         allowed: DataFrame | None,
         baseline: DataFrame | None,
         reference: DataFrame | None,
+        timings: dict[str, float] | None = None,
     ) -> None:
+        timings = timings if timings is not None else {}
+
+        def _mark(name: str, start: float) -> float:
+            now = time.monotonic()
+            timings[name] = timings.get(name, 0.0) + round(now - start, 3)
+            return now
+
         t0 = time.monotonic()
         spark = self.spark
         full_batch = len(parts) == cfg.n_partitions
@@ -221,6 +233,7 @@ class QCRunner:
             except Exception as e:
                 errors["uniqueness"] = repr(e)
 
+        _t = _mark("build_plan", t0)
         if not viol_parts:
             viol_parts.append(
                 spark.createDataFrame(
@@ -232,6 +245,7 @@ class QCRunner:
         for extra in viol_parts[1:]:
             viol = viol.unionByName(extra)
         qio.write_batch(viol, self.out_dir, "violations", run_id, batch)
+        _t = _mark("violations_write", _t)
         viol_written = qio.read_table(spark, self.out_dir, "violations", run_id).where(
             F.col("batch") == batch
         )
@@ -298,7 +312,9 @@ class QCRunner:
             except Exception as e:
                 errors["drift"] = repr(e)
 
+        _t = _mark("verdicts_plan", _t)
         qio.write_batch(verdicts, self.out_dir, "verdicts", run_id, batch)
+        _t = _mark("verdicts_write", _t)
 
         # --- qc_state lineage rows ---------------------------------------
         wall_ms = int((time.monotonic() - t0) * 1000)
@@ -318,6 +334,7 @@ class QCRunner:
             F.current_timestamp().alias("finished_at"),
         )
         qio.append_state(state, self.out_dir, run_id, batch)
+        _mark("state_write", _t)
 
     # ------------------------------------------------------------------
     def report(self, run_id: str) -> DataFrame | None:
