@@ -244,14 +244,49 @@ class QCRunner:
         viol = viol_parts[0]
         for extra in viol_parts[1:]:
             viol = viol.unionByName(extra)
-        qio.write_batch(viol, self.out_dir, "violations", run_id, batch)
+
+        # --- overlap independent side jobs with the big violations write:
+        # the totals scan (doc_id only) and the drift pipeline (histogram
+        # shuffle + applyInPandas) share no lineage with the violation
+        # sink, so a second driver thread materializes them while the
+        # scan/join/write saturates the executors — Spark's scheduler
+        # interleaves jobs from concurrent threads (FIFO within cores)
+        import threading
+
+        totals = bdf.groupBy("partition_id").agg(F.count(F.lit(1)).alias("n_rows"))
+        side: dict[str, DataFrame] = {}
+
+        def _materialize_side() -> None:
+            try:
+                t_tot = totals.persist()
+                t_tot.count()
+                side["totals"] = t_tot
+                if "drift" in cfg.checks and baseline is not None:
+                    dv = drift.verdicts(bdf, baseline, cfg).persist()
+                    dv.count()
+                    side["drift"] = dv
+            except Exception as e:  # errorStrategy 'ignore'
+                errors["side_jobs"] = repr(e)
+
+        side_thread = threading.Thread(target=_materialize_side, daemon=True)
+        side_thread.start()
+        # cluster the (sparse) violation rows by lineage partition before
+        # the sink: one small shuffle (AQE-coalesced) instead of one tiny
+        # output file per scan task — at 10^12 rows this is the difference
+        # between ~10^5 files and ~n_partitions files, and the read-back
+        # aggregation arrives pre-clustered. coalesce() would instead
+        # throttle the upstream scan's parallelism.
+        qio.write_batch(
+            viol.repartition("partition_id"), self.out_dir, "violations", run_id, batch
+        )
+        side_thread.join()
         _t = _mark("violations_write", _t)
         viol_written = qio.read_table(spark, self.out_dir, "violations", run_id).where(
             F.col("batch") == batch
         )
 
         # --- verdict counts: written violations × cheap totals scan ------
-        totals = bdf.groupBy("partition_id").agg(F.count(F.lit(1)).alias("n_rows"))
+        totals = side.get("totals", totals)
         counts = viol_written.groupBy("partition_id", "check_name").agg(
             F.count(F.lit(1)).alias("n_viol")
         )
@@ -293,7 +328,9 @@ class QCRunner:
         if "drift" in cfg.checks:
             try:
                 if baseline is not None:
-                    dv = drift.verdicts(bdf, baseline, cfg)
+                    dv = side.get("drift")
+                    if dv is None:  # side thread failed: recompute inline
+                        dv = drift.verdicts(bdf, baseline, cfg)
                     drift_verd = dv.select(
                         F.lit(-1).alias("partition_id"),
                         F.concat(F.lit("drift:"), F.col("source")).alias("check_name"),
@@ -334,6 +371,8 @@ class QCRunner:
             F.current_timestamp().alias("finished_at"),
         )
         qio.append_state(state, self.out_dir, run_id, batch)
+        for cached in side.values():
+            cached.unpersist()
         _mark("state_write", _t)
 
     # ------------------------------------------------------------------
