@@ -1,0 +1,74 @@
+"""Physical-plan assertions: the scale-critical plan properties must not
+regress — column pruning (the tokens array stays out of scans that don't
+need it), filter pushdown, and broadcast dimension joins.
+
+These are the `.explain("formatted")` checks from BENCH/BASELINE.md
+turned into tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tokenqc.checks import base as cb, drift, referential, uniqueness
+from tokenqc.checks import completeness, structural
+from tokenqc.checks import format as fmt
+
+CFG = cb.CheckConfig(n_partitions=8)
+
+
+def plan_of(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def seq_parquet(spark, synth_dir):
+    return spark.read.parquet(f"{synth_dir}/sequences.parquet")
+
+
+def test_uniqueness_prunes_to_doc_id(seq_parquet):
+    plan = plan_of(uniqueness.violations(seq_parquet, CFG))
+    assert "ReadSchema: struct<doc_id:string>" in plan
+    assert "IsNotNull(doc_id)" in plan  # pushed filter
+    assert "tokens" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_drift_histogram_never_reads_tokens(seq_parquet):
+    plan = plan_of(drift.observed_histogram(seq_parquet, CFG))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "tokens" not in read_schema
+    assert "n_tok" in read_schema and "source" in read_schema
+    assert "PushedFilters" in plan and "GreaterThan(n_tok,0)" in plan
+
+
+def test_referential_dim_is_broadcast(spark, seq_parquet):
+    allowed = spark.createDataFrame(
+        [("web", True), ("books", True)], "source string, active boolean"
+    )
+    plan = plan_of(referential.attach(seq_parquet, allowed))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_row_gates_single_scan(spark, seq_parquet):
+    allowed = spark.createDataFrame([("web", True)], "source string, active boolean")
+    df = referential.attach(
+        seq_parquet.withColumn("partition_id", cb.partition_id_col(CFG)), allowed
+    )
+    facets = completeness.facets(CFG) + structural.facets(CFG) + fmt.facets(CFG) + referential.facets(CFG)
+    plan = plan_of(cb.assemble_violations(df, facets))
+    # exactly one scan of the fact table (the dim side is its own tiny scan)
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan \w+", plan, re.M)
+    assert len(scans) == 2, scans
+    assert sum("parquet" in s for s in scans) == 1, scans
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_and_skew_confs(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
