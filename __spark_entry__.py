@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_violation_examples": HT.q_top_violation_examples,
         "outcome_counts": HT.q_outcome_counts,
         "content_flags": HT.q_content_flags,
+        "events_sessions": HT.q_events_sessions,
+        "seq_quantiles": HT.q_seq_quantiles,
     }
     q.update(_rows_only_queries())
     return q
@@ -153,4 +155,6 @@ def oracle_sql() -> dict[str, str]:
         "top_violation_examples": HT.oracle_top_violation_examples(),
         "outcome_counts": HT.oracle_outcome_counts(),
         "content_flags": HT.oracle_content_flags(),
+        "events_sessions": HT.oracle_events_sessions(),
+        "seq_quantiles": HT.oracle_seq_quantiles(),
     }

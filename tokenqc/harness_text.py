@@ -316,6 +316,69 @@ def oracle_customer_format() -> str:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split on >30-min gaps (window
+    lag + running sum of gap flags — the classic batch formulation;
+    `session_window` covers the streaming case). Output: per user,
+    number of sessions and events."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")  # TIMESTAMP_NTZ: no direct long cast in ANSI
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def oracle_events_sessions() -> str:
+    return (
+        "WITH g AS (SELECT user_id, event_id, ts, "
+        "  epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap "
+        "  FROM events), "
+        "s AS (SELECT user_id, event_id, "
+        "  sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) "
+        "    OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+        "  FROM g) "
+        "SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, "
+        "count(*) AS n_events FROM s GROUP BY user_id"
+    )
+
+
+def q_seq_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles of n_tok per source (profile extension A7):
+    continuous-interpolation percentiles, matching across engines."""
+    from tokenqc.harness import derive_sequences
+
+    seq = derive_sequences(spark, sf_dir)
+    return (
+        seq.where(F.col("source").isNotNull() & F.col("n_tok").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_tok, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(n_tok, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+def oracle_seq_quantiles() -> str:
+    from tokenqc.harness import SEQ_CTE
+
+    return SEQ_CTE + (
+        "SELECT source, "
+        "round(quantile_cont(n_tok, 0.5), 4) AS p50, "
+        "round(quantile_cont(n_tok, 0.9), 4) AS p90, "
+        "round(quantile_cont(n_tok, 0.99), 4) AS p99 "
+        "FROM seq WHERE source IS NOT NULL AND n_tok IS NOT NULL GROUP BY source"
+    )
+
+
 # a synthetic test-log corpus derived from documents: every 3rd doc gets
 # appended outcome markers keyed on doc_id arithmetic — SQL-reproducible
 _LOGS_CTE = """
