@@ -72,3 +72,28 @@ def test_row_gates_single_scan(spark, seq_parquet):
 def test_aqe_and_skew_confs(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_topk_is_take_ordered_not_global_window(spark, synth_dir):
+    """VERDICT r1 #1: top-k must plan TakeOrderedAndProject (per-task
+    k-row heaps) — never a global unpartitioned window that moves every
+    scored row to one partition."""
+    from tokenqc.textops import simsearch
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    for q in (
+        simsearch.brute_force_topk(emb, query_id=0, k=5),
+        simsearch.ivf_topk(emb, simsearch.seed_centroids(emb, 4), query_id=0, k=5),
+        simsearch.pandas_cosine_topk(emb, 0, k=5),
+        simsearch.seed_centroids(emb, 4),
+    ):
+        plan = plan_of(q)
+        assert "TakeOrderedAndProject" in plan, plan
+        # any Window left operates on the <=k survivors and is partitioned
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                pytest.fail(f"unexpected raw window spec in plan: {line}")
+        assert plan.count("TakeOrderedAndProject") >= 1

@@ -142,3 +142,136 @@ def test_report_scores(runner, tables):
     for r in rows:
         assert 0.0 <= r.overall_score <= 1.0
         assert r.n_checks == 5  # completeness, structural, format, uniqueness, referential
+
+
+# ---------------------------------------------------------------------------
+# round-2 regressions: error→UNKNOWN grading, resume batch numbering,
+# run-level drift, once-per-run uniqueness, missing-input UNKNOWNs
+# ---------------------------------------------------------------------------
+def test_no_allowed_sources_runs_clean(spark, tables, tmp_path):
+    """Without allowed_sources the row-level pass must still run (no
+    AnalysisException) and referential must be UNKNOWN at run level."""
+    runner = QCRunner(spark, CheckConfig(n_partitions=16), out_dir=str(tmp_path / "q"))
+    res = runner.run(tables["sequences"], run_id="na")
+    assert res.errors == {}
+    # completeness/structural/format violations are really found
+    checks = {r.check_name for r in res.violations.select("check_name").distinct().collect()}
+    assert {"completeness", "structural", "format"} <= checks
+    # referential: one run-level UNKNOWN row, not a silent PASS
+    ref = res.verdicts.where("check_name = 'referential'").collect()
+    assert len(ref) == 1 and ref[0].status == "UNKNOWN" and ref[0].partition_id == -1
+    # invariant + drift missing inputs are likewise UNKNOWN at run level
+    inv = res.verdicts.where("check_name = 'invariant'").collect()
+    assert len(inv) == 1 and inv[0].status == "UNKNOWN"
+    # partitions still complete (missing input is not an error)
+    assert res.state.where("status not in ('PASS','FAIL')").count() == 0
+
+
+def test_errored_family_unknown_and_revalidated(spark, tables, tmp_path, monkeypatch):
+    """A check family that errors must grade UNKNOWN (never PASS) and its
+    partitions must NOT be marked complete — resume re-validates them."""
+    from tokenqc.checks import uniqueness
+
+    out = str(tmp_path / "qerr")
+    runner = QCRunner(spark, CheckConfig(n_partitions=16), out_dir=out)
+
+    def boom(*a, **k):
+        raise RuntimeError("uniqueness exploded")
+
+    monkeypatch.setattr(uniqueness, "violations", boom)
+    res = runner.run(tables["sequences"], allowed_sources=tables["allowed_sources"], run_id="er")
+    assert "uniqueness" in res.errors
+    uv = res.verdicts.where("check_name = 'uniqueness'")
+    assert uv.where("status != 'UNKNOWN'").count() == 0
+    assert uv.where("partition_id >= 0").count() == 16  # per-partition, not -1
+    # every partition carries the UNKNOWN → none are complete
+    assert res.state.where("status = 'UNKNOWN'").count() == 16
+
+    monkeypatch.undo()
+    res2 = runner.run(tables["sequences"], allowed_sources=tables["allowed_sources"], run_id="er")
+    assert res2.skipped_partitions == []  # re-validated, not skipped
+    assert res2.errors == {}
+    assert res2.verdicts.where("check_name = 'uniqueness' and status = 'UNKNOWN'").count() == 0
+    assert res2.state.where("status = 'UNKNOWN'").count() == 0
+
+
+def test_resume_does_not_clobber_completed_batches(spark, tables, tmp_path):
+    """Crash mid-batch-1 of a 2-batch run: resume must continue numbering
+    from the committed batch, drop the orphaned slices, and end with the
+    same totals as an uninterrupted run (ADVICE r1: 132→76 regression)."""
+    import shutil
+
+    from tokenqc import io as qio
+
+    out = str(tmp_path / "qcl")
+    runner = QCRunner(spark, CheckConfig(n_partitions=16), out_dir=out, n_batches=2)
+    ref = runner.run(tables["sequences"], allowed_sources=tables["allowed_sources"], run_id="ok")
+    full_viol = ref.violations.count()
+    full_verd = ref.verdicts.where("partition_id >= 0").count()
+
+    r1 = runner.run(tables["sequences"], allowed_sources=tables["allowed_sources"], run_id="cr")
+    batch0_parts = sorted(
+        r.partition_id for r in r1.state.where("batch = 0").select("partition_id").collect()
+    )
+    # simulate a crash during batch 1: its state commit never happened
+    shutil.rmtree(f"{out}/qc_state/run_id=cr/batch=1")
+    assert qio.list_batches(spark, out, "violations", "cr") == [0, 1]
+
+    r2 = runner.run(tables["sequences"], allowed_sources=tables["allowed_sources"], run_id="cr")
+    assert r2.skipped_partitions == batch0_parts
+    assert r2.violations.count() == full_viol
+    assert r2.verdicts.where("partition_id >= 0").count() == full_verd
+    assert r2.state.select("partition_id").distinct().count() == 16
+    # numbering continued past the committed batch (orphan 1 was dropped,
+    # the 8 pending partitions re-ran as batches 1 and 2) and every
+    # written slice is committed (violations/verdicts/state agree)
+    committed = qio.list_batches(spark, out, "qc_state", "cr")
+    assert committed == [0, 1, 2]
+    assert qio.list_batches(spark, out, "violations", "cr") == committed
+    assert qio.list_batches(spark, out, "verdicts", "cr") == committed
+
+
+def test_drift_once_per_run_with_batches(spark, tables, tmp_path):
+    """n_batches > 1 must produce ONE drift verdict set computed on the
+    full input, not per-batch partial histograms."""
+    out = str(tmp_path / "qdr")
+    runner = QCRunner(spark, CheckConfig(n_partitions=16), out_dir=out, n_batches=4)
+    res = runner.run(
+        tables["sequences"],
+        allowed_sources=tables["allowed_sources"],
+        baseline_hist=tables["baseline_hist"],
+        run_id="dr",
+    )
+    drift_rows = res.verdicts.where("partition_id = -1 and check_name like 'drift:%'")
+    per_source = drift_rows.groupBy("check_name").count().collect()
+    assert all(r["count"] == 1 for r in per_source)  # no duplicates
+    # identical statuses to a single-batch run (full-input statistics)
+    single = QCRunner(spark, CheckConfig(n_partitions=16), out_dir=str(tmp_path / "qdr1")).run(
+        tables["sequences"],
+        allowed_sources=tables["allowed_sources"],
+        baseline_hist=tables["baseline_hist"],
+        run_id="dr1",
+    )
+    got = {r.check_name: r.status for r in drift_rows.collect()}
+    want = {
+        r.check_name: r.status
+        for r in single.verdicts.where("partition_id = -1 and check_name like 'drift:%'").collect()
+    }
+    assert got == want
+
+
+def test_uniqueness_planned_once_per_run(spark, tables, tmp_path, monkeypatch):
+    """The dup-count shuffle is planned once per run, not once per batch."""
+    from tokenqc.checks import uniqueness
+
+    calls = []
+    real = uniqueness.violations
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(uniqueness, "violations", counting)
+    runner = QCRunner(spark, CheckConfig(n_partitions=16), out_dir=str(tmp_path / "qu"), n_batches=4)
+    runner.run(tables["sequences"], allowed_sources=tables["allowed_sources"], run_id="u1")
+    assert len(calls) == 1

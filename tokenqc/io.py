@@ -1,37 +1,115 @@
-"""Table I/O: Iceberg when a catalog is on the classpath, parquet otherwise.
+"""Table I/O: Iceberg when a catalog is configured, parquet paths otherwise.
 
 The north rule names Iceberg tables for input, outputs and the resume
-state. This image has no Iceberg runtime jar, so every writer/reader
-here goes through a thin indirection: `use_iceberg()` probes for the
-catalog and the code paths stay identical (`writeTo(...).append()` vs
-`write.parquet`). The parquet layout is chosen so each (run_id, batch)
-write is an idempotent whole-directory overwrite — retrying a failed
-batch replaces, never duplicates, its output (exactly-once-ish resume,
-SURVEY.md section 7.3).
+state. Every writer/reader here goes through one indirection:
+
+- **Iceberg** (``use_iceberg()`` true: an Iceberg runtime jar is on the
+  classpath *and* ``spark.tokenqc.iceberg.namespace`` names a catalog
+  namespace): each result table is one Iceberg table partitioned by
+  (run_id, batch); a batch write is ``writeTo(...).overwritePartitions()``
+  — replacing exactly the (run_id, batch) partitions present in the
+  incoming frame, which is the idempotent retry semantics the runner
+  needs (a retried batch replaces, never duplicates, its output).
+- **parquet paths** (default in this image — no Iceberg jar): the same
+  semantics via directory layout ``<table>/run_id=<r>/batch=<b>`` and
+  whole-directory overwrite per (run_id, batch).
+
+All existence probes and deletes go through Spark's Hadoop FileSystem
+API (never ``os.path``) so resume works identically for ``file://``,
+``hdfs://`` and ``s3a://`` output locations. Reference analogue: the
+results/state sink family (/root/reference/modules/RunAlmanack.nf:33)
+plus the workDir-keyed resume cache (/root/reference/nextflow.config:14).
 """
 
 from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NS_CONF = "spark.tokenqc.iceberg.namespace"
+
+
+# ---------------------------------------------------------------------------
+# Iceberg probe + identifiers
+# ---------------------------------------------------------------------------
+def iceberg_namespace(spark: SparkSession) -> str | None:
+    """The configured Iceberg namespace (e.g. ``local.tokenqc``), or None."""
+    try:
+        ns = spark.conf.get(_NS_CONF, None)
+    except Exception:
+        return None
+    return ns or None
 
 
 def use_iceberg(spark: SparkSession) -> bool:
-    """True iff an Iceberg catalog is actually usable in this session."""
+    """True iff an Iceberg catalog is actually usable in this session:
+    the runtime class loads AND a target namespace is configured."""
+    if iceberg_namespace(spark) is None:
+        return False
     try:
         jvm = spark.sparkContext._jvm  # noqa: SLF001
         jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
-        return any(
-            k.startswith("spark.sql.catalog.") for k, _ in spark.sparkContext.getConf().getAll()
-        )
+        return True
     except Exception:
         return False
 
 
+def _ident(spark: SparkSession, table: str) -> str:
+    return f"{iceberg_namespace(spark)}.{table}"
+
+
+# ---------------------------------------------------------------------------
+# Hadoop FileSystem helpers (FS-agnostic: file://, hdfs://, s3a://)
+# ---------------------------------------------------------------------------
+def _qualify(path: str) -> str:
+    # a bare relative path would resolve against the JVM's user.dir,
+    # which need not equal the Python cwd — pin local paths explicitly
+    if "://" not in path and not path.startswith("/"):
+        return os.path.abspath(path)
+    return path
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(_qualify(path))  # noqa: SLF001
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    return fs, jpath
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    try:
+        fs, jpath = _hadoop_fs(spark, path)
+        return bool(fs.exists(jpath))
+    except Exception:
+        return False
+
+
+def _delete(spark: SparkSession, path: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
 def write_batch(df: DataFrame, base_dir: str, table: str, run_id: str, batch: int) -> str:
     """Idempotent overwrite of one (run_id, batch) slice of `table`."""
-    path = os.path.join(base_dir, table, f"run_id={run_id}", f"batch={batch}")
+    spark = df.sparkSession
+    if use_iceberg(spark):
+        ident = _ident(spark, table)
+        out = df.withColumn("run_id", F.lit(run_id)).withColumn(
+            "batch", F.lit(batch).cast("int")
+        )
+        if spark.catalog.tableExists(ident):
+            out.writeTo(ident).overwritePartitions()
+        else:
+            out.writeTo(ident).partitionedBy("run_id", "batch").create()
+        return ident
+    path = os.path.join(_qualify(base_dir), table, f"run_id={run_id}", f"batch={batch}")
     df.write.mode("overwrite").parquet(path)
     return path
 
@@ -41,20 +119,82 @@ def append_state(df: DataFrame, base_dir: str, run_id: str, batch: int) -> str:
     return write_batch(df, base_dir, "qc_state", run_id, batch)
 
 
-def read_table(spark: SparkSession, base_dir: str, table: str, run_id: str | None = None) -> DataFrame | None:
-    """Read a result table (optionally one run's slice); None if absent."""
-    path = os.path.join(base_dir, table)
-    if run_id is not None:
-        path = os.path.join(path, f"run_id={run_id}")
-    if not _has_parquet(path):
+# ---------------------------------------------------------------------------
+# readers
+# ---------------------------------------------------------------------------
+def read_table(
+    spark: SparkSession, base_dir: str, table: str, run_id: str | None = None
+) -> DataFrame | None:
+    """Read a result table (optionally one run's slice); None if absent.
+
+    Absence is detected by *attempting the read* and catching the
+    path-not-found / no-schema AnalysisException — not by os.path probes,
+    which silently fail for hdfs:// and s3a:// locations."""
+    if use_iceberg(spark):
+        ident = _ident(spark, table)
+        if not spark.catalog.tableExists(ident):
+            return None
+        df = spark.read.table(ident)
+        if run_id is not None:
+            df = df.where(F.col("run_id") == run_id)
+            # an Iceberg table may exist with zero rows for this run
+            if df.isEmpty():
+                return None
+        return df
+    base = os.path.join(_qualify(base_dir), table)
+    path = base if run_id is None else os.path.join(base, f"run_id={run_id}")
+    try:
+        return spark.read.option("basePath", base).parquet(path)
+    except AnalysisException:
         return None
-    return spark.read.option("basePath", os.path.join(base_dir, table)).parquet(path)
 
 
-def _has_parquet(path: str) -> bool:
-    if not os.path.isdir(path):
-        return False
-    for _root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+def list_batches(spark: SparkSession, base_dir: str, table: str, run_id: str) -> list[int]:
+    """Batch indices physically present for (table, run_id) — directory
+    listing for parquet, partition scan for Iceberg."""
+    if use_iceberg(spark):
+        df = read_table(spark, base_dir, table, run_id)
+        if df is None:
+            return []
+        return sorted(r.batch for r in df.select("batch").distinct().collect())
+    path = os.path.join(_qualify(base_dir), table, f"run_id={run_id}")
+    try:
+        fs, jpath = _hadoop_fs(spark, path)
+        if not fs.exists(jpath):
+            return []
+        out = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("batch="):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+    except Exception:
+        return []
+
+
+def drop_orphan_batches(
+    spark: SparkSession, base_dir: str, tables: list[str], run_id: str, keep: set[int]
+) -> list[tuple[str, int]]:
+    """Delete batch slices not in `keep` (committed batches). A crash
+    between the violations/verdicts writes and the qc_state commit leaves
+    orphaned slices; left in place they would double-count when the run's
+    tables are read back. Returns the (table, batch) slices dropped."""
+    dropped: list[tuple[str, int]] = []
+    for table in tables:
+        for b in list_batches(spark, base_dir, table, run_id):
+            if b in keep:
+                continue
+            if use_iceberg(spark):
+                spark.sql(
+                    f"DELETE FROM {_ident(spark, table)} "  # noqa: S608 - ident from conf
+                    f"WHERE run_id = '{run_id}' AND batch = {int(b)}"
+                )
+            else:
+                _delete(
+                    spark,
+                    os.path.join(
+                        _qualify(base_dir), table, f"run_id={run_id}", f"batch={b}"
+                    ),
+                )
+            dropped.append((table, b))
+    return dropped

@@ -6,27 +6,44 @@ Orchestration semantics carried over from the reference (SURVEY.md §2.8):
   parallel unit (the reference fans one OS process per item,
   /root/reference/main.nf:91-137).
 - **errorStrategy 'ignore'** (/root/reference/modules/ProcessRepo.nf:19):
-  a failing check family must not kill the run — it records UNKNOWN
-  verdicts with the error in `details` and the run continues.
+  a failing check family must not kill the run. Two distinct paths:
+  * *missing input* (no allowed_sources / reference_tokens /
+    baseline_hist): the check is skipped and ONE run-level UNKNOWN
+    verdict row (partition_id = -1) records why — partitions still
+    complete, since re-running without the input reproduces the UNKNOWN
+    (mirrors the reference's missing-input default,
+    bin/analyze_joss.py:96-105).
+  * *check-family error* (exception while building the family's plan):
+    per-partition UNKNOWN verdict rows for the family's check names,
+    and those partitions' qc_state rows are UNKNOWN — they are NOT
+    marked complete, so resume re-validates them.
 - **resume** (/root/reference/nextflow.config:14 workDir caching): a
   `qc_state` table records per-partition lineage; a re-run with the same
-  run_id skips completed partitions (anti-join / pruned filter).
+  run_id skips completed (PASS/FAIL) partitions. Batch numbering
+  continues from the highest *committed* batch (max(batch)+1 from
+  qc_state), so resumed batches never clobber completed output; slices
+  from a crashed batch (violations/verdicts written, qc_state commit
+  missing) are dropped up front.
 
 Execution shape (scale-first):
 
 1. one narrow pass over the fact table computes every row-level facet
    (completeness, structural, format, referential-via-broadcast) and
    writes violation rows — no shuffle;
-2. uniqueness (shuffle on doc_id, map-side combined) and invariant
-   (hash-reduced join) contribute their violations;
-3. verdict counts are aggregated from the *written* violations plus one
-   cheap totals scan that reads only doc_id (tokens never re-read);
-4. drift runs on a 64-buckets-per-source aggregate via applyInPandas;
+2. uniqueness (shuffle on doc_id, map-side combined) is planned ONCE per
+   run — a multi-batch run pays one dup-count shuffle, not one per
+   batch — and the persisted key-level violations are sliced per batch;
+3. verdict counts aggregate the *persisted* violation frame plus one
+   cheap totals scan (doc_id only) that overlaps the violations write;
+4. drift runs ONCE per run on the full input (64-buckets-per-source
+   aggregate via applyInPandas) and lands in the first batch's verdict
+   slice — per-batch drift would compute chi2/KS on partial histograms;
 5. qc_state rows are written per batch (idempotent overwrite-by-batch).
 """
 
 from __future__ import annotations
 
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -49,6 +66,12 @@ from tokenqc.checks import (
 from tokenqc.schema import FAIL, PASS, UNKNOWN
 
 ROW_LEVEL = ("completeness", "structural", "format", "referential")
+TABLES = ("violations", "verdicts", "qc_state")
+
+_VERDICT_SCHEMA = (
+    "partition_id int, check_name string, status string, "
+    "n_rows long, n_viol long, details string"
+)
 
 
 @dataclass
@@ -62,7 +85,7 @@ class RunResult:
     timings: dict[str, float] = field(default_factory=dict)
 
 
-def _row_level_facets(cfg: cb.CheckConfig) -> list[cb.Facet]:
+def _row_level_facets(cfg: cb.CheckConfig, with_referential: bool) -> list[cb.Facet]:
     from tokenqc.checks import structural
 
     fs: list[cb.Facet] = []
@@ -72,7 +95,7 @@ def _row_level_facets(cfg: cb.CheckConfig) -> list[cb.Facet]:
         fs += structural.facets(cfg)
     if "format" in cfg.checks:
         fs += format_check.facets(cfg)
-    if "referential" in cfg.checks:
+    if "referential" in cfg.checks and with_referential:
         fs += referential.facets(cfg)
     return fs
 
@@ -103,33 +126,69 @@ class QCRunner:
     ) -> RunResult:
         cfg = self.cfg
         run_id = run_id or uuid.uuid4().hex[:12]
-
-        completed = self._completed_partitions(run_id)
-        all_parts = list(range(cfg.n_partitions))
-        pending = [p for p in all_parts if p not in completed]
+        spark = self.spark
         errors: dict[str, str] = {}
 
+        completed, committed_batches = self._resume_point(run_id)
+        # slices written by a crashed batch (no qc_state commit) would
+        # double-count on read-back — drop them before doing anything
+        qio.drop_orphan_batches(spark, self.out_dir, list(TABLES), run_id, committed_batches)
+        batch_start = (max(committed_batches) + 1) if committed_batches else 0
+        pending = [p for p in range(cfg.n_partitions) if p not in completed]
+
         df = sequences.withColumn("partition_id", cb.partition_id_col(cfg))
-        if "referential" in cfg.checks and allowed_sources is not None:
+        has_ref_dim = allowed_sources is not None
+        if "referential" in cfg.checks and has_ref_dim:
             df = referential.attach(df, allowed_sources)
+
+        # missing-input UNKNOWNs: recorded once, at run level (partition -1)
+        missing: list[tuple[str, str]] = []
+        if "referential" in cfg.checks and not has_ref_dim:
+            missing.append(("referential", "no allowed_sources provided"))
+        if "invariant" in cfg.checks and reference_tokens is None:
+            missing.append(("invariant", "no reference_tokens provided"))
+        if "drift" in cfg.checks and baseline_hist is None:
+            missing.append(("drift", "no baseline_hist provided"))
 
         timings: dict[str, float] = {}
         batches = self._plan_batches(pending)
-        for bi, parts in enumerate(batches):
+
+        # global (cross-partition) checks are planned once per run
+        prefailed: dict[str, str] = {}
+        uniq: DataFrame | None = None
+        if "uniqueness" in cfg.checks and batches:
+            try:
+                uniq = uniqueness.violations(df, cfg).persist()
+            except Exception as e:  # errorStrategy 'ignore'
+                errors["uniqueness"] = repr(e)
+                prefailed["uniqueness"] = repr(e)
+        drift_plan: DataFrame | None = None
+        if "drift" in cfg.checks and baseline_hist is not None and batches:
+            try:
+                drift_plan = drift.verdicts(df, baseline_hist, cfg)
+            except Exception as e:
+                errors["drift"] = repr(e)
+
+        for i, parts in enumerate(batches):
             self._run_batch(
-                df, parts, bi, run_id, cfg, errors,
-                allowed=allowed_sources,
-                baseline=baseline_hist,
+                df, parts, batch_start + i, run_id, cfg, errors,
+                has_ref_dim=has_ref_dim,
                 reference=reference_tokens,
+                uniq=uniq,
+                prefailed=prefailed,
+                drift_plan=drift_plan if i == 0 else None,
+                missing=missing if i == 0 else [],
                 timings=timings,
             )
+        if uniq is not None:
+            uniq.unpersist()
 
-        verdicts = qio.read_table(self.spark, self.out_dir, "verdicts", run_id)
-        violations = qio.read_table(self.spark, self.out_dir, "violations", run_id)
-        state = qio.read_table(self.spark, self.out_dir, "qc_state", run_id)
-        empty_v = self.spark.createDataFrame([], "run_id string, batch int, partition_id int, check_name string, status string, n_rows long, n_viol long, details string")
-        empty_viol = self.spark.createDataFrame([], "run_id string, batch int, partition_id int, doc_id string, check_name string, observed string, expected string")
-        empty_s = self.spark.createDataFrame([], "run_id string, batch int, partition_id int, status string, n_rows long, n_viol long, wall_ms long, finished_at timestamp")
+        verdicts = self._read_current(run_id, "verdicts")
+        violations = self._read_current(run_id, "violations")
+        state = self._read_current(run_id, "qc_state")
+        empty_v = spark.createDataFrame([], "run_id string, batch int, partition_id int, check_name string, status string, n_rows long, n_viol long, details string")
+        empty_viol = spark.createDataFrame([], "run_id string, batch int, partition_id int, doc_id string, check_name string, observed string, expected string")
+        empty_s = spark.createDataFrame([], "run_id string, batch int, partition_id int, status string, n_rows long, n_viol long, wall_ms long, finished_at timestamp")
         return RunResult(
             run_id=run_id,
             verdicts=verdicts if verdicts is not None else empty_v,
@@ -141,17 +200,52 @@ class QCRunner:
         )
 
     # ------------------------------------------------------------------
-    def _completed_partitions(self, run_id: str) -> set[int]:
+    def _read_current(self, run_id: str, table: str) -> DataFrame | None:
+        """The run's current view of a result table: for each partition,
+        only the rows from its latest *committed* batch count.
+
+        Batch slices are an immutable append-log — a partition
+        re-validated after an UNKNOWN grade gets fresh rows under a new
+        batch id rather than an in-place rewrite of a mixed batch dir.
+        This view supersedes the stale rows: a broadcast semi-join
+        against qc_state's per-partition max(batch) (n_partitions rows).
+        Run-level rows (partition_id = -1) dedupe by (check_name,
+        max batch)."""
+        df = qio.read_table(self.spark, self.out_dir, table, run_id)
+        if df is None:
+            return None
+        state = df if table == "qc_state" else qio.read_table(
+            self.spark, self.out_dir, "qc_state", run_id
+        )
+        if state is None:
+            return df
+        latest = F.broadcast(
+            state.groupBy("partition_id").agg(F.max("batch").alias("batch"))
+        )
+        cur = df.where(F.col("partition_id") >= 0).join(
+            latest, on=["partition_id", "batch"], how="left_semi"
+        )
+        neg = df.where(F.col("partition_id") < 0)
+        if table == "verdicts":
+            neg_latest = F.broadcast(
+                neg.groupBy("check_name").agg(F.max("batch").alias("batch"))
+            )
+            neg = neg.join(neg_latest, on=["check_name", "batch"], how="left_semi")
+        return cur.unionByName(neg)
+
+    # ------------------------------------------------------------------
+    def _resume_point(self, run_id: str) -> tuple[set[int], set[int]]:
+        """(completed partitions, committed batches) from qc_state.
+
+        Only PASS/FAIL state rows mark a partition complete — an UNKNOWN
+        row (a check family errored there) is re-validated on resume."""
         state = qio.read_table(self.spark, self.out_dir, "qc_state", run_id)
         if state is None:
-            return set()
-        rows = (
-            state.where(F.col("status").isin(PASS, FAIL))
-            .select("partition_id")
-            .distinct()
-            .collect()
-        )
-        return {r.partition_id for r in rows}
+            return set(), set()
+        rows = state.select("partition_id", "status", "batch").collect()
+        completed = {r.partition_id for r in rows if r.status in (PASS, FAIL)}
+        committed = {int(r.batch) for r in rows}
+        return completed, committed
 
     def _plan_batches(self, pending: list[int]) -> list[list[int]]:
         if not pending:
@@ -169,9 +263,12 @@ class QCRunner:
         run_id: str,
         cfg: cb.CheckConfig,
         errors: dict[str, str],
-        allowed: DataFrame | None,
-        baseline: DataFrame | None,
+        has_ref_dim: bool,
         reference: DataFrame | None,
+        uniq: DataFrame | None,
+        prefailed: dict[str, str],
+        drift_plan: DataFrame | None,
+        missing: list[tuple[str, str]],
         timings: dict[str, float] | None = None,
     ) -> None:
         timings = timings if timings is not None else {}
@@ -185,13 +282,16 @@ class QCRunner:
         spark = self.spark
         full_batch = len(parts) == cfg.n_partitions
         bdf = df if full_batch else df.where(F.col("partition_id").isin(parts))
+        failed: dict[str, str] = dict(prefailed)  # check_name -> error detail
 
         # --- violations: ONE narrow scan for all row-level gates, with the
         # invariant fused in (tokens hashed once, 8-byte hashes joined to
         # the pre-hashed reference — the tokens column is read exactly
-        # once per side across the whole run) + the uniqueness shuffle
+        # once per side across the whole run) + the once-per-run
+        # uniqueness slice
         viol_parts: list[DataFrame] = []
-        facets = _row_level_facets(cfg)
+        facets = _row_level_facets(cfg, with_referential=has_ref_dim)
+        row_checks = sorted({f.check for f in facets})
         want_invariant = "invariant" in cfg.checks and reference is not None
         if facets:
             try:
@@ -221,17 +321,18 @@ class QCRunner:
                 viol_parts.append(cb.explode_flags(narrow, all_facets))
             except Exception as e:  # errorStrategy 'ignore'
                 errors["row_level"] = repr(e)
+                for c in row_checks + (["invariant"] if want_invariant else []):
+                    failed[c] = repr(e)
         elif want_invariant:
             try:
                 viol_parts.append(invariant.violations(bdf, reference, cfg))
             except Exception as e:
                 errors["invariant"] = repr(e)
-        if "uniqueness" in cfg.checks:
-            try:
-                u = uniqueness.violations(df, cfg)  # global check; filter to batch
-                viol_parts.append(u if full_batch else u.where(F.col("partition_id").isin(parts)))
-            except Exception as e:
-                errors["uniqueness"] = repr(e)
+                failed["invariant"] = repr(e)
+        if uniq is not None:
+            viol_parts.append(
+                uniq if full_batch else uniq.where(F.col("partition_id").isin(parts))
+            )
 
         _t = _mark("build_plan", t0)
         if not viol_parts:
@@ -244,6 +345,11 @@ class QCRunner:
         viol = viol_parts[0]
         for extra in viol_parts[1:]:
             viol = viol.unionByName(extra)
+        # cluster the (sparse) violation rows by lineage partition before
+        # the sink: one small shuffle (AQE-coalesced) instead of one tiny
+        # output file per scan task. persist() so the verdict counts reuse
+        # the computed rows instead of re-reading the written parquet.
+        viol = viol.repartition("partition_id").persist()
 
         # --- overlap independent side jobs with the big violations write:
         # the totals scan (doc_id only) and the drift pipeline (histogram
@@ -251,8 +357,6 @@ class QCRunner:
         # sink, so a second driver thread materializes them while the
         # scan/join/write saturates the executors — Spark's scheduler
         # interleaves jobs from concurrent threads (FIFO within cores)
-        import threading
-
         totals = bdf.groupBy("partition_id").agg(F.count(F.lit(1)).alias("n_rows"))
         side: dict[str, DataFrame] = {}
 
@@ -261,8 +365,8 @@ class QCRunner:
                 t_tot = totals.persist()
                 t_tot.count()
                 side["totals"] = t_tot
-                if "drift" in cfg.checks and baseline is not None:
-                    dv = drift.verdicts(bdf, baseline, cfg).persist()
+                if drift_plan is not None:
+                    dv = drift_plan.persist()
                     dv.count()
                     side["drift"] = dv
             except Exception as e:  # errorStrategy 'ignore'
@@ -270,81 +374,76 @@ class QCRunner:
 
         side_thread = threading.Thread(target=_materialize_side, daemon=True)
         side_thread.start()
-        # cluster the (sparse) violation rows by lineage partition before
-        # the sink: one small shuffle (AQE-coalesced) instead of one tiny
-        # output file per scan task — at 10^12 rows this is the difference
-        # between ~10^5 files and ~n_partitions files, and the read-back
-        # aggregation arrives pre-clustered. coalesce() would instead
-        # throttle the upstream scan's parallelism.
-        qio.write_batch(
-            viol.repartition("partition_id"), self.out_dir, "violations", run_id, batch
-        )
+        qio.write_batch(viol, self.out_dir, "violations", run_id, batch)
         side_thread.join()
         _t = _mark("violations_write", _t)
-        viol_written = qio.read_table(spark, self.out_dir, "violations", run_id).where(
-            F.col("batch") == batch
-        )
 
-        # --- verdict counts: written violations × cheap totals scan ------
+        # --- verdict counts: persisted violations × cheap totals scan ----
         totals = side.get("totals", totals)
-        counts = viol_written.groupBy("partition_id", "check_name").agg(
+        counts = viol.groupBy("partition_id", "check_name").agg(
             F.count(F.lit(1)).alias("n_viol")
         )
         active = [c for c in cfg.checks if c != "drift"]
         if "invariant" in active and reference is None:
             active.remove("invariant")
-        checks_lit = F.array(*[F.lit(c) for c in active])
-        grid = totals.select(
-            "partition_id", "n_rows", F.explode(checks_lit).alias("check_name")
-        )
-        per_check = grid.join(counts, on=["partition_id", "check_name"], how="left").fillna(
-            {"n_viol": 0}
-        )
-        thr = F.create_map(
-            *[x for c in active for x in (F.lit(c), F.lit(cfg.threshold(c)))]
-        )
-        rate = F.when(F.col("n_rows") > 0, F.col("n_viol") / F.col("n_rows")).otherwise(F.lit(0.0))
-        status = F.when(rate <= thr[F.col("check_name")], F.lit(PASS)).otherwise(F.lit(FAIL))
-        verdicts = per_check.select(
-            "partition_id",
-            "check_name",
-            status.alias("status"),
-            "n_rows",
-            "n_viol",
-            F.lit(None).cast("string").alias("details"),
-        )
-        # checks that errored → UNKNOWN verdict rows (errorStrategy 'ignore')
-        if errors:
-            err_rows = [
-                (-1, k, UNKNOWN, 0, 0, v) for k, v in errors.items()
-            ]
-            err_df = spark.createDataFrame(
-                err_rows,
-                "partition_id int, check_name string, status string, n_rows long, n_viol long, details string",
+        if "referential" in active and not has_ref_dim:
+            active.remove("referential")
+        active = [c for c in active if c not in failed]
+        checks_lit = F.array(*[F.lit(c) for c in active]) if active else None
+        if checks_lit is not None:
+            grid = totals.select(
+                "partition_id", "n_rows", F.explode(checks_lit).alias("check_name")
             )
-            verdicts = verdicts.unionByName(err_df)
+            per_check = grid.join(
+                counts, on=["partition_id", "check_name"], how="left"
+            ).fillna({"n_viol": 0})
+            thr = F.create_map(
+                *[x for c in active for x in (F.lit(c), F.lit(cfg.threshold(c)))]
+            )
+            rate = F.when(F.col("n_rows") > 0, F.col("n_viol") / F.col("n_rows")).otherwise(F.lit(0.0))
+            status = F.when(rate <= thr[F.col("check_name")], F.lit(PASS)).otherwise(F.lit(FAIL))
+            verdicts = per_check.select(
+                "partition_id",
+                "check_name",
+                status.alias("status"),
+                "n_rows",
+                "n_viol",
+                F.lit(None).cast("string").alias("details"),
+            )
+        else:
+            verdicts = spark.createDataFrame([], _VERDICT_SCHEMA)
 
-        # --- drift: source-level verdicts (partition_id = -1) ------------
-        if "drift" in cfg.checks:
+        # errored check families → per-partition UNKNOWN rows: the
+        # partition is NOT graded PASS (no silent fillna(0)), and its
+        # qc_state row below becomes UNKNOWN so resume re-validates it
+        unknown_rows = [
+            (pid, check, UNKNOWN, 0, 0, detail)
+            for check, detail in sorted(failed.items())
+            for pid in parts
+        ]
+        # missing-input checks → one run-level UNKNOWN row each (-1)
+        unknown_rows += [(-1, check, UNKNOWN, 0, 0, detail) for check, detail in missing]
+        if unknown_rows:
+            verdicts = verdicts.unionByName(
+                spark.createDataFrame(unknown_rows, _VERDICT_SCHEMA)
+            )
+
+        # --- drift: source-level verdicts (partition_id = -1), computed
+        # once per run over the full input (this frame is only passed for
+        # the run's first batch)
+        if drift_plan is not None:
             try:
-                if baseline is not None:
-                    dv = side.get("drift")
-                    if dv is None:  # side thread failed: recompute inline
-                        dv = drift.verdicts(bdf, baseline, cfg)
-                    drift_verd = dv.select(
-                        F.lit(-1).alias("partition_id"),
-                        F.concat(F.lit("drift:"), F.col("source")).alias("check_name"),
-                        F.col("status"),
-                        F.col("n_rows").cast("long").alias("n_rows"),
-                        F.lit(0).cast("long").alias("n_viol"),
-                        F.to_json(F.struct("chi2", "chi2_p", "ks_d", "ks_p")).alias("details"),
-                    )
-                else:
-                    # missing baseline ⇒ UNKNOWN, not FAIL (analyze_joss.py:96-105)
-                    drift_verd = spark.createDataFrame(
-                        [(-1, "drift", UNKNOWN, 0, 0, "no baseline_hist provided")],
-                        "partition_id int, check_name string, status string, n_rows long, n_viol long, details string",
-                    )
+                dv = side.get("drift")
+                if dv is None:  # side thread failed: recompute inline
+                    dv = drift_plan
+                drift_verd = dv.select(
+                    F.lit(-1).alias("partition_id"),
+                    F.concat(F.lit("drift:"), F.col("source")).alias("check_name"),
+                    F.col("status"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.lit(0).cast("long").alias("n_viol"),
+                    F.to_json(F.struct("chi2", "chi2_p", "ks_d", "ks_p")).alias("details"),
+                )
                 verdicts = verdicts.unionByName(drift_verd)
             except Exception as e:
                 errors["drift"] = repr(e)
@@ -353,24 +452,27 @@ class QCRunner:
         qio.write_batch(verdicts, self.out_dir, "verdicts", run_id, batch)
         _t = _mark("verdicts_write", _t)
 
-        # --- qc_state lineage rows ---------------------------------------
+        # --- qc_state lineage rows (written LAST: a state row for a
+        # partition implies its violations/verdicts committed) ------------
         wall_ms = int((time.monotonic() - t0) * 1000)
-        verd_written = qio.read_table(spark, self.out_dir, "verdicts", run_id).where(
-            (F.col("batch") == batch) & (F.col("partition_id") >= 0)
-        )
-        state = verd_written.groupBy("partition_id").agg(
+        state = verdicts.where(F.col("partition_id") >= 0).groupBy("partition_id").agg(
             F.max(F.when(F.col("status") == FAIL, 1).otherwise(0)).alias("any_fail"),
+            F.max(F.when(F.col("status") == UNKNOWN, 1).otherwise(0)).alias("any_unknown"),
             F.max("n_rows").alias("n_rows"),
             F.sum("n_viol").alias("n_viol"),
         ).select(
             "partition_id",
-            F.when(F.col("any_fail") == 1, FAIL).otherwise(PASS).alias("status"),
+            F.when(F.col("any_unknown") == 1, UNKNOWN)
+            .when(F.col("any_fail") == 1, FAIL)
+            .otherwise(PASS)
+            .alias("status"),
             "n_rows",
             "n_viol",
             F.lit(wall_ms).alias("wall_ms"),
             F.current_timestamp().alias("finished_at"),
         )
         qio.append_state(state, self.out_dir, run_id, batch)
+        viol.unpersist()
         for cached in side.values():
             cached.unpersist()
         _mark("state_write", _t)
@@ -378,7 +480,7 @@ class QCRunner:
     # ------------------------------------------------------------------
     def report(self, run_id: str) -> DataFrame | None:
         """Scored per-partition report (analyze_joss.py:505-508 semantics)."""
-        verd = qio.read_table(self.spark, self.out_dir, "verdicts", run_id)
+        verd = self._read_current(run_id, "verdicts")
         if verd is None:
             return None
         return scoring.partition_report(

@@ -22,6 +22,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ranked_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Global top-k of (id, cos) WITHOUT a global window.
+
+    `orderBy(...).limit(k)` plans TakeOrderedAndProject: each task keeps
+    a k-row heap and only k rows per partition reach the driver-side
+    merge — no shuffle-everything-to-one-partition. The rank column is
+    then assigned over the ≤k survivors (the window's single partition
+    holds k rows, not the corpus; partitionBy(lit) keeps the partition
+    spec explicit)."""
+    top = scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cos"), F.col(id_col))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), F.col(id_col)
+    )
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -56,12 +72,7 @@ def brute_force_topk(
         .crossJoin(q)
         .select(F.col(id_col), cos.alias("cos"))
     )
-    w = Window.orderBy(F.desc("cos"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(F.col("rank").cast("int").alias("rank"), F.col(id_col))
-    )
+    return _ranked_topk(scored, k, id_col)
 
 
 def assign_ivf_cells(
@@ -121,23 +132,20 @@ def ivf_topk(
         .crossJoin(qvec)
         .select(F.col(id_col), cos.alias("cos"))
     )
-    w = Window.orderBy(F.desc("cos"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(F.col("rank").cast("int").alias("rank"), F.col(id_col))
-    )
+    return _ranked_topk(scored, k, id_col)
 
 
 def seed_centroids(df: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Deterministic centroid seeds: the vectors with the n_cells smallest
     ids (a k-means++ init would refine these; deterministic is what the
-    tests need)."""
-    w = Window.orderBy(F.col(id_col))
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= n_cells)
-        .select((F.col("_rn") - 1).cast("int").alias("cell"), F.col(vec_col).alias("cvec"))
+    tests need). `orderBy().limit()` = TakeOrderedAndProject — only
+    n_cells rows per task survive; the rank window runs on n_cells rows."""
+    top = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("cvec")).orderBy(
+        "_id"
+    ).limit(n_cells)
+    w = Window.partitionBy(F.lit(0)).orderBy("_id")
+    return top.select(
+        (F.row_number().over(w) - 1).cast("int").alias("cell"), F.col("cvec")
     )
 
 
@@ -190,9 +198,4 @@ def pandas_cosine_topk(
     scored = df.where(F.col(id_col) != query_id).mapInPandas(
         score, schema=f"{id_col} long, cos double"
     )
-    w = Window.orderBy(F.desc("cos"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(F.col("rank").cast("int").alias("rank"), F.col(id_col))
-    )
+    return _ranked_topk(scored, k, id_col)
