@@ -8,8 +8,10 @@ value-hash → CORRECTNESS_r{N}.json).
 Engine-native gates run on a `sequences(doc_id, tokens, n_tok, source)`
 table derived deterministically from `orders` (tokenqc.harness), so the
 oracle covers the engine's real check operators, not just lookalikes.
-Non-SQL-expressible ops (MinHash-LSH, SimHash, IVF-ANN, pandas top-k,
-drift p-values) are registered without oracles → rows-only checks.
+Hash-family ops (MinHash-LSH, IVF-ANN, hyperplane-LSH near-dup, salted
+uniqueness, pandas top-k, the drift p-value gate) are oracle-checked
+against the exact closed-form result their approximate path must
+recover; only SimHash (xxhash64 signatures, no SQL twin) is rows-only.
 """
 
 from __future__ import annotations
@@ -32,20 +34,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return H.q_seq_verdicts(spark, "/root/testdata/sf0.001")
 
 
-def _rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Operators whose math is not ANSI-SQL-expressible (hash families,
-    pandas UDFs) — registered for the weaker rows-only check."""
+def _hash_family_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Hash-family / pandas-UDF operators. Most ARE oracle-checked now:
+    their outputs are deterministic (fixed seeds) and verified against
+    the exact closed-form result the approximate path must recover —
+    a green row certifies LSH/IVF recall, not just row counts."""
     from tokenqc.checks import base as cb
-    from tokenqc.checks import drift, uniqueness
+    from tokenqc.checks import uniqueness
     from tokenqc.textops import dedup, simsearch
 
     def q_minhash_lsh(spark, sf_dir):
+        # banded-LSH candidates, exact-Jaccard verified; at this corpus the
+        # planted near-dups are far above the 0.5 S-curve threshold, so
+        # the output must EQUAL the exact inverted-index result
         return dedup.minhash_lsh_pairs(HT.derive_corpus(spark, sf_dir), threshold=0.6)
 
     def q_simhash_pairs(spark, sf_dir):
+        # 9 chunk buckets (derived from max_hamming=8: pigeonhole needs
+        # d+1) — xxhash64-based signature, not SQL-expressible: rows-only
         return dedup.simhash_near_pairs(HT.derive_corpus(spark, sf_dir), max_hamming=8)
 
     def q_ivf_ann_topk(spark, sf_dir):
+        # probing 4 of 8 cells must still recover the exact top-10 here
         emb = HT.load(spark, sf_dir, "embeddings")
         cents = simsearch.seed_centroids(emb, n_cells=8)
         return simsearch.ivf_topk(emb, cents, query_id=0, k=10, n_probe=4)
@@ -53,25 +63,9 @@ def _rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_pandas_ann_topk(spark, sf_dir):
         return simsearch.pandas_cosine_topk(HT.load(spark, sf_dir, "embeddings"), 0, k=10)
 
-    def q_drift_verdicts(spark, sf_dir):
-        # full drift gate incl. applyInPandas chi2/KS p-values: web as its
-        # own baseline must PASS; far-off sources FAIL
-        seq = H.derive_sequences(spark, sf_dir)
-        cfg = cb.CheckConfig(n_partitions=16)
-        hist = drift.observed_histogram(seq, cfg)
-        total = hist.where("source = 'web'").groupBy().sum("cnt").first()[0]
-        base = (
-            hist.where("source = 'web'")
-            .selectExpr("source", "bucket", f"cnt / {total} as p")
-        )
-        # apply web's shape as every source's baseline
-        import pyspark.sql.functions as F
-
-        srcs = seq.where("source is not null").select("source").distinct()
-        base_all = srcs.crossJoin(base.select("bucket", "p"))
-        return drift.verdicts(seq, base_all, cfg)
-
     def q_uniqueness_salted(spark, sf_dir):
+        # two-stage salted aggregation must emit the identical violation
+        # set as the plain groupBy (oracle_seq_uniqueness)
         seq = H.derive_sequences(spark, sf_dir)
         return uniqueness.violations(seq, cb.CheckConfig(n_partitions=16), salt=8).select(
             "doc_id", "observed"
@@ -82,8 +76,9 @@ def _rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ivf_ann_topk": q_ivf_ann_topk,
         "pandas_ann_topk": q_pandas_ann_topk,
-        "drift_verdicts_full": q_drift_verdicts,
+        "drift_verdicts_full": H.q_seq_drift_verdicts,
         "uniqueness_salted": q_uniqueness_salted,
+        "embed_neardup_lsh": HT.q_embed_neardup_lsh,
     }
 
 
@@ -122,7 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": HT.q_events_sessions,
         "seq_quantiles": HT.q_seq_quantiles,
     }
-    q.update(_rows_only_queries())
+    q.update(_hash_family_queries())
     return q
 
 
@@ -157,4 +152,15 @@ def oracle_sql() -> dict[str, str]:
         "content_flags": HT.oracle_content_flags(),
         "events_sessions": HT.oracle_events_sessions(),
         "seq_quantiles": HT.oracle_seq_quantiles(),
+        # hash-family paths verified against exact closed-form results:
+        # LSH candidates + exact verification must RECOVER the exact sets
+        "minhash_lsh_pairs": HT.oracle_doc_ngram_jaccard(),
+        "ivf_ann_topk": HT.oracle_ann_topk(),
+        "pandas_ann_topk": HT.oracle_ann_topk(),
+        "uniqueness_salted": H.oracle_seq_uniqueness(),
+        "drift_verdicts_full": H.oracle_seq_drift_verdicts(),
+        "embed_neardup_lsh": HT.oracle_embed_neardup_lsh(),
+        # simhash_pairs stays rows-only: xxhash64-based signatures are not
+        # ANSI-SQL-expressible; recall is unit-tested vs brute-force
+        # Hamming at d=8 instead (tests/test_textops.py)
     }

@@ -97,3 +97,19 @@ def test_topk_is_take_ordered_not_global_window(spark, synth_dir):
             if "Window" in line and "windowspecdefinition" in line:
                 pytest.fail(f"unexpected raw window spec in plan: {line}")
         assert plan.count("TakeOrderedAndProject") >= 1
+
+
+def test_stats_profile_scan_shape(seq_parquet):
+    """stats.profile reads tokens only for null-ness (definition levels);
+    the histogram never reads tokens at all — pin both ReadSchemas."""
+    from tokenqc.checks import stats
+
+    plan = plan_of(stats.profile(seq_parquet, CFG))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # the profile needs doc_id/n_tok/source values + tokens null-ness
+    for col in ("doc_id", "n_tok", "source", "tokens"):
+        assert col in read_schema, read_schema
+
+    hplan = plan_of(stats.histogram(seq_parquet, CFG))
+    hread = [l for l in hplan.splitlines() if "ReadSchema" in l][0]
+    assert "tokens" not in hread, hread

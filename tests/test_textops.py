@@ -166,3 +166,90 @@ def test_multimodal_decode_and_plans(spark):
     frames = {r.media_id: r.frame_indices for r in multimodal.frame_sample_plan(df, 30, 8).collect()}
     assert frames["m3"] == [0, 30, 60, 90]
     assert frames["m1"] == [0]
+
+
+def test_simhash_recall_guarantee_at_d8(spark):
+    """VERDICT r1 #5: chunk count derives from max_hamming, so every pair
+    within the radius is found — compare against exact all-pairs Hamming."""
+    import random
+
+    rnd = random.Random(29)
+    vocab = [f"tok{i}" for i in range(400)]
+    docs = []
+    for i in range(12):
+        words = [rnd.choice(vocab) for _ in range(80)]
+        docs.append((2 * i, " ".join(words)))
+        # mutate a few words: signatures land at mid Hamming distances
+        for j in rnd.sample(range(80), rnd.randint(1, 6)):
+            words[j] = rnd.choice(vocab)
+        docs.append((2 * i + 1, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sigs = {r.id: r.simhash for r in dedup.simhash_signatures(df).collect()}
+
+    def ham(a: int, b: int) -> int:  # signed longs: mask XOR to 64 bits
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    exact = {
+        (a, b): ham(sigs[a], sigs[b])
+        for a in sigs
+        for b in sigs
+        if a < b and ham(sigs[a], sigs[b]) <= 8
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_pairs(df, max_hamming=8).collect()
+    }
+    assert got == exact  # full recall AND exact verification
+    assert len(exact) > 0  # the fixture actually plants in-radius pairs
+
+
+def test_simhash_rejects_bad_radius(corpus):
+    with pytest.raises(ValueError):
+        dedup.simhash_near_pairs(corpus, max_hamming=64)
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """VERDICT r1 #7: a boilerplate shingle shared by every doc must not
+    blow up candidate generation; capped runs skip pairs that co-occur
+    ONLY under the hot shingle while true near-dups keep exact jaccard."""
+    boiler = "standard header boilerplate line"
+    rows = [(i, boiler + f" unique{i} filler{i} words{i} here{i}") for i in range(30)]
+    rows.append((100, "real duplicate content alpha beta gamma delta"))
+    rows.append((101, "real duplicate content alpha beta gamma delta"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.05)
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.05, max_shingle_df=5)
+    # the 30 boilerplate docs pair up only via hot shingles -> pruned
+    assert uncapped.count() > capped.count()
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    assert (100, 101) in got and got[(100, 101)] == 1.0
+    assert not any(a < 100 and b < 100 for a, b in got)
+
+
+def test_embedding_near_pairs_lsh_matches_exact(spark):
+    """VERDICT r1 #6: the bucketed (multi-table hyperplane LSH) plan must
+    recover the exact all-pairs result in the near-dup regime."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    mat = rng.standard_normal((80, 64))
+    for i in range(0, 80, 8):  # plant near-dups: cosine ≈ 0.999
+        mat[i + 1] = mat[i] + 0.03 * rng.standard_normal(64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_near_pairs(df, threshold=0.95, mode="exact").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_near_pairs(
+            df, threshold=0.95, mode="lsh", n_planes=12, n_tables=8
+        ).collect()
+    }
+    assert len(exact) == 10
+    assert lsh == exact  # recall 1.0 on planted pairs, values identical

@@ -11,8 +11,11 @@ contrast, re-reads its README three times per repo; SURVEY.md §4.1).
 
 Scale notes: partial+final hash aggregation and whole-stage codegen are
 Catalyst built-ins; `approx_count_distinct` is a mergeable HLL sketch so
-the distinct count never shuffles raw ids; the tokens array column is
-never read (column pruning — everything here keys off n_tok/doc_id/source).
+the distinct count never shuffles raw ids. `profile()` touches the
+tokens column ONLY through `isNull()` — parquet answers that from
+definition levels, so token *values* are never decoded — while
+`histogram()` prunes tokens out of its scan entirely (both pinned in
+tests/test_plans.py).
 """
 
 from __future__ import annotations

@@ -422,6 +422,111 @@ def oracle_seq_scores() -> str:
     )
 
 
+def q_seq_drift_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL drift gate — observed histograms, applyInPandas chi2/KS
+    p-values, threshold decision — reduced to its deterministic output
+    (source, status, n_rows) so DuckDB can oracle it: web as its own
+    baseline must PASS, far-off sources FAIL, thin sources UNKNOWN."""
+    from tokenqc.checks import drift
+
+    seq = derive_sequences(spark, sf_dir)
+    hist = drift.observed_histogram(seq, CFG)
+    total = hist.where("source = 'web'").groupBy().sum("cnt").first()[0]
+    base = hist.where("source = 'web'").selectExpr(
+        "bucket", f"cnt / {total} as p"
+    )
+    srcs = seq.where("source is not null").select("source").distinct()
+    base_all = srcs.crossJoin(base)
+    return drift.verdicts(seq, base_all, CFG).select("source", "status", "n_rows")
+
+
+def _chi2_critical(alpha: float, dof: int) -> float:
+    """Inverse of drift.chi2_sf by bisection — the FAIL boundary
+    chi2_p < alpha becomes the SQL-expressible chi2 > critical."""
+    from tokenqc.checks.drift import chi2_sf
+
+    lo, hi = 0.0, 10.0
+    while chi2_sf(hi, dof) > alpha:
+        hi *= 2
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if chi2_sf(mid, dof) > alpha:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+def _ks_lambda_critical(alpha: float) -> float:
+    """Solve Q_KS(lam) = alpha: ks_p < alpha ⟺ lam > this constant."""
+    from tokenqc.checks.drift import ks_pvalue
+
+    # ks_pvalue(d, n) = Q((sqrt(n)+.12+.11/sqrt(n))*d); invert on lam by
+    # evaluating at n=1, d=lam/(1+0.12+0.11)
+    def q(lam: float) -> float:
+        return ks_pvalue(lam / (1.0 + 0.12 + 0.11), 1.0)
+
+    lo, hi = 0.3, 5.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if q(mid) > alpha:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+def oracle_seq_drift_verdicts() -> str:
+    """Status oracle for the full drift gate: replicates
+    drift.drift_stats_pdf's chi-square (over the baseline support, obs
+    filled 0), binned-KS D with the finite-n lambda correction, and
+    out-of-support mass — with the p-value thresholds precomputed as
+    critical values (chi2 per dof, one KS lambda constant)."""
+    alpha, min_rows, out_max = (
+        float(CFG.drift_alpha),
+        int(CFG.min_drift_rows),
+        float(CFG.drift_out_frac_max),
+    )
+    crit_rows = ", ".join(
+        f"({d}, {_chi2_critical(alpha, d):.10f})" for d in range(1, 129)
+    )
+    lam_crit = _ks_lambda_critical(alpha)
+    return SEQ_CTE + (
+        ", hist AS (SELECT source, CAST(floor(n_tok/64) AS INTEGER) AS bucket, "
+        "    CAST(count(*) AS DOUBLE) AS cnt FROM seq "
+        "    WHERE source IS NOT NULL AND n_tok > 0 GROUP BY 1, 2), "
+        "wb AS (SELECT bucket, cnt FROM hist WHERE source = 'web'), "
+        "grid AS (SELECT s.source, w.bucket, w.cnt / (SELECT sum(cnt) FROM wb) AS p "
+        "    FROM (SELECT DISTINCT source FROM seq WHERE source IS NOT NULL) s "
+        "    CROSS JOIN wb w), "
+        "j AS (SELECT g.source, g.bucket, g.p, coalesce(h.cnt, 0) AS obs "
+        "    FROM grid g LEFT JOIN hist h ON h.source = g.source AND h.bucket = g.bucket), "
+        "tot AS (SELECT source, sum(cnt) AS n FROM hist GROUP BY source), "
+        "nin AS (SELECT source, sum(obs) AS n_in, count(*) - 1 AS dof FROM j GROUP BY source), "
+        "chi AS (SELECT j.source, "
+        "    sum(pow(j.obs - nin.n_in * j.p, 2) / (nin.n_in * j.p)) AS chi2 "
+        "    FROM j JOIN nin USING(source) GROUP BY j.source), "
+        "cum AS (SELECT source, bucket, "
+        "    sum(obs) OVER (PARTITION BY source ORDER BY bucket) AS cobs, "
+        "    sum(p) OVER (PARTITION BY source ORDER BY bucket) AS cp "
+        "    FROM j), "
+        "ks AS (SELECT c.source, max(abs(c.cobs / nin.n_in - c.cp)) AS ks_d "
+        "    FROM cum c JOIN nin USING(source) GROUP BY c.source), "
+        f"crit(dof, cv) AS (VALUES {crit_rows}), "
+        "fin AS (SELECT t.source, t.n, nin.n_in, chi.chi2, ks.ks_d, "
+        "    (t.n - nin.n_in) / t.n AS out_frac, crit.cv "
+        "    FROM tot t JOIN nin USING(source) JOIN chi USING(source) "
+        "    JOIN ks USING(source) JOIN crit ON crit.dof = nin.dof) "
+        "SELECT source, "
+        f"CASE WHEN n < {min_rows} THEN 'UNKNOWN' "
+        f"     WHEN chi2 > cv "
+        f"       OR (sqrt(n_in) + 0.12 + 0.11 / sqrt(n_in)) * ks_d > {lam_crit:.10f} "
+        f"       OR out_frac > {out_max} THEN 'FAIL' "
+        "      ELSE 'PASS' END AS status, "
+        "CAST(n AS BIGINT) AS n_rows FROM fin"
+    )
+
+
 def q_seq_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift statistics per source vs a baseline derived in-SQL: the
     baseline histogram is the observed histogram of the *web* source

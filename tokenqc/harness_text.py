@@ -66,7 +66,11 @@ def oracle_doc_exact_dup() -> str:
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(derive_corpus(spark, sf_dir), threshold=0.6)
+    # df cap engaged (hot-shingle guard) but a no-op at this corpus size,
+    # so the exact oracle still matches bit-for-bit
+    return dedup.ngram_jaccard_pairs(
+        derive_corpus(spark, sf_dir), threshold=0.6, max_shingle_df=10000
+    )
 
 
 def oracle_doc_ngram_jaccard() -> str:
@@ -93,6 +97,55 @@ def oracle_embed_cosine_pairs() -> str:
         f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         f"WHERE {cos} >= 0.45"
+    )
+
+
+def derive_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector corpus with planted near-dups: embeddings ∪ perturbed copies
+    (vec_id+10000, first coordinate +0.05, every 10th vector) — closed
+    form in both engines, cosine(original, copy) ≈ 0.995+."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.05)).cast("float")),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(pert)
+
+
+_VECS_CTE = """
+WITH vecs AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_concat([CAST(embedding[1] + 0.05 AS REAL)], embedding[2:64]) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+"""
+
+
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (multi-table hyperplane LSH) near-dup pairs at the
+    threshold the operator is built for — candidates from sign-signature
+    buckets, cosine verified exactly in-bucket. The oracle is the
+    brute-force all-pairs join, so a green row certifies LSH recall."""
+    return dedup.embedding_near_pairs(
+        derive_vecs(spark, sf_dir), threshold=0.95, mode="lsh",
+        n_planes=12, n_tables=8,
+    )
+
+
+def oracle_embed_neardup_lsh() -> str:
+    cos = (
+        "list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
+        "list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
+    )
+    return _VECS_CTE + (
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine "
+        "FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id "
+        f"WHERE {cos} >= 0.95"
     )
 
 

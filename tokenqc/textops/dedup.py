@@ -46,28 +46,52 @@ def _shingles(text_col: str, n: int = 3) -> F.Column:
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n: int = 3, threshold: float = 0.6,
+    n: int = 3, threshold: float = 0.6, max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard >= threshold: (id_a, id_b, jaccard).
 
     Inverted-index join: |pairs| is bounded by shingle co-occurrence, not
-    |docs|²; still the exact (verification-grade) algorithm. At scale the
-    LSH variant below prunes candidates first.
+    |docs|². The self-join is quadratic in per-shingle document frequency
+    — one boilerplate shingle shared by 10^6 docs would create 10^12
+    candidate rows — so `max_shingle_df` caps it (standard df-pruning):
+    shingles hotter than the cap are dropped from *candidate generation*
+    only; the Jaccard itself is then verified exactly on the full shingle
+    sets, so reported similarities are never approximated. With the cap,
+    pairs that co-occur ONLY under hotter-than-cap shingles are skipped —
+    choose the cap so that is noise (a shingle shared by >max_df docs
+    carries ~no similarity signal). None = exact/uncapped (verification
+    baseline; the LSH variant below is the 100-TB candidate pruner).
     """
     sh = df.select(F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("s"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    idx = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("s")
+        )
+        idx = sh.join(hot, on="s", how="left_anti")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact intersection over FULL shingle sets (the cap never skews j)
+    full = df.select(F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh"))
+    verified = (
+        cand.join(full.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(full.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     j = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
     return (
-        inter.join(sa, "id_a")
+        verified.join(sa, "id_a")
         .join(sb, "id_b")
         .where(j >= threshold)
         .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
@@ -80,9 +104,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>[k]) — k affine min-hash values per doc.
 
-    All JVM-side: shingle hashes once via xxhash64, then k
-    `array_min(transform(...))` over the in-row array — no explode, no
-    Python, no shuffle. Deterministic (fixed a/b parameters from seed).
+    All JVM-side, no Python: shingles hashed once via xxhash64, exploded,
+    then k partial-aggregated mins (one shuffle of k longs per doc).
+    Deterministic (fixed a/b parameters from seed).
     """
     import random
 
@@ -185,23 +209,35 @@ def simhash_signatures(
 def simhash_near_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) <= max_hamming via 16-bit chunk buckets
-    (pigeonhole over 4 chunks guarantees recall for d <= 3)."""
+    """Pairs with Hamming(simhash) <= max_hamming via bit-chunk buckets.
+
+    The chunk count is derived from the radius: splitting 64 bits into
+    (max_hamming + 1) chunks guarantees (pigeonhole) that any pair within
+    the radius shares at least one identical chunk — full recall at every
+    radius, unlike a fixed 4x16 split which silently drops d > 3 pairs.
+    Tradeoff made explicit: a larger radius means narrower chunks, so
+    buckets get hotter (width w bits ⇒ expected bucket size n/2^w); past
+    max_hamming ≈ 15 (4-bit chunks) prefer multi-chunk combination
+    tables before running this at corpus scale.
+    """
+    if not 0 <= max_hamming < 64:
+        raise ValueError(f"max_hamming must be in [0, 64), got {max_hamming}")
+    n_chunks = max_hamming + 1
+    base_w, extra = divmod(64, n_chunks)
+    widths = [base_w + (1 if c < extra else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
     sigs = simhash_signatures(df, id_col, text_col)
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright("simhash", offsets[c])
+            .bitwiseAND(F.lit((1 << widths[c]) - 1))
+            .alias("cv"),
+        )
+        for c in range(n_chunks)
+    ]
     chunks = sigs.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("cc"),
+        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("cc")
     ).select("id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"))
     a = chunks.alias("a")
     b = chunks.alias("b")
@@ -225,19 +261,57 @@ def simhash_near_pairs(
 
 
 def embedding_near_pairs(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.9
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.9, mode: str = "auto",
+    n_planes: int = 16, n_tables: int = 8, seed: int = 11, dim: int = 64,
 ) -> DataFrame:
-    """Near-duplicate vectors by cosine >= threshold (brute-force pairs).
+    """Near-duplicate vectors by cosine >= threshold.
 
-    Exact all-pairs baseline; at scale, bucket by LSH (random hyperplane
-    signs) first — see simsearch.lsh_bucketed_topk for the pattern.
+    - ``exact``: all-pairs theta join — quadratic; the verification
+      baseline and the right plan at LOW thresholds.
+    - ``lsh``: the 100-TB path for near-dup thresholds — candidates are
+      pairs sharing a bucket in ANY of `n_tables` random-hyperplane sign
+      signatures (OR-amplified), then verified with the exact cosine
+      in-bucket only, so the output is never approximate — LSH can only
+      *miss* pairs, with probability (1 - p^planes)^tables per pair
+      where p = 1 - theta/pi.
+    - ``auto``: lsh iff threshold >= 0.7. Below ~0.7 the per-plane
+      collision probability is so high that bucket candidates approach
+      all-pairs and the exact join is the better plan; above it the
+      bucket join is near-linear.
     """
-    from tokenqc.textops.simsearch import cosine_expr
+    from tokenqc.textops.simsearch import cosine_expr, hyperplane_lsh_bucket
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    use_lsh = mode == "lsh" or (mode == "auto" and threshold >= 0.7)
     cos = cosine_expr(F.col("va"), F.col("vb"))
-    return pairs.where(cos >= threshold).select(
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if not use_lsh:
+        pairs = va.join(vb, F.col("id_a") < F.col("id_b"))
+        return pairs.where(cos >= threshold).select(
+            "id_a", "id_b", F.round(cos, 6).alias("cosine")
+        )
+    tables = [
+        hyperplane_lsh_bucket(df, n_planes, seed + 1000 * t, id_col, vec_col, dim)
+        .select("id", F.lit(t).alias("tbl"), "bucket")
+        for t in range(n_tables)
+    ]
+    buckets = tables[0]
+    for t in tables[1:]:
+        buckets = buckets.unionByName(t)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = cand.join(va, "id_a").join(vb, "id_b")
+    return verified.where(cos >= threshold).select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")
     )
