@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": HT.q_doc_ngram_jaccard,
         "embed_cosine_pairs": HT.q_embed_cosine_pairs,
         "ann_topk": HT.q_ann_topk,
+        "ann_batch_topk": HT.q_ann_batch_topk,
         "doc_token_count": HT.q_doc_token_count,
         "doc_quality": HT.q_doc_quality,
         "doc_langid": HT.q_doc_langid,
@@ -137,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": HT.oracle_doc_ngram_jaccard(),
         "embed_cosine_pairs": HT.oracle_embed_cosine_pairs(),
         "ann_topk": HT.oracle_ann_topk(),
+        "ann_batch_topk": HT.oracle_ann_batch_topk(),
         "doc_token_count": HT.oracle_doc_token_count(),
         "doc_quality": HT.oracle_doc_quality(),
         "doc_langid": HT.oracle_doc_langid(),

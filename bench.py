@@ -89,10 +89,15 @@ def build_spark(master: str):
             "spark.driver.memory": os.environ.get("TOKENQC_DRIVER_MEM", "24g"),
             # batch-throughput GC: preset heap (no ramp-up churn) +
             # ParallelGC (G1 young pauses dominated 32-thread array
-            # decode: 13.2s GC vs 2.0s at 8 threads, measured)
+            # decode: 13.2s GC vs 2.0s at 8 threads, measured) + an
+            # explicit LARGE young gen: with the adaptive default,
+            # task-lifetime decode buffers got promoted and died in old
+            # gen — 5-12s young pauses, 107s total GC per bench process;
+            # -Xmn at ~5/6 of heap cut that to 35s and the 16-core QC
+            # leg from 18.8s to 14.4s (measured on gc logs, r2)
             "spark.driver.extraJavaOptions": os.environ.get(
                 "TOKENQC_DRIVER_JAVA_OPTS",
-                f"-Xms{os.environ.get('TOKENQC_DRIVER_MEM', '24g')} -XX:+UseParallelGC",
+                f"-Xms{os.environ.get('TOKENQC_DRIVER_MEM', '24g')} -XX:+UseParallelGC -Xmn20g",
             ),
         },
     )

@@ -253,3 +253,45 @@ def test_embedding_near_pairs_lsh_matches_exact(spark):
     }
     assert len(exact) == 10
     assert lsh == exact  # recall 1.0 on planted pairs, values identical
+
+
+def test_batch_topk_matches_per_query_brute_force(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    mat = rng.standard_normal((60, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = df.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in simsearch.batch_topk(df, qs, k=4).collect()
+    }
+    for q in range(3):
+        single = simsearch.brute_force_topk(df, query_id=q, k=4).collect()
+        for r in single:
+            assert got[(q, r.rank)] == r.vec_id
+    assert len(got) == 12
+
+
+def test_ivf_prebuilt_index_matches_inline(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    mat = rng.standard_normal((120, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = simsearch.seed_centroids(df, n_cells=6)
+    idx = simsearch.build_ivf_index(df, cents)
+    try:
+        inline = [(r.rank, r.vec_id) for r in simsearch.ivf_topk(df, cents, 9, k=8, n_probe=3).collect()]
+        cached = [(r.rank, r.vec_id) for r in simsearch.ivf_topk(df, cents, 9, k=8, n_probe=3, index=idx).collect()]
+        assert inline == cached
+    finally:
+        idx.unpersist()

@@ -42,6 +42,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap.add_argument("--checks", default=None, help="comma-separated subset of checks")
     ap.add_argument("--threshold", type=float, default=0.0)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--report", action="store_true",
+        help="also render the human-readable HTML report artifact",
+    )
     args = ap.parse_args(argv)
     if args.partitions <= 0:
         ap.error("--partitions must be positive")
@@ -76,8 +80,10 @@ def main(argv: list[str] | None = None) -> int:
         reference_tokens=read(args.reference_tokens),
         run_id=args.run_id,
     )
+    report_path = runner.write_report(res.run_id) if args.report else None
     summary = {
         "run_id": res.run_id,
+        **({"report": report_path} if report_path else {}),
         "skipped_partitions": len(res.skipped_partitions),
         "verdicts": res.verdicts.count(),
         "violations": res.violations.count(),

@@ -169,6 +169,32 @@ def oracle_ann_topk() -> str:
     )
 
 
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN: top-5 neighbours for 3 query vectors in one pass
+    (broadcast query set, per-query ranking window)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return simsearch.batch_topk(emb, qs, k=5)
+
+
+def oracle_ann_batch_topk() -> str:
+    cos = (
+        "list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+        "list_transform(q.qvec, x -> CAST(x AS DOUBLE)))"
+    )
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3), "
+        f"scored AS (SELECT q.query_id, e.vec_id, {cos} AS cos "
+        "  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id) "
+        "SELECT query_id, CAST(row_number() OVER "
+        "  (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank, "
+        "  vec_id, round(cos, 6) AS cos "
+        "FROM scored QUALIFY rank <= 5"
+    )
+
+
 # ---------------------------------------------------------------------------
 # text QC
 # ---------------------------------------------------------------------------

@@ -1,0 +1,120 @@
+"""Human-readable run report: one HTML artifact per run.
+
+Engine analogue of the reference's published analysis page
+(/root/reference/test-results/POT_ai_analysis.html — title, summary
+sections, scored findings): per-partition scores, per-check verdict
+rollups, drift verdicts, and the top violation examples, rendered from
+the run's result tables. Everything collected here is driver-bounded:
+n_partitions score rows, checks × partitions verdict rows, and top-k
+violation examples per check — never raw violations.
+"""
+
+from __future__ import annotations
+
+import html as _html
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_STYLE = """
+body { font-family: Arial, sans-serif; line-height: 1.5; margin: 24px; }
+h1 { font-size: 26px; color: #333; }
+h2 { font-size: 20px; color: #333; border-bottom: 1px solid #ddd; }
+table { border-collapse: collapse; margin-bottom: 18px; }
+th, td { border: 1px solid #ccc; padding: 4px 10px; font-size: 13px; }
+th { background: #f2f2f2; text-align: left; }
+.PASS { color: #1a7f37; font-weight: bold; }
+.FAIL { color: #b91c1c; font-weight: bold; }
+.UNKNOWN { color: #92610a; font-weight: bold; }
+.score { font-weight: bold; }
+"""
+
+
+def _table(rows: list[dict], columns: list[str]) -> str:
+    head = "".join(f"<th>{_html.escape(c)}</th>" for c in columns)
+    body = []
+    for r in rows:
+        cells = []
+        for c in columns:
+            v = r.get(c)
+            txt = "" if v is None else str(v)
+            cls = f' class="{txt}"' if c == "status" and txt in ("PASS", "FAIL", "UNKNOWN") else ""
+            cells.append(f"<td{cls}>{_html.escape(txt)}</td>")
+        body.append("<tr>" + "".join(cells) + "</tr>")
+    return f"<table><tr>{head}</tr>" + "".join(body) + "</table>"
+
+
+def top_violation_examples(violations: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k example violation rows per check (window top-k, bounded)."""
+    w = Window.partitionBy("check_name").orderBy(F.desc("doc_id"))
+    return (
+        violations.select("check_name", "doc_id", "observed", "expected")
+        .where(F.col("doc_id").isNotNull())
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def render_html(
+    run_id: str,
+    report: DataFrame | None,
+    verdicts: DataFrame | None,
+    violations: DataFrame | None,
+) -> str:
+    """Assemble the report page from the run's result frames."""
+    parts = [
+        "<html><head><title>tokenqc run report</title>",
+        f"<style>{_STYLE}</style></head><body>",
+        f"<h1>tokenqc QC report — run <code>{_html.escape(run_id)}</code></h1>",
+    ]
+    if report is not None:
+        rows = [r.asDict() for r in report.orderBy("partition_id").collect()]
+        for r in rows:
+            r["overall_score"] = f"{r['overall_score']:.3f}"
+        parts.append("<h2>Per-partition scores</h2>")
+        parts.append(_table(rows, ["partition_id", "n_checks", "total_score", "overall_score"]))
+        fails = sum(1 for r in rows if float(r["overall_score"]) < 1.0)
+        parts.append(
+            f'<p><span class="score">{len(rows) - fails}/{len(rows)}</span> '
+            "partitions at full score.</p>"
+        )
+    if verdicts is not None:
+        rollup = (
+            verdicts.groupBy("check_name", "status")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_viol").alias("n_viol"))
+            .orderBy("check_name", "status")
+        )
+        parts.append("<h2>Verdict rollup (check × status)</h2>")
+        parts.append(
+            _table([r.asDict() for r in rollup.collect()], ["check_name", "status", "n", "n_viol"])
+        )
+        drift_rows = [
+            r.asDict()
+            for r in verdicts.where("partition_id < 0").orderBy("check_name").collect()
+        ]
+        if drift_rows:
+            parts.append("<h2>Run-level verdicts (drift, missing inputs)</h2>")
+            parts.append(_table(drift_rows, ["check_name", "status", "n_rows", "details"]))
+    if violations is not None:
+        ex = [r.asDict() for r in top_violation_examples(violations).orderBy("check_name", F.desc("doc_id")).collect()]
+        parts.append("<h2>Top violation examples per check</h2>")
+        parts.append(_table(ex, ["check_name", "doc_id", "observed", "expected"]))
+    parts.append("</body></html>")
+    return "\n".join(parts)
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> str:
+    """Write a small text artifact through the Hadoop FileSystem API, so
+    report publication works for file://, hdfs:// and s3a:// out dirs."""
+    from tokenqc.io import _hadoop_fs
+
+    fs, jpath = _hadoop_fs(spark, path)
+    fs.mkdirs(jpath.getParent())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return path

@@ -394,8 +394,10 @@ class QCRunner:
             grid = totals.select(
                 "partition_id", "n_rows", F.explode(checks_lit).alias("check_name")
             )
+            # counts is bounded by n_partitions × checks — broadcast it so
+            # the verdict grid never shuffles (one less tiny-but-serial stage)
             per_check = grid.join(
-                counts, on=["partition_id", "check_name"], how="left"
+                F.broadcast(counts), on=["partition_id", "check_name"], how="left"
             ).fillna({"n_viol": 0})
             thr = F.create_map(
                 *[x for c in active for x in (F.lit(c), F.lit(cfg.threshold(c)))]
@@ -491,3 +493,20 @@ class QCRunner:
 
     def stats_profile(self, sequences: DataFrame) -> DataFrame:
         return stats.profile(sequences, self.cfg)
+
+    def write_report(self, run_id: str) -> str | None:
+        """Render the run's human-readable HTML artifact (reference
+        analogue: test-results/POT_ai_analysis.html) to
+        <out_dir>/reports/run_id=<id>/report.html; None if nothing ran."""
+        import os
+
+        from tokenqc import report as qreport
+
+        rep = self.report(run_id)
+        if rep is None:
+            return None
+        verd = self._read_current(run_id, "verdicts")
+        viol = self._read_current(run_id, "violations")
+        html = qreport.render_html(run_id, rep, verd, viol)
+        path = os.path.join(self.out_dir, "reports", f"run_id={run_id}", "report.html")
+        return qreport.write_text(self.spark, path, html)

@@ -109,12 +109,30 @@ def assign_ivf_cells(
     )
 
 
+def build_ivf_index(
+    df: DataFrame, centroids: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    persist: bool = True,
+) -> DataFrame:
+    """One-time index build: assign every vector to its cell, cluster by
+    cell, and persist — queries then probe the cached, cell-clustered
+    frame instead of recomputing the assignment per query. On a cluster
+    this frame is what you'd write `partitionBy("cell")` to an index
+    table so probes prune at the scan."""
+    assigned = assign_ivf_cells(df, centroids, id_col, vec_col).repartition("cell")
+    return assigned.persist() if persist else assigned
+
+
 def ivf_topk(
     df: DataFrame, centroids: DataFrame, query_id: int, k: int = 10,
     n_probe: int = 3, id_col: str = "vec_id", vec_col: str = "embedding",
+    index: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate top-k: probe only the n_probe cells nearest the query."""
-    assigned = assign_ivf_cells(df, centroids, id_col, vec_col)
+    """Approximate top-k: probe only the n_probe cells nearest the query.
+
+    Pass `index` (from build_ivf_index) to amortize the cell assignment
+    across queries; otherwise it is derived inline (one narrow pass)."""
+    assigned = index if index is not None else assign_ivf_cells(df, centroids, id_col, vec_col)
     qvec = F.broadcast(
         df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qv"))
     )
@@ -146,6 +164,41 @@ def seed_centroids(df: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col:
     w = Window.partitionBy(F.lit(0)).orderBy("_id")
     return top.select(
         (F.row_number().over(w) - 1).cast("int").alias("cell"), F.col("cvec")
+    )
+
+
+def batch_topk(
+    df: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "query_id", q_vec_col: str = "qvec",
+) -> DataFrame:
+    """Top-k neighbours for a BATCH of query vectors in one pass:
+    broadcast the query set (bounded), score corpus × queries in the
+    scan, rank per query. Unlike the single-query case, the window here
+    partitions by query_id — every partition is one query's candidates,
+    so the shuffle spreads across queries instead of collapsing to one
+    task. Output: (query_id, rank, vec_id, cos).
+
+    Scale note: the shuffle moves queries × corpus candidate rows (an id
+    and a double, never vectors); at large corpora compose with IVF/LSH
+    pruning upstream so only probed candidates reach the scorer."""
+    q = F.broadcast(queries.select(F.col(q_id_col), F.col(q_vec_col)))
+    cos = cosine_expr(F.col(vec_col), F.col(q_vec_col))
+    scored = (
+        df.crossJoin(q)
+        .where(F.col(id_col) != F.col(q_id_col))
+        .select(F.col(q_id_col), F.col(id_col), cos.alias("cos"))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(q_id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col(id_col),
+            F.round("cos", 6).alias("cos"),
+        )
     )
 
 
