@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_stats": H.q_seq_stats,
         "seq_scores": H.q_seq_scores,
         "seq_drift_stats": H.q_seq_drift_stats,
+        "seq_vocab_topk": H.q_seq_vocab_topk,
+        "seq_vocab_by_source": H.q_seq_vocab_by_source,
         # dedup / similarity / text QC
         "doc_exact_dup": HT.q_doc_exact_dup,
         "doc_ngram_jaccard": HT.q_doc_ngram_jaccard,
@@ -105,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": HT.q_doc_quality,
         "doc_langid": HT.q_doc_langid,
         "doc_fingerprint": HT.q_doc_fingerprint,
+        "doc_contamination": HT.q_doc_contamination,
         # QC gates over the TPC-H-ish tables
         "events_completeness": HT.q_events_completeness,
         "events_histogram": HT.q_events_histogram,
@@ -134,6 +137,8 @@ def oracle_sql() -> dict[str, str]:
         "seq_stats": H.oracle_seq_stats(),
         "seq_scores": H.oracle_seq_scores(),
         "seq_drift_stats": H.oracle_seq_drift_stats(),
+        "seq_vocab_topk": H.oracle_seq_vocab_topk(),
+        "seq_vocab_by_source": H.oracle_seq_vocab_by_source(),
         "doc_exact_dup": HT.oracle_doc_exact_dup(),
         "doc_ngram_jaccard": HT.oracle_doc_ngram_jaccard(),
         "embed_cosine_pairs": HT.oracle_embed_cosine_pairs(),
@@ -143,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": HT.oracle_doc_quality(),
         "doc_langid": HT.oracle_doc_langid(),
         "doc_fingerprint": HT.oracle_doc_fingerprint(),
+        "doc_contamination": HT.oracle_doc_contamination(),
         "events_completeness": HT.oracle_events_completeness(),
         "events_histogram": HT.oracle_events_histogram(),
         "lineitem_uniqueness": HT.oracle_lineitem_uniqueness(),

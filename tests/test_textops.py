@@ -295,3 +295,35 @@ def test_ivf_prebuilt_index_matches_inline(spark):
         assert inline == cached
     finally:
         idx.unpersist()
+
+
+def test_vocab_topk(spark):
+    df = spark.createDataFrame(
+        [("a", [1, 1, 2], "web"), ("b", [1, 3], "web"), ("c", [2, 3, 3, 3], "code"), ("d", None, "web")],
+        "doc_id string, tokens array<int>, source string",
+    )
+    top = {(r.token, r.cnt): r.rank for r in textqc.vocab_topk(df, k=2).collect()}
+    assert top == {(3, 4): 1, (1, 3): 2}
+    by = {
+        (r.source, r.rank): (r.token, r.cnt)
+        for r in textqc.vocab_topk(df, k=1, by="source").collect()
+    }
+    assert by[("web", 1)] == (1, 3)
+    assert by[("code", 1)] == (3, 3)
+
+
+def test_contamination_flags(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick brown fox seen again in the woods"),   # shares shingle
+            (3, "completely unrelated text about spark plans here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.where("doc_id = 1")
+    out = {r.doc_id: (r.contaminated, r.n_contaminated) for r in
+           textqc.contamination_flags(docs, bench, n=3).collect()}
+    assert out[1][0] is True           # the benchmark doc itself
+    assert out[2][0] is True and out[2][1] >= 1   # 'quick brown fox'
+    assert out[3] == (False, 0)

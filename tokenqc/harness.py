@@ -422,6 +422,46 @@ def oracle_seq_scores() -> str:
     )
 
 
+def q_seq_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token-id frequencies over the derived tokens arrays
+    (explode → map-side partial agg → TakeOrderedAndProject)."""
+    from tokenqc.textops import textqc
+
+    return textqc.vocab_topk(derive_sequences(spark, sf_dir), k=50)
+
+
+def oracle_seq_vocab_topk() -> str:
+    # tokens are closed-form: [(x*31 + rn) % 50257 for x in 1..sz]
+    return SEQ_CTE + (
+        ", tok AS (SELECT CAST((u * 31 + rn) % 50257 AS INTEGER) AS token FROM ("
+        "  SELECT rn, unnest(range(1, CAST(sz AS BIGINT) + 1)) AS u "
+        "  FROM seq WHERE sz IS NOT NULL)), "
+        "counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token) "
+        "SELECT token, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank "
+        "FROM counts ORDER BY cnt DESC, token LIMIT 50"
+    )
+
+
+def q_seq_vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 token ids (window partitioned by source)."""
+    from tokenqc.textops import textqc
+
+    seq = derive_sequences(spark, sf_dir)
+    return textqc.vocab_topk(seq.where(F.col("source").isNotNull()), k=5, by="source")
+
+
+def oracle_seq_vocab_by_source() -> str:
+    return SEQ_CTE + (
+        ", tok AS (SELECT source, CAST((u * 31 + rn) % 50257 AS INTEGER) AS token FROM ("
+        "  SELECT source, rn, unnest(range(1, CAST(sz AS BIGINT) + 1)) AS u "
+        "  FROM seq WHERE sz IS NOT NULL AND source IS NOT NULL)), "
+        "counts AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2) "
+        "SELECT source, token, cnt, CAST(row_number() OVER "
+        "  (PARTITION BY source ORDER BY cnt DESC, token) AS INTEGER) AS rank "
+        "FROM counts QUALIFY rank <= 5"
+    )
+
+
 def q_seq_drift_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL drift gate — observed histograms, applyInPandas chi2/KS
     p-values, threshold decision — reduced to its deterministic output

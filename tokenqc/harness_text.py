@@ -537,6 +537,31 @@ def oracle_content_flags() -> str:
     )
 
 
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination gate: every 50th document plays the
+    held-out benchmark; training docs sharing a 3-gram shingle with it
+    are flagged (broadcast benchmark shingles, one corpus scan)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return textqc.contamination_flags(docs, bench, n=3)
+
+
+def oracle_doc_contamination() -> str:
+    sh = (
+        "list_distinct(list_transform("
+        "  range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),"
+        "  i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')))"
+    )
+    return (
+        f"WITH dsh AS (SELECT doc_id, unnest({sh}) AS s FROM documents), "
+        f"bsh AS (SELECT DISTINCT unnest({sh}) AS s FROM documents WHERE doc_id % 50 = 0) "
+        "SELECT d.doc_id, count(*) AS n_shingles, "
+        "CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated, "
+        "sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) >= 1 AS contaminated "
+        "FROM dsh d LEFT JOIN bsh b ON d.s = b.s GROUP BY d.doc_id"
+    )
+
+
 def q_top_violation_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 violation examples per check (window top-k for reports)."""
     from tokenqc import harness as H

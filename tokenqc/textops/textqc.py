@@ -8,7 +8,7 @@ aggregate) — JVM-side, codegen'd, no Python."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny deterministic stopword profiles per language (heuristic lang-ID;
@@ -171,4 +171,76 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.col(id_col),
         F.md5(norm).alias("md5_fingerprint"),
         rolling.alias("rolling_fingerprint"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 50, tokens_col: str = "tokens", by: str | None = None
+) -> DataFrame:
+    """Top-k token-id frequencies over the tokens arrays — the vocabulary
+    profile of a pre-tokenized corpus (training-data op: spot degenerate
+    vocab mass, over-represented ids, tokenizer drift between sources).
+
+    Scale shape: explode is a narrow op (no shuffle); the groupBy
+    partial-aggregates map-side, so the exchange moves at most
+    |vocab| x tasks rows, not 10^12 x seq_len; the final top-k is
+    `orderBy().limit(k)` (TakeOrderedAndProject — per-task heaps).
+    With `by` (e.g. "source"), returns top-k per group via a window
+    partitioned by the group key — each partition is one group's vocab.
+    Output: ([by,] token, cnt, rank).
+    """
+    tok = df.where(F.col(tokens_col).isNotNull()).select(
+        *([F.col(by)] if by else []), F.explode(tokens_col).alias("token")
+    )
+    keys = ([by] if by else []) + ["token"]
+    counts = tok.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    if by is None:
+        top = counts.orderBy(F.desc("cnt"), F.col("token")).limit(k)
+        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.col("token"))
+    else:
+        w = Window.partitionBy(by).orderBy(F.desc("cnt"), F.col("token"))
+        top = counts.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        )
+        return top.select(by, "token", "cnt", F.col("rank").cast("int").alias("rank"))
+    return top.select(
+        "token", "cnt", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
+def contamination_flags(
+    docs: DataFrame, benchmark: DataFrame, n: int = 3,
+    id_col: str = "doc_id", text_col: str = "text", min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination check: flag training documents sharing
+    word n-gram shingles with a held-out benchmark corpus (the standard
+    train/test-leakage gate in LLM data pipelines).
+
+    Scale shape: the benchmark shingle set is small (eval sets are
+    thousands of docs) — distinct it and broadcast-join against the
+    exploded training shingles; per-doc hit counts partial-aggregate
+    map-side. The training corpus is scanned once, never shuffled wide.
+    Output: (doc_id, n_shingles, n_contaminated, contaminated).
+    """
+    from tokenqc.textops.dedup import _shingles
+
+    bench_sh = F.broadcast(
+        benchmark.select(F.explode(_shingles(text_col, n)).alias("s")).distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(_shingles(text_col, n)).alias("s")
+    )
+    hits = (
+        doc_sh.join(bench_sh.withColumn("__hit", F.lit(1)), on="s", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+    )
+    return hits.select(
+        id_col,
+        "n_shingles",
+        "n_contaminated",
+        (F.col("n_contaminated") >= min_hits).alias("contaminated"),
     )
