@@ -127,11 +127,18 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, k: int = 64, bands: int = 16, threshold: float = 0.6, seed: int = 7,
+    cache: bool = True,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with exact Jaccard.
 
     bands=16 × rows=4 over k=64 → S-curve threshold ≈ (1/16)^(1/4) ≈ 0.5.
     The band bucket join shuffles (band, bucket_hash, id) triples only.
+
+    `cache=True` persists the bucket frame before the self-join: Spark
+    aliases the two sides, so without it each side re-derives the whole
+    shingle→minhash pipeline — doubling the corpus's most expensive
+    stage (verified in the physical plan). At 10^12 docs, write the
+    signature table out once and self-join the stored table instead.
     """
     rows = k // bands
     sigs = minhash_signatures(df, id_col, text_col, n, k, seed)
@@ -147,6 +154,8 @@ def minhash_lsh_pairs(
     buckets = sigs.select("id", F.explode(band_arr).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
+    if cache:
+        buckets = buckets.persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -207,7 +216,8 @@ def simhash_signatures(
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3,
+    cache: bool = True,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming via bit-chunk buckets.
 
@@ -239,6 +249,8 @@ def simhash_near_pairs(
     chunks = sigs.select(
         "id", "simhash", F.explode(F.array(*chunk_structs)).alias("cc")
     ).select("id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"))
+    if cache:  # same double-compute trap as minhash: see minhash_lsh_pairs
+        chunks = chunks.persist()
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (
@@ -299,6 +311,9 @@ def embedding_near_pairs(
     buckets = tables[0]
     for t in tables[1:]:
         buckets = buckets.unionByName(t)
+    # persist: the self-join would otherwise recompute all n_tables
+    # signature scans for each side (2T scans of the vector column)
+    buckets = buckets.persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
