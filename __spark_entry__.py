@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": HT.q_doc_langid,
         "doc_fingerprint": HT.q_doc_fingerprint,
         "doc_contamination": HT.q_doc_contamination,
+        "dedup_clusters": HT.q_dedup_clusters,
+        "doc_split": HT.q_doc_split,
         # QC gates over the TPC-H-ish tables
         "events_completeness": HT.q_events_completeness,
         "events_histogram": HT.q_events_histogram,
@@ -149,6 +151,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": HT.oracle_doc_langid(),
         "doc_fingerprint": HT.oracle_doc_fingerprint(),
         "doc_contamination": HT.oracle_doc_contamination(),
+        "dedup_clusters": HT.oracle_dedup_clusters(),
+        "doc_split": HT.oracle_doc_split(),
         "events_completeness": HT.oracle_events_completeness(),
         "events_histogram": HT.oracle_events_histogram(),
         "lineitem_uniqueness": HT.oracle_lineitem_uniqueness(),

@@ -327,3 +327,28 @@ def test_contamination_flags(spark):
     assert out[1][0] is True           # the benchmark doc itself
     assert out[2][0] is True and out[2][1] >= 1   # 'quick brown fox'
     assert out[3] == (False, 0)
+
+
+def test_connected_components(spark):
+    # two components: a chain {1-2-3-4} (diameter 3) and a pair {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_deterministic_split(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = textqc.deterministic_split(docs)
+    frac = {r.split: r.c for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(frac) == {"train", "val", "test"}
+    assert 0.90 <= frac["train"] / 2000 <= 0.99   # ~95%
+    # stability: the same doc gets the same split regardless of corpus
+    sub = textqc.deterministic_split(docs.where("doc_id < 100"))
+    full = {r.doc_id: r.split for r in out.where("doc_id < 100").collect()}
+    assert {r.doc_id: r.split for r in sub.collect()} == full
+    with _pytest.raises(ValueError):
+        textqc.deterministic_split(docs, weights={"train": 50, "val": 20})

@@ -537,6 +537,53 @@ def oracle_content_flags() -> str:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (iterative min-label
+    propagation) over the exact near-dup pair graph — every node labeled
+    with its cluster's minimum id. Oracle = DuckDB transitive closure
+    via recursive CTE, so the fixpoint itself is verified."""
+    pairs = dedup.ngram_jaccard_pairs(derive_corpus(spark, sf_dir), threshold=0.6)
+    return dedup.connected_components(pairs)
+
+
+def oracle_dedup_clusters() -> str:
+    # pair derivation identical to oracle_doc_ngram_jaccard, then
+    # reachability closure: component(x) = min id reachable from x
+    return CORPUS_CTE + _SHINGLE_CTE + (
+        ", sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+        "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS (SELECT id_a, id_b FROM inter "
+        "  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "  WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.6), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "  UNION SELECT id_b, id_a FROM pairs), "
+        "walk AS (WITH RECURSIVE w(src, reach) AS ("
+        "    SELECT src, src FROM edges "
+        "    UNION "
+        "    SELECT w.src, e.dst FROM w JOIN edges e ON e.src = w.reach) "
+        "  SELECT * FROM w) "
+        "SELECT src AS id, min(reach) AS component FROM walk GROUP BY src"
+    )
+
+
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test assignment by md5-bucket
+    of doc_id (portable across engines, stable under corpus growth)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return textqc.deterministic_split(docs).select("doc_id", "bucket", "split")
+
+
+def oracle_doc_split() -> str:
+    # same md5(salt || id) first-8-hex-chars mod 100 arithmetic
+    b = "CAST(CAST(('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS INTEGER)"
+    return (
+        f"SELECT doc_id, {b} AS bucket, "
+        f"CASE WHEN {b} < 95 THEN 'train' WHEN {b} < 99 THEN 'val' ELSE 'test' END AS split "
+        "FROM documents"
+    )
+
+
 def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination gate: every 50th document plays the
     held-out benchmark; training docs sharing a 3-gram shingle with it

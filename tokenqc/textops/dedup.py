@@ -330,3 +330,54 @@ def embedding_near_pairs(
     return verified.where(cos >= threshold).select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Duplicate-cluster labeling: connected components over the near-dup
+    pair graph, so each duplicate group gets one canonical id (its
+    minimum member) — the step that turns pairwise dedup output into
+    keep/drop decisions.
+
+    Iterative min-label propagation (the classic Spark formulation):
+    every node starts labeled with itself; each round, labels flow across
+    edges and every node keeps the minimum seen. Rounds needed = graph
+    diameter — near-dup clusters are small and dense, so a handful; each
+    round is one broadcast-free join + partial-aggregated min. The
+    fixpoint test rides on sum(label): labels only decrease, so an
+    unchanged sum IS convergence (one tiny driver-side row per round).
+    Each round persists and the previous round unpersists — lineage
+    stays O(1). For adversarial long-chain graphs, swap in
+    large-star/small-star (same join shape, O(log n) rounds).
+
+    Output: (id, component) for every node that appears in `pairs`.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    ).persist()
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("id", "src"), on="src"
+        ).select(F.col("dst").alias("id"), "component")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("component")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # labels only decrease: fixpoint reached
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels

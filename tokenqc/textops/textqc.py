@@ -244,3 +244,34 @@ def contamination_flags(
         "n_contaminated",
         (F.col("n_contaminated") >= min_hits).alias("contaminated"),
     )
+
+
+def deterministic_split(
+    df: DataFrame, id_col: str = "doc_id",
+    weights: dict[str, int] | None = None, salt: str = "split-v1",
+) -> DataFrame:
+    """Stable train/val/test assignment by content-independent key hash —
+    the standard leakage-safe splitter for training corpora: the split of
+    a document never changes as the corpus grows, workers need no
+    coordination, and resharding cannot move rows between splits.
+
+    bucket = md5(salt || id) mod 100 (md5 rather than xxhash64 so the
+    assignment is portable across engines — DuckDB/Trino reproduce it
+    bit-for-bit); weights are integer percentages summing to 100.
+    Output: input columns + (bucket int, split string).
+    """
+    weights = weights or {"train": 95, "val": 4, "test": 1}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"weights must sum to 100, got {weights}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100
+    ).cast("int")
+    out = df.withColumn("bucket", bucket)
+    lo = 0
+    expr = None
+    for name, w in weights.items():
+        cond = (F.col("bucket") >= lo) & (F.col("bucket") < lo + w)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += w
+    return out.withColumn("split", expr)
