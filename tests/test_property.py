@@ -66,3 +66,47 @@ def test_row_gate_flags_match_pandas(spark, data):
         g = got[f"__c{i}"].fillna(False).tolist()
         w = want[f.facet].tolist()
         assert g == w, f"facet {f.facet}: spark={g} pandas={w} data={data}"
+
+
+# ---------------------------------------------------------------------------
+# connected components vs an independent union-find on random graphs
+# ---------------------------------------------------------------------------
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    nodes = {n for e in edges for n in e}
+    roots: dict[int, list[int]] = {}
+    for n in nodes:
+        roots.setdefault(find(n), []).append(n)
+    return {n: min(member) for _root, member in roots.items() for n in member}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges_strategy)
+def test_connected_components_match_union_find(spark, edges):
+    from tokenqc.textops import dedup
+
+    # normalize to id_a < id_b (the operator's input contract)
+    pairs = [(min(a, b), max(a, b)) for a, b in edges]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.id: r.component for r in dedup.connected_components(df).collect()}
+    assert got == _union_find_components(edges)

@@ -352,3 +352,27 @@ def test_deterministic_split(spark):
     assert {r.doc_id: r.split for r in sub.collect()} == full
     with _pytest.raises(ValueError):
         textqc.deterministic_split(docs, weights={"train": 50, "val": 20})
+
+
+def test_audio_chunk_plan_and_features(spark):
+    rows = [
+        ("a1", "audio", b"\x00\x80" * 100, {"sample_rate": "16000", "n_samples": "960000"}),  # 60s
+        ("a2", "audio", b"\x10" * 50, {"sample_rate": "8000", "n_samples": "8000"}),          # 1s
+        ("v1", "video", b"x", {"n_frames": "10"}),                                            # filtered out
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    plan = multimodal.audio_chunk_plan(df, chunk_seconds=30.0, overlap_seconds=1.0)
+    got = {(r.media_id, r.chunk_idx): (r.start_sample, r.end_sample) for r in plan.collect()}
+    # 60s @16k: chunk step = 29s = 464000 samples -> starts 0, 464000, 928000
+    assert got[("a1", 0)] == (0, 480000)
+    assert got[("a1", 1)] == (464000, 944000)
+    assert got[("a1", 2)] == (928000, 960000)
+    assert got[("a2", 0)] == (0, 8000)
+    assert not any(m == "v1" for m, _ in got)
+
+    chunks = plan.join(df.select("media_id", "payload"), "media_id")
+    feats = {(r.media_id, r.chunk_idx): (r.rms, r.zero_crossings)
+             for r in multimodal.extract_audio_features(chunks).collect()}
+    assert feats[("a1", 0)][0] == 64.0       # alternating 0x00/0x80 bytes
+    assert feats[("a1", 0)][1] == 199        # flips between every byte
+    assert feats[("a2", 0)] == (16.0, 0)

@@ -98,3 +98,68 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30, max_frames: int = 8) -> 
         max_frames,
     )
     return df.select("media_id", n_frames.alias("n_frames"), idx.alias("frame_indices"))
+
+
+def audio_chunk_plan(
+    df: DataFrame, chunk_seconds: float = 30.0, overlap_seconds: float = 1.0
+) -> DataFrame:
+    """Chunking plumbing for audio: per row, compute (start, end) sample
+    windows from metadata (sample_rate, n_samples in the meta map) — the
+    decode/feature UDF then slices exactly those windows. All JVM-side
+    sequence arithmetic; exploded to one row per chunk so downstream
+    feature extraction parallelizes across chunks, not files (a 10-hour
+    recording becomes ~1200 independent tasks instead of one straggler).
+    Output: (media_id, chunk_idx, start_sample, end_sample)."""
+    sr = F.coalesce(F.element_at("meta", "sample_rate").cast("long"), F.lit(16000))
+    n = F.coalesce(F.element_at("meta", "n_samples").cast("long"), F.lit(0))
+    step = (sr * F.lit(chunk_seconds) - sr * F.lit(overlap_seconds)).cast("long")
+    starts = F.sequence(F.lit(0).cast("long"), F.greatest(n - 1, F.lit(0).cast("long")), F.greatest(step, F.lit(1).cast("long")))
+    chunks = F.filter(starts, lambda s: (s < n) | (s == 0))
+    return (
+        df.where(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            n.alias("n_samples"),
+            sr.alias("sample_rate"),
+            F.posexplode(chunks).alias("chunk_idx", "start_sample"),
+        )
+        .select(
+            "media_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "start_sample",
+            F.least(
+                F.col("start_sample") + (F.col("sample_rate") * F.lit(chunk_seconds)).cast("long"),
+                F.col("n_samples"),
+            ).alias("end_sample"),
+        )
+    )
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas plumbing for per-chunk audio features. The DSP itself
+    is STUBBED (no audio libs in this image): emits deterministic
+    byte-level statistics of the payload slice standing in for real
+    features (a real build swaps the body for librosa/torchaudio without
+    touching the Spark plumbing). Output schema and Arrow batch shape are
+    the real contract: (media_id, chunk_idx, rms, zero_crossings)."""
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for payload, idx in zip(pdf["payload"], pdf["chunk_idx"]):
+                if payload is None:
+                    rows.append((None, None))
+                    continue
+                # deterministic stand-in: mean byte value + byte sign flips
+                b = payload[:4096]
+                rms = float(sum(b)) / max(len(b), 1)
+                zc = sum(1 for i in range(1, len(b)) if (b[i - 1] < 128) != (b[i] < 128))
+                rows.append((round(rms, 6), zc))
+            out = pd.DataFrame(rows, columns=["rms", "zero_crossings"])
+            out.insert(0, "chunk_idx", pdf["chunk_idx"].to_numpy())
+            out.insert(0, "media_id", pdf["media_id"].to_numpy())
+            yield out
+
+    return df.mapInPandas(
+        op, schema="media_id string, chunk_idx int, rms double, zero_crossings long"
+    )
