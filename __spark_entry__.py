@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": HT.q_doc_contamination,
         "dedup_clusters": HT.q_dedup_clusters,
         "doc_split": HT.q_doc_split,
+        "doc_curation": HT.q_doc_curation,
         # QC gates over the TPC-H-ish tables
         "events_completeness": HT.q_events_completeness,
         "events_histogram": HT.q_events_histogram,
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_contamination": HT.oracle_doc_contamination(),
         "dedup_clusters": HT.oracle_dedup_clusters(),
         "doc_split": HT.oracle_doc_split(),
+        "doc_curation": HT.oracle_doc_curation(),
         "events_completeness": HT.oracle_events_completeness(),
         "events_histogram": HT.oracle_events_histogram(),
         "lineitem_uniqueness": HT.oracle_lineitem_uniqueness(),

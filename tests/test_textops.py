@@ -376,3 +376,26 @@ def test_audio_chunk_plan_and_features(spark):
     assert feats[("a1", 0)][0] == 64.0       # alternating 0x00/0x80 bytes
     assert feats[("a1", 0)][1] == 199        # flips between every byte
     assert feats[("a2", 0)] == (16.0, 0)
+
+
+def test_curate_pipeline_stages(spark):
+    from tokenqc.textops import curate
+
+    en = "the cat and the dog went to the house and that is the story of the day it was fine"
+    rows = [
+        (1, en),                                   # kept
+        (2, en),                                   # exact dup of 1 -> dropped
+        (3, en + " extra tail words here"),        # near dup of 1 -> dropped
+        (4, "der hund und die katze sind nicht das problem und alles ist gut hier"),  # lang
+        (5, "a a a a a a a a a a a a a a a a"),    # degenerate -> quality
+        (6, "the quick brown fox jumps over a lazy dog and that is of course fine too"),  # kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.drop_reason, r.kept, r.split) for r in
+           curate.curate(df, jaccard_threshold=0.5, min_quality=0.8).collect()}
+    assert out[1][:2] == (None, True) and out[1][2] in ("train", "val", "test")
+    assert out[2][:2] == ("exact_dup", False) and out[2][2] is None
+    assert out[3][:2] == ("near_dup", False)
+    assert out[4][:2] == ("lang", False)
+    assert out[5][:2] == ("quality", False)
+    assert out[6][:2] == (None, True)

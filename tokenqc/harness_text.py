@@ -537,6 +537,79 @@ def oracle_content_flags() -> str:
     )
 
 
+def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline (language gate → quality gate → exact
+    dedup → near-dup components → split) as one audit frame; every stage
+    is an engine operator and the whole composition has a SQL twin."""
+    from tokenqc.textops import curate
+
+    # the derived corpus plants exact copies AND near copies, so every
+    # stage (lang, quality, exact_dup, near_dup) fires in the audit
+    return curate.curate(derive_corpus(spark, sf_dir))
+
+
+def oracle_doc_curation() -> str:
+    all_stop = sorted({s for v in textqc.LANG_STOPWORDS.values() for s in v})
+    hits = ", ".join(
+        f"len(list_filter(w, x -> x IN ({_stoplist_sql(stops)}))) AS h_{lang}"
+        for lang, stops in textqc.LANG_STOPWORDS.items()
+    )
+    gmax = "greatest(" + ", ".join(f"h_{g}" for g in textqc.LANG_ORDER) + ")"
+    lang_case = (
+        f"CASE WHEN {gmax} = 0 THEN 'und' "
+        + " ".join(f"WHEN h_{g} = {gmax} THEN '{g}'" for g in textqc.LANG_ORDER)
+        + " END"
+    )
+    sh = (
+        "list_distinct(list_transform("
+        "  range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),"
+        "  i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')))"
+    )
+    b = "CAST(CAST(('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS INTEGER)"
+    return CORPUS_CTE + (
+        ", f AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w, "
+        "  CAST(length(text) AS DOUBLE) AS n_chars FROM corpus), "
+        f"g AS (SELECT doc_id, text, {hits}, "
+        "  CAST(len(w) AS DOUBLE) AS n_words, n_chars, "
+        f"  CAST(len(list_filter(w, x -> x IN ({_stoplist_sql(all_stop)}))) AS DOUBLE) AS n_stop, "
+        "  CAST(len(list_distinct(w)) AS DOUBLE) AS n_distinct FROM f), "
+        f"lq AS (SELECT doc_id, text, {lang_case} AS lang_pred, "
+        "  round(0.3 * (CASE WHEN n_words >= 10 AND n_words <= 1000 THEN 1.0 ELSE 0.0 END) "
+        "      + 0.2 * (CASE WHEN (n_chars - (n_words - 1)) / n_words >= 2.5 "
+        "              AND (n_chars - (n_words - 1)) / n_words <= 12.0 THEN 1.0 ELSE 0.0 END) "
+        "      + 0.2 * least(n_stop / n_words * 5, 1.0) "
+        "      + 0.3 * least(n_distinct / n_words * 2, 1.0), 6) AS quality_score FROM g), "
+        "ann AS (SELECT *, lang_pred IN ('en') AS lang_ok, quality_score >= 0.5 AS qual_ok FROM lq), "
+        "ex AS (SELECT doc_id, text, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS exact_ok "
+        "  FROM ann WHERE lang_ok AND qual_ok), "
+        "surv AS (SELECT doc_id, text FROM ex WHERE exact_ok), "
+        f"ssh AS (SELECT doc_id, unnest({sh}) AS s FROM surv), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM ssh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+        "  FROM ssh a JOIN ssh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS (SELECT id_a, id_b FROM inter "
+        "  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "  WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.6), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), "
+        "walk AS (WITH RECURSIVE wk(src, reach) AS ("
+        "    SELECT src, src FROM edges UNION "
+        "    SELECT wk.src, e.dst FROM wk JOIN edges e ON e.src = wk.reach) SELECT * FROM wk), "
+        "near AS (SELECT src AS doc_id FROM walk GROUP BY src HAVING src <> min(reach)), "
+        "final AS (SELECT a.doc_id, a.lang_pred, a.quality_score, "
+        "  CASE WHEN NOT a.lang_ok THEN 'lang' "
+        "       WHEN NOT a.qual_ok THEN 'quality' "
+        "       WHEN e.exact_ok IS NOT NULL AND NOT e.exact_ok THEN 'exact_dup' "
+        "       WHEN n.doc_id IS NOT NULL THEN 'near_dup' END AS drop_reason "
+        "  FROM ann a LEFT JOIN ex e ON a.doc_id = e.doc_id "
+        "  LEFT JOIN near n ON a.doc_id = n.doc_id) "
+        "SELECT doc_id, lang_pred, quality_score, drop_reason, "
+        "  drop_reason IS NULL AS kept, "
+        f"  CASE WHEN drop_reason IS NULL THEN (CASE WHEN {b} < 95 THEN 'train' "
+        f"       WHEN {b} < 99 THEN 'val' ELSE 'test' END) END AS split "
+        "FROM final"
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components (iterative min-label
     propagation) over the exact near-dup pair graph — every node labeled
