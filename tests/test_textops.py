@@ -399,3 +399,16 @@ def test_curate_pipeline_stages(spark):
     assert out[4][:2] == ("lang", False)
     assert out[5][:2] == ("quality", False)
     assert out[6][:2] == (None, True)
+
+
+def test_curate_lsh_path_matches_exact(spark):
+    from tokenqc.textops import curate
+
+    en = "the cat and the dog went to the house and that is the story of the day"
+    rows = [(i, en + f" variation {i % 4}") for i in range(12)] + [
+        (100, en), (101, en), (102, en + " tail")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, curate.curate(df).collect()))
+    b = sorted(map(tuple, curate.curate(df, use_lsh=True).collect()))
+    assert a == b

@@ -39,10 +39,14 @@ def curate(
     min_quality: float = 0.5,
     jaccard_threshold: float = 0.6,
     shingle_n: int = 3,
+    use_lsh: bool = False,
 ) -> DataFrame:
     """Audit frame for the whole curation flow: one row per input doc
     with (doc_id, lang_pred, quality_score, drop_reason, kept, split);
-    split is NULL for dropped rows."""
+    split is NULL for dropped rows. `use_lsh=True` generates near-dup
+    pairs through MinHash-LSH banding instead of the exact inverted
+    index — the corpus-scale path (same output contract; candidates are
+    still exact-Jaccard-verified, LSH only bounds candidate generation)."""
     base = docs.select(F.col(id_col), F.col(text_col))
     lang = textqc.lang_id(base, id_col, text_col)
     qual = textqc.quality_score(base, id_col, text_col).select(
@@ -64,7 +68,8 @@ def curate(
 
     # stage 4: near-dup components among exact survivors; min id survives
     survivors = exact_keep.where(F.col("__exact_ok")).select(id_col, text_col)
-    pairs = dedup.ngram_jaccard_pairs(
+    pair_fn = dedup.minhash_lsh_pairs if use_lsh else dedup.ngram_jaccard_pairs
+    pairs = pair_fn(
         survivors, id_col, text_col, n=shingle_n, threshold=jaccard_threshold
     )
     comps = dedup.connected_components(pairs).withColumnRenamed("id", id_col)
