@@ -49,3 +49,12 @@ def test_pyfiles_zip(tmp_path):
     names = z.namelist()
     assert "tokenqc/runner.py" in names
     assert "tokenqc/checks/drift.py" in names
+
+
+def test_missing_input_clean_error(capsys):
+    from tokenqc import cli
+
+    rc = cli.main(["--input", "/nonexistent/nope.parquet", "--out", "/tmp/x_out"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "cannot read --input" in err and "PATH_NOT_FOUND" in err

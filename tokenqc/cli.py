@@ -68,10 +68,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     spark = get_spark("tokenqc", master=args.master)
 
+    from pyspark.errors import AnalysisException
+
     def read(path):
         return spark.read.parquet(path) if path else None
 
-    seq = spark.read.parquet(args.input)
+    try:
+        seq = spark.read.parquet(args.input)
+    except AnalysisException as e:
+        # a missing/unreadable input is a user error, not a stack trace
+        cond = e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+        print(f"tokenqc: error: cannot read --input {args.input}: {cond or e}", file=sys.stderr)
+        return 2
     runner = QCRunner(spark, cfg, out_dir=args.out, n_batches=args.batches)
     res = runner.run(
         seq,
