@@ -238,6 +238,10 @@ def scaling_run(sf_dir: str, low: int = 4, high: int = 16, bench_sf: float | Non
     6M rows / ~18 GB of token arrays)."""
     bench_sf = bench_sf if bench_sf is not None else _sf_of(sf_dir)
     ensure_bench_data(bench_sf)  # generate once, outside timing
+    # this box's hypervisor throttling is bimodal (identical warm trials
+    # swing 2-6x within one process); min-of-5 per leg isolates engine
+    # capability from throttled epochs — see BENCH/BASELINE.md
+    os.environ.setdefault("TOKENQC_QC_TRIALS", "5")
     results = {}
     for n in (low, high):
         # pin the JVM to n cores (taskset) so the "small cluster" leg
