@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_flags": HT.q_content_flags,
         "events_sessions": HT.q_events_sessions,
         "seq_quantiles": HT.q_seq_quantiles,
+        "events_asof": HT.q_events_asof,
+        "lineitem_range_join": HT.q_lineitem_range_join,
     }
     q.update(_hash_family_queries())
     return q
@@ -166,6 +168,8 @@ def oracle_sql() -> dict[str, str]:
         "content_flags": HT.oracle_content_flags(),
         "events_sessions": HT.oracle_events_sessions(),
         "seq_quantiles": HT.oracle_seq_quantiles(),
+        "events_asof": HT.oracle_events_asof(),
+        "lineitem_range_join": HT.oracle_lineitem_range_join(),
         # hash-family paths verified against exact closed-form results:
         # LSH candidates + exact verification must RECOVER the exact sets
         "minhash_lsh_pairs": HT.oracle_doc_ngram_jaccard(),

@@ -1,0 +1,80 @@
+"""As-of join and range join: hand-checkable semantics + plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tokenqc import relops
+
+
+def _events(spark):
+    rows = [
+        ("u1", "2026-01-01 00:00:05", 1),
+        ("u1", "2026-01-01 00:00:30", 2),
+        ("u1", "2026-01-01 00:10:00", 3),
+        ("u2", "2026-01-01 00:00:01", 4),  # before u2's first snapshot
+    ]
+    return spark.createDataFrame(rows, "user_id string, ts string, ev int").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+
+
+def _snaps(spark):
+    rows = [
+        ("u1", "2026-01-01 00:00:00", 10.0),
+        ("u1", "2026-01-01 00:00:30", 20.0),  # exact-tie with an event
+        ("u2", "2026-01-01 00:05:00", 30.0),
+    ]
+    return spark.createDataFrame(rows, "user_id string, ts string, snap double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+
+
+def test_asof_backward_semantics(spark):
+    out = {
+        (r.user_id, r.ev): r.snap
+        for r in relops.asof_join(_events(spark), _snaps(spark), on="user_id").collect()
+    }
+    assert out[("u1", 1)] == 10.0   # latest prior
+    assert out[("u1", 2)] == 20.0   # exact tie -> right row wins (backward inclusive)
+    assert out[("u1", 3)] == 20.0   # carried forward
+    assert out[("u2", 4)] is None   # no prior snapshot
+
+
+def test_asof_tolerance(spark):
+    out = {
+        (r.user_id, r.ev): r.snap
+        for r in relops.asof_join(
+            _events(spark), _snaps(spark), on="user_id", tolerance_seconds=60
+        ).collect()
+    }
+    assert out[("u1", 2)] == 20.0    # 0s old
+    assert out[("u1", 3)] is None    # 570s old > tolerance
+
+
+def test_asof_single_shuffle_window(spark):
+    """The plan must be the union+window shape: one per-key window, no
+    cartesian/theta join of the two sides."""
+    plan = relops.asof_join(_events(spark), _snaps(spark), on="user_id")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1 and "Union" in plan
+
+
+def test_range_bucket_join_exact(spark):
+    facts = spark.createDataFrame([(i,) for i in range(0, 1000, 37)], "v long")
+    ranges = spark.createDataFrame(
+        [(1, 0, 99), (2, 50, 250), (3, 900, 999)], "rid int, lo long, hi long"
+    )
+    got = {
+        (r.rid, r.v)
+        for r in relops.range_bucket_join(facts, ranges, value_col="v").collect()
+    }
+    want = {
+        (rid, v)
+        for v in range(0, 1000, 37)
+        for rid, lo, hi in [(1, 0, 99), (2, 50, 250), (3, 900, 999)]
+        if lo <= v <= hi
+    }
+    assert got == want

@@ -429,6 +429,61 @@ def oracle_events_sessions() -> str:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event gains the latest prior snapshot value for
+    its user (snapshots = every 7th event, aggregated to one row per
+    (user, ts)). Oracle = DuckDB's native ASOF JOIN, so the union+window
+    formulation is verified against an independent implementation."""
+    from tokenqc import relops
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    snaps = (
+        ev.where((F.col("event_id") % 7 == 0) & F.col("value").isNotNull())
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("snap_value"))
+    )
+    out = relops.asof_join(ev, snaps, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select("event_id", "user_id", "value", F.round("snap_value", 6).alias("snap_value"))
+
+
+def oracle_events_asof() -> str:
+    return (
+        "WITH snaps AS (SELECT user_id, ts, max(value) AS snap_value FROM events "
+        "  WHERE event_id % 7 = 0 AND value IS NOT NULL GROUP BY user_id, ts) "
+        "SELECT e.event_id, e.user_id, e.value, round(s.snap_value, 6) AS snap_value "
+        "FROM events e ASOF LEFT JOIN snaps s "
+        "ON e.user_id = s.user_id AND e.ts >= s.ts"
+    )
+
+
+def q_lineitem_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: orders priced within derived [lo, hi) bands
+    (quadratic theta-join avoided via bucket equi-join + exact filter)."""
+    from tokenqc import relops
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 1000).cast("long").alias("v")
+    )
+    bands = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("band_id"),
+        ((F.col("s_suppkey") * 97) % 900).cast("long").alias("lo"),
+        (((F.col("s_suppkey") * 97) % 900) + 20 + F.col("s_suppkey") % 80).cast("long").alias("hi"),
+    )
+    joined = relops.range_bucket_join(orders, bands, value_col="v")
+    return joined.groupBy("band_id").agg(F.count(F.lit(1)).alias("n_in_band"))
+
+
+def oracle_lineitem_range_join() -> str:
+    return (
+        "WITH o AS (SELECT o_orderkey, CAST(o_orderkey % 1000 AS BIGINT) AS v FROM orders), "
+        "bands AS (SELECT s_suppkey AS band_id, "
+        "  CAST((s_suppkey * 97) % 900 AS BIGINT) AS lo, "
+        "  CAST((s_suppkey * 97) % 900 + 20 + s_suppkey % 80 AS BIGINT) AS hi FROM supplier) "
+        "SELECT band_id, count(*) AS n_in_band FROM o JOIN bands "
+        "ON o.v BETWEEN bands.lo AND bands.hi GROUP BY band_id"
+    )
+
+
 def q_seq_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantiles of n_tok per source (profile extension A7):
     continuous-interpolation percentiles, matching across engines."""
