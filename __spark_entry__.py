@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_quantiles": HT.q_seq_quantiles,
         "events_asof": HT.q_events_asof,
         "lineitem_range_join": HT.q_lineitem_range_join,
+        "events_rollup": HT.q_events_rollup,
     }
     q.update(_hash_family_queries())
     return q
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_quantiles": HT.oracle_seq_quantiles(),
         "events_asof": HT.oracle_events_asof(),
         "lineitem_range_join": HT.oracle_lineitem_range_join(),
+        "events_rollup": HT.oracle_events_rollup(),
         # hash-family paths verified against exact closed-form results:
         # LSH candidates + exact verification must RECOVER the exact sets
         "minhash_lsh_pairs": HT.oracle_doc_ngram_jaccard(),

@@ -78,3 +78,31 @@ def test_range_bucket_join_exact(spark):
         if lo <= v <= hi
     }
     assert got == want
+
+
+def test_time_rollup_levels_consistent(spark):
+    rows = [
+        ("a", "2026-01-01 10:00:10", 1.0),
+        ("a", "2026-01-01 10:00:50", 2.0),
+        ("a", "2026-01-01 10:59:00", 3.0),
+        ("a", "2026-01-02 00:00:00", 4.0),
+        ("b", "2026-01-01 10:30:00", None),  # null value excluded
+        ("b", "2026-01-01 10:30:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = relops.time_rollup(df)
+    by = {(r.level, r.event_type, r.bucket_start): (r.n_rows, r.sum_value, r.min_value, r.max_value)
+          for r in out.collect()}
+    # minute: 10:00 bucket has two rows summing 3.0
+    import datetime as dt
+    m = int(dt.datetime(2026, 1, 1, 10, 0).timestamp())
+    h = int(dt.datetime(2026, 1, 1, 10, 0).timestamp())
+    d1 = int(dt.datetime(2026, 1, 1).timestamp())
+    assert by[("minute", "a", m)] == (2, 3.0, 1.0, 2.0)
+    # hour re-aggregates minute partials: 3 rows, sum 6.0
+    assert by[("hour", "a", h)] == (3, 6.0, 1.0, 3.0)
+    # day level covers both hours of Jan 1
+    assert by[("day", "a", d1)] == (3, 6.0, 1.0, 3.0)
+    assert by[("day", "b", d1)] == (1, 5.0, 5.0, 5.0)

@@ -484,6 +484,27 @@ def oracle_lineitem_range_join() -> str:
     )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (minute→hour→day): coarser levels
+    re-aggregate the finer level's partials; the oracle computes EVERY
+    level directly from raw rows, so the re-aggregation (mergeability)
+    is what's being verified."""
+    from tokenqc import relops
+
+    return relops.time_rollup(load(spark, sf_dir, "events"))
+
+
+def oracle_events_rollup() -> str:
+    lvl = (
+        "SELECT '{lv}' AS level, event_type, "
+        "CAST(epoch(date_trunc('{lv}', ts)) AS BIGINT) AS bucket_start, "
+        "count(*) AS n_rows, round(sum(value), 6) AS sum_value, "
+        "min(value) AS min_value, max(value) AS max_value "
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3"
+    )
+    return " UNION ALL ".join(lvl.format(lv=lv) for lv in ("minute", "hour", "day"))
+
+
 def q_seq_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantiles of n_tok per source (profile extension A7):
     continuous-interpolation percentiles, matching across engines."""

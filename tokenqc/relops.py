@@ -125,3 +125,61 @@ def range_bucket_join(
         .where(F.col(value_col).between(F.col(lo_col), F.col(hi_col)))
         .drop("__bucket")
     )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("event_type",),
+    levels: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: the finest level
+    aggregates raw rows ONCE; every coarser level re-aggregates the
+    previous level's partials (sum of counts/sums, min of mins, max of
+    maxes) — so a day bucket costs a scan of hour partials, never a
+    re-scan of 10^12 raw rows. This is the continuous-aggregate
+    maintenance shape: at scale each level is a stored table and the
+    coarser levels refresh incrementally from the finer one.
+
+    Mergeability is what makes re-aggregation legal (count/sum/min/max
+    here; HLL sketches compose the same way for distincts). Output: one
+    frame with (level, *group_cols, bucket_start: epoch seconds, n_rows,
+    sum_value, min_value, max_value).
+    """
+    gcols = list(group_cols)
+    fine = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*gcols, F.date_trunc(levels[0], F.col(ts_col)).alias("__b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+    out_levels = [fine.withColumn("level", F.lit(levels[0]))]
+    cur = fine
+    for lv in levels[1:]:
+        cur = (
+            cur.groupBy(*gcols, F.date_trunc(lv, F.col("__b")).alias("__b"))
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("sum_value").alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+        out_levels.append(cur.withColumn("level", F.lit(lv)))
+    unioned = out_levels[0]
+    for o in out_levels[1:]:
+        unioned = unioned.unionByName(o)
+    return unioned.select(
+        "level",
+        *gcols,
+        F.unix_timestamp("__b").alias("bucket_start"),
+        "n_rows",
+        F.round("sum_value", 6).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
