@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_drift_stats": H.q_seq_drift_stats,
         "seq_vocab_topk": H.q_seq_vocab_topk,
         "seq_vocab_by_source": H.q_seq_vocab_by_source,
+        "seq_heavy_hitters": H.q_seq_heavy_hitters,
         # dedup / similarity / text QC
         "doc_exact_dup": HT.q_doc_exact_dup,
         "doc_ngram_jaccard": HT.q_doc_ngram_jaccard,
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_drift_stats": H.oracle_seq_drift_stats(),
         "seq_vocab_topk": H.oracle_seq_vocab_topk(),
         "seq_vocab_by_source": H.oracle_seq_vocab_by_source(),
+        "seq_heavy_hitters": H.oracle_seq_heavy_hitters(),
         "doc_exact_dup": HT.oracle_doc_exact_dup(),
         "doc_ngram_jaccard": HT.oracle_doc_ngram_jaccard(),
         "embed_cosine_pairs": HT.oracle_embed_cosine_pairs(),

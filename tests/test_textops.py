@@ -412,3 +412,38 @@ def test_curate_lsh_path_matches_exact(spark):
     a = sorted(map(tuple, curate.curate(df).collect()))
     b = sorted(map(tuple, curate.curate(df, use_lsh=True).collect()))
     assert a == b
+
+
+def test_mg_heavy_hitters_exact_when_k_large(spark):
+    df = spark.createDataFrame(
+        [([1, 2, 2, 3, 3, 3],), ([3, 3, 4],), (None,), ([],)],
+        "tokens array<int>",
+    )
+    got = {r.token: r.est_count for r in textqc.mg_heavy_hitters(df, k=100).collect()}
+    assert got == {1: 1, 2: 2, 3: 5, 4: 1}
+
+
+def test_mg_heavy_hitters_bound_at_small_k(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    true = {}
+    # one heavy token (40% of stream) + a long tail
+    for _ in range(300):
+        arr = [999 if rnd.random() < 0.4 else rnd.randrange(500) for _ in range(20)]
+        for t in arr:
+            true[t] = true.get(t, 0) + 1
+        rows.append((arr,))
+    n = sum(true.values())
+    df = spark.createDataFrame(rows, "tokens array<int>").repartition(4)
+    k = 16
+    got = {r.token: r.est_count for r in textqc.mg_heavy_hitters(df, k=k).collect()}
+    assert len(got) <= k
+    assert 999 in got  # the heavy hitter survives
+    for t, est in got.items():
+        assert est <= true[t]  # never over-counts
+    # under-count bounded: merging p partition summaries + final pass
+    # each forfeit at most n/(k+1)
+    slack = (df.rdd.getNumPartitions() + 1) * n / (k + 1)
+    assert true[999] - got[999] <= slack

@@ -462,6 +462,24 @@ def oracle_seq_vocab_by_source() -> str:
     )
 
 
+def q_seq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries sketch run with k above the vocabulary size: no
+    eviction fires, so the mergeable-summary machinery must reproduce the
+    exact token frequencies — verified against closed-form counts."""
+    from tokenqc.textops import textqc
+
+    return textqc.mg_heavy_hitters(derive_sequences(spark, sf_dir), k=65536)
+
+
+def oracle_seq_heavy_hitters() -> str:
+    return SEQ_CTE + (
+        ", tok AS (SELECT CAST((u * 31 + rn) % 50257 AS INTEGER) AS token FROM ("
+        "  SELECT rn, unnest(range(1, CAST(sz AS BIGINT) + 1)) AS u "
+        "  FROM seq WHERE sz IS NOT NULL)) "
+        "SELECT token, count(*) AS est_count FROM tok GROUP BY token"
+    )
+
+
 def q_seq_drift_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL drift gate — observed histograms, applyInPandas chi2/KS
     p-values, threshold decision — reduced to its deterministic output

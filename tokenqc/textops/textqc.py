@@ -275,3 +275,81 @@ def deterministic_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo += w
     return out.withColumn("split", expr)
+
+
+def mg_heavy_hitters(
+    df: DataFrame, tokens_col: str = "tokens", k: int = 256
+) -> DataFrame:
+    """Misra-Gries heavy hitters over token ids — the bounded-memory
+    frequent-items sketch: each task keeps at most k counters regardless
+    of stream length, so 10^12 rows cost k*tasks memory, not |vocab|.
+
+    Mergeable-summaries formulation (the distributed-correctness part):
+    per Arrow batch/partition, a classic MG update (evict by decrementing
+    all counters when full); the per-partition summaries (≤k rows each)
+    are then merged by summing per key and applying one final MG
+    reduction. Guarantee: for every token,
+    true_count − n/(k+1) ≤ estimate ≤ true_count — and when k exceeds
+    the number of distinct tokens no eviction ever fires, so the sketch
+    degrades gracefully into EXACT counts (which is what the DuckDB
+    oracle checks end-to-end; the error bound at small k is unit-tested).
+    Output: (token, est_count).
+    """
+    import pandas as pd
+
+    def _mg_update(counters: dict, token: int, inc: int, cap: int) -> None:
+        if token in counters:
+            counters[token] += inc
+        elif len(counters) < cap:
+            counters[token] = inc
+        else:
+            # decrement-all by the smallest of (inc, min counter): O(k)
+            # amortized; evict zeros
+            dec = min(inc, min(counters.values()))
+            for key in list(counters):
+                counters[key] -= dec
+                if counters[key] <= 0:
+                    del counters[key]
+            rem = inc - dec
+            if rem > 0 and len(counters) < cap:
+                counters[token] = rem
+
+    def partial(it):
+        import numpy as np
+
+        counters: dict = {}
+        for pdf in it:
+            arrs = [a for a in pdf[tokens_col] if a is not None and len(a)]
+            if not arrs:
+                continue
+            # vectorized pre-count per Arrow batch: Python then touches
+            # each UNIQUE token once (weighted MG update), not each
+            # occurrence — the batch pre-count is itself a valid MG input
+            # because updates take arbitrary increments
+            tokens, counts = np.unique(np.concatenate(arrs), return_counts=True)
+            for t, c in zip(tokens.tolist(), counts.tolist()):
+                _mg_update(counters, int(t), int(c), k)
+        yield pd.DataFrame(
+            {"token": list(counters.keys()), "cnt": list(counters.values())}
+        )
+
+    partials = df.select(tokens_col).mapInPandas(partial, schema="token int, cnt long")
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        summed = pdf.groupby("token")["cnt"].sum()
+        counters: dict = {}
+        for token, cnt in summed.items():
+            _mg_update(counters, int(token), int(cnt), k)
+        return pd.DataFrame(
+            {"token": list(counters.keys()), "est_count": list(counters.values())}
+        )
+
+    # the merge input is bounded: ≤ k rows per task — tiny single group
+    return (
+        partials.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(
+            lambda pdf: merge(pdf.drop(columns="__g")),
+            schema="token int, est_count long",
+        )
+    )
