@@ -65,7 +65,6 @@ from tokenqc.checks import (
 )
 from tokenqc.schema import FAIL, PASS, UNKNOWN
 
-ROW_LEVEL = ("completeness", "structural", "format", "referential")
 TABLES = ("violations", "verdicts", "qc_state")
 
 _VERDICT_SCHEMA = (
