@@ -72,3 +72,30 @@ def test_binned_ks_close_to_raw_ks(tables):
     obs = np.array([hist.get(b, 0) for b in base["bucket"]], dtype=float)
     d_binned = np.abs(np.cumsum(obs) / obs.sum() - cdf_base).max()
     assert abs(d_raw - d_binned) < 0.01
+
+
+def test_chi2_sf_matches_classical_critical_values():
+    """The hand-rolled incomplete-gamma evaluation must reproduce the
+    classical chi-square critical-value table (the drift FAIL boundary
+    rides on it)."""
+    from tokenqc.checks.drift import chi2_sf
+
+    table = [  # (critical value, dof, alpha)
+        (3.841, 1, 0.05), (5.991, 2, 0.05), (11.070, 5, 0.05),
+        (18.307, 10, 0.05), (6.635, 1, 0.01), (15.086, 5, 0.01),
+        (23.209, 10, 0.01),
+    ]
+    for crit, dof, alpha in table:
+        assert abs(chi2_sf(crit, dof) - alpha) < 5e-4, (crit, dof)
+
+
+def test_ks_pvalue_matches_classical_constants():
+    """Asymptotic Kolmogorov quantiles: Q(1.358)≈0.05, Q(1.628)≈0.01.
+    ks_pvalue(d, n) applies the finite-n lambda correction, so evaluate
+    at large n where lambda -> sqrt(n)*d."""
+    from tokenqc.checks.drift import ks_pvalue
+
+    n = 1_000_000.0
+    for lam, alpha in [(1.358, 0.05), (1.628, 0.01), (1.949, 0.001)]:
+        d = lam / (n ** 0.5 + 0.12 + 0.11 / n ** 0.5)
+        assert abs(ks_pvalue(d, n) - alpha) < 2e-3, lam

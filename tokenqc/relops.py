@@ -38,6 +38,10 @@ def asof_join(
 
     Ties (right_ts == left_ts): the right row wins (sorted first via a
     side marker), matching DuckDB/pandas `asof` backward semantics.
+    Contract: `right` must be unique per (on, right_ts) — with duplicate
+    right timestamps the carried row is partition-order-dependent;
+    pre-aggregate duplicates (as the harness query does) for a
+    deterministic result.
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
