@@ -113,3 +113,43 @@ def test_stats_profile_scan_shape(seq_parquet):
     hplan = plan_of(stats.histogram(seq_parquet, CFG))
     hread = [l for l in hplan.splitlines() if "ReadSchema" in l][0]
     assert "tokens" not in hread, hread
+
+
+def test_contamination_benchmark_is_broadcast(spark):
+    from tokenqc.textops import textqc
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    bench = docs.where("doc_id % 50 = 0")
+    plan = plan_of(textqc.contamination_flags(docs, bench))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" not in plan  # the corpus side must not shuffle
+
+
+def test_vocab_topk_partial_aggregates_and_take_ordered(spark):
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame(
+        [(i, list(range(i % 7))) for i in range(100)], "doc_id long, tokens array<int>"
+    )
+    plan = plan_of(textqc.vocab_topk(df, k=10))
+    # map-side combine before the exchange, then per-task top-k heaps
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_heavy_hitters_merge_input_is_bounded(spark):
+    """The MG final merge must receive per-partition summaries (<=k rows
+    each), never raw tokens: the plan between the two Python stages is a
+    shuffle of the small summary frame."""
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame(
+        [(list(range(20)),) for _ in range(50)], "tokens array<int>"
+    )
+    plan = plan_of(textqc.mg_heavy_hitters(df, k=8))
+    assert "MapInPandas partial" in plan and "FlatMapGroupsInPandas" in plan
+    # no explode: tokens reach Python as whole arrays, counts leave as rows
+    assert "Generate explode" not in plan
