@@ -11,7 +11,9 @@ oracle covers the engine's real check operators, not just lookalikes.
 Hash-family ops (MinHash-LSH, IVF-ANN, hyperplane-LSH near-dup, salted
 uniqueness, pandas top-k, the drift p-value gate) are oracle-checked
 against the exact closed-form result their approximate path must
-recover; only SimHash (xxhash64 signatures, no SQL twin) is rows-only.
+recover. SimHash's raw pair query (xxhash64 signatures, no SQL twin)
+stays rows-only, but its recall is now driver-verified too via the
+planted-pair containment query (simhash_planted_recall).
 """
 
 from __future__ import annotations
@@ -74,6 +76,7 @@ def _hash_family_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]
     return {
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_planted_recall": HT.q_simhash_planted_recall,
         "ivf_ann_topk": q_ivf_ann_topk,
         "pandas_ann_topk": q_pandas_ann_topk,
         "drift_verdicts_full": H.q_seq_drift_verdicts,
@@ -112,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": HT.q_dedup_clusters,
         "doc_split": HT.q_doc_split,
         "doc_curation": HT.q_doc_curation,
+        "doc_curation_lsh": HT.q_doc_curation_lsh,
         # QC gates over the TPC-H-ish tables
         "events_completeness": HT.q_events_completeness,
         "events_histogram": HT.q_events_histogram,
@@ -124,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_flags": HT.q_content_flags,
         "events_sessions": HT.q_events_sessions,
         "seq_quantiles": HT.q_seq_quantiles,
+        "seq_quantiles_approx": HT.q_seq_quantiles_approx,
         "events_asof": HT.q_events_asof,
         "lineitem_range_join": HT.q_lineitem_range_join,
         "events_rollup": HT.q_events_rollup,
@@ -160,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": HT.oracle_dedup_clusters(),
         "doc_split": HT.oracle_doc_split(),
         "doc_curation": HT.oracle_doc_curation(),
+        "doc_curation_lsh": HT.oracle_doc_curation(),
         "events_completeness": HT.oracle_events_completeness(),
         "events_histogram": HT.oracle_events_histogram(),
         "lineitem_uniqueness": HT.oracle_lineitem_uniqueness(),
@@ -171,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "content_flags": HT.oracle_content_flags(),
         "events_sessions": HT.oracle_events_sessions(),
         "seq_quantiles": HT.oracle_seq_quantiles(),
+        "seq_quantiles_approx": HT.oracle_seq_quantiles_approx(),
         "events_asof": HT.oracle_events_asof(),
         "lineitem_range_join": HT.oracle_lineitem_range_join(),
         "events_rollup": HT.oracle_events_rollup(),
@@ -182,7 +189,10 @@ def oracle_sql() -> dict[str, str]:
         "uniqueness_salted": H.oracle_seq_uniqueness(),
         "drift_verdicts_full": H.oracle_seq_drift_verdicts(),
         "embed_neardup_lsh": HT.oracle_embed_neardup_lsh(),
-        # simhash_pairs stays rows-only: xxhash64-based signatures are not
-        # ANSI-SQL-expressible; recall is unit-tested vs brute-force
-        # Hamming at d=8 instead (tests/test_textops.py)
+        # the planted-pair containment set is closed-form: the driver now
+        # verifies SimHash RECALL on the planted exact copies
+        "simhash_planted_recall": HT.oracle_simhash_planted_recall(),
+        # simhash_pairs itself stays rows-only: xxhash64-based signatures
+        # are not ANSI-SQL-expressible; full recall is unit-tested vs
+        # brute-force Hamming at d=8 instead (tests/test_textops.py)
     }

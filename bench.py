@@ -78,6 +78,15 @@ def _n_threads(master: str) -> int:
     return int(DEFAULT_CPUS)
 
 
+def _mem_gb(mem: str) -> float:
+    """JVM memory string -> GiB (supports g/m/k suffixes, bare bytes)."""
+    m = mem.strip().lower()
+    units = {"g": 1.0, "m": 1.0 / 1024, "k": 1.0 / (1024 * 1024)}
+    if m and m[-1] in units:
+        return float(m[:-1]) * units[m[-1]]
+    return float(m) / (1024**3)
+
+
 def build_spark(master: str):
     from tokenqc.session import get_spark
 
@@ -97,9 +106,14 @@ def build_spark(master: str):
     # the page cache and "warm" reads silently hit disk (measured
     # 16s -> 128s swings with a 64g heap on a 125 GB box).
     n = _n_threads(master)
-    heap_gb = 24 if n <= 16 else 32
     old_gb = max(4, n // 4)
-    heap = os.environ.get("TOKENQC_DRIVER_MEM", f"{heap_gb}g")
+    heap = os.environ.get("TOKENQC_DRIVER_MEM", f"{24 if n <= 16 else 32}g")
+    # derive -Xmn from the ACTUAL heap (which TOKENQC_DRIVER_MEM may have
+    # overridden — computing it from the default used to produce
+    # -Xmx8g -Xmn20g and a JVM abort); skip -Xmn entirely when the heap
+    # is too small to leave the old gen its working room
+    heap_gb = _mem_gb(heap)
+    young = f" -Xmn{int(heap_gb - old_gb)}g" if heap_gb - old_gb >= 2 else ""
     return get_spark(
         "tokenqc-bench",
         master=master,
@@ -110,7 +124,7 @@ def build_spark(master: str):
             "spark.driver.memory": heap,
             "spark.driver.extraJavaOptions": os.environ.get(
                 "TOKENQC_DRIVER_JAVA_OPTS",
-                f"-Xms{heap} -XX:+UseParallelGC -Xmn{heap_gb - old_gb}g",
+                f"-Xms{heap} -XX:+UseParallelGC{young}",
             ),
         },
     )
@@ -132,10 +146,22 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     allowed = spark.read.parquet(os.path.join(data_dir, "allowed_sources.parquet"))
     baseline = spark.read.parquet(os.path.join(data_dir, "baseline_hist.parquet"))
 
-    def timed(name, fn):
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+    # every timed query is min-of-N, not single-shot: this box's
+    # hypervisor throttling is bimodal (identical warm trials swing
+    # 2-6x within one process), so a single trial caught in a throttled
+    # epoch masquerades as a 5-14x regression (VERDICT r2 #2 — exactly
+    # what BENCH_r02's side queries showed). min reflects engine capability.
+    side_trials = int(os.environ.get("TOKENQC_SIDE_TRIALS", "3"))
+
+    def timed(name, fn, trials: int = 1):
+        out = None
+        best = None
+        for _ in range(max(1, trials)):
+            t0 = time.monotonic()
+            out = fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     # warm-up: touch every column of both token tables once (page cache +
@@ -166,6 +192,7 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     # counts verify but are not throughput.
     n_trials = int(os.environ.get("TOKENQC_QC_TRIALS", "5"))
     trial_secs = []
+    trial_marks: list[dict[str, float]] = []
     last = None
     for i in range(n_trials):
         t0 = time.monotonic()
@@ -174,10 +201,14 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
             reference_tokens=ref, run_id=f"bench{i}",
         )
         trial_secs.append(round(time.monotonic() - t0, 3))
+        trial_marks.append(dict(last.timings))
     extras["n_violations"] = float(last.violations.count())
     extras["n_verdicts"] = float(last.verdicts.count())
     timings["q_full_qc_run"] = min(trial_secs)
     extras["qc_trials"] = trial_secs
+    # per-phase wall breakdown of the best trial: lets a scaling pair be
+    # decomposed into parallel work vs serial tail per leg
+    extras["qc_phase_breakdown"] = trial_marks[trial_secs.index(min(trial_secs))]
     shutil.rmtree(qc_out, ignore_errors=True)
     extras["throughput_rows_per_sec"] = round(n_rows / timings["q_full_qc_run"], 1)
 
@@ -192,22 +223,19 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     facets = (
         completeness.facets(cfg) + structural.facets(cfg) + fmt.facets(cfg) + referential.facets(cfg)
     )
-    timed("q_row_gates", lambda: cb.assemble_violations(attached, facets).count())
-    timed("q_uniqueness", lambda: uniqueness.violations(seq, cfg).count())
-    timed("q_uniqueness_salted", lambda: uniqueness.violations(seq, cfg, salt=16).count())
-    timed("q_invariant", lambda: invariant.violations(seq, ref, cfg).count())
-    timed("q_drift", lambda: drift.verdicts(seq, baseline, cfg).count())
-    timed("q_stats_profile", lambda: stats.profile(seq, cfg).count())
+    timed("q_row_gates", lambda: cb.assemble_violations(attached, facets).count(), side_trials)
+    timed("q_uniqueness", lambda: uniqueness.violations(seq, cfg).count(), side_trials)
+    timed("q_uniqueness_salted", lambda: uniqueness.violations(seq, cfg, salt=16).count(), side_trials)
+    timed("q_invariant", lambda: invariant.violations(seq, ref, cfg).count(), side_trials)
+    timed("q_drift", lambda: drift.verdicts(seq, baseline, cfg).count(), side_trials)
+    timed("q_stats_profile", lambda: stats.profile(seq, cfg).count(), side_trials)
 
     # text/embedding headliners on the driver testdata
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    timed("q_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.6).count())
-    timed("q_ann_topk", lambda: simsearch.brute_force_topk(emb, query_id=0, k=10).count())
-    timed(
-        "q_exact_dedup",
-        lambda: dedup.exact_duplicates(docs).count(),
-    )
+    timed("q_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.6).count(), side_trials)
+    timed("q_ann_topk", lambda: simsearch.brute_force_topk(emb, query_id=0, k=10).count(), side_trials)
+    timed("q_exact_dedup", lambda: dedup.exact_duplicates(docs).count(), side_trials)
     return timings, extras
 
 
@@ -268,6 +296,10 @@ def scaling_run(sf_dir: str, low: int = 4, high: int = 16, bench_sf: float | Non
         "throughput_high": thr_hi,
         "qc_sec_low": results[low]["queries"]["q_full_qc_run"],
         "qc_sec_high": results[high]["queries"]["q_full_qc_run"],
+        "qc_trials_low": results[low].get("qc_trials"),
+        "qc_trials_high": results[high].get("qc_trials"),
+        "qc_phases_low": results[low].get("qc_phase_breakdown"),
+        "qc_phases_high": results[high].get("qc_phase_breakdown"),
         "suite_low": results[low]["queries"],
         "suite_high": results[high]["queries"],
     }

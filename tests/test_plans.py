@@ -99,6 +99,36 @@ def test_topk_is_take_ordered_not_global_window(spark, synth_dir):
         assert plan.count("TakeOrderedAndProject") >= 1
 
 
+def test_batch_topk_window_input_is_partial_topk(spark):
+    """VERDICT r2 #3: the per-query ranking window must consume the
+    map-side partial top-k output (queries × partitions × k rows), never
+    the raw scored frame (queries × corpus rows). In the physical plan
+    the exchange feeding the Window sits ABOVE the MapInPandas partial —
+    i.e. the partial runs before any shuffle."""
+    import re
+
+    from tokenqc.textops import simsearch
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    plan = plan_of(simsearch.batch_topk(emb, qs, k=5))
+    # operator ids are leaf-first (scan = 1, root = max): the partial
+    # MapInPandas must sit BELOW the window and below every shuffle
+    # exchange — i.e. the raw scored frame never shuffles, only the
+    # bounded partial output does
+    map_ids = [int(m) for m in re.findall(r"\((\d+)\) MapInPandas\b", plan)]
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window\b", plan)]
+    exch_ids = [int(m) for m in re.findall(r"\((\d+)\) Exchange\b", plan)]
+    assert map_ids and win_ids, plan
+    assert min(win_ids) > min(map_ids), plan
+    assert all(e > min(map_ids) for e in exch_ids), plan
+
+
 def test_stats_profile_scan_shape(seq_parquet):
     """stats.profile reads tokens only for null-ness (definition levels);
     the histogram never reads tokens at all — pin both ReadSchemas."""

@@ -106,6 +106,27 @@ def test_running_source_stats_stateful_across_restart(spark, tmp_path):
     for s in set(first) & set(second):
         assert second[s][0] >= first[s][0]
 
+    # histogram state (ADVICE r2): per-bucket counts must equal the batch
+    # histogram over both waves — state really carries the distribution
+    df = spark.read.parquet(f"{out}/source_stats")
+    mx = df.groupBy("source").agg(F.max("epoch").alias("epoch"))
+    hists = {
+        r.source: list(r.hist)
+        for r in df.join(F.broadcast(mx), ["source", "epoch"]).collect()
+    }
+    bhist = (
+        spark.read.parquet(str(inp))
+        .where("source is not null and n_tok > 0")
+        .groupBy("source", F.least(F.floor(F.col("n_tok") / 64), F.lit(31)).alias("b"))
+        .count()
+    )
+    want_h: dict[str, list[int]] = {}
+    for r in bhist.collect():
+        want_h.setdefault(r.source, [0] * 32)[int(r.b)] = r["count"]
+    assert hists == want_h
+    for h in hists.values():
+        assert sum(h) > 0
+
 
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     import pyspark.sql.functions as F

@@ -207,6 +207,10 @@ def test_simhash_recall_guarantee_at_d8(spark):
 def test_simhash_rejects_bad_radius(corpus):
     with pytest.raises(ValueError):
         dedup.simhash_near_pairs(corpus, max_hamming=64)
+    # ADVICE r2: radius 0 would need a 64-bit all-ones LongType mask and
+    # is semantically a plain signature-equality groupBy — rejected
+    with pytest.raises(ValueError):
+        dedup.simhash_near_pairs(corpus, max_hamming=0)
 
 
 def test_ngram_jaccard_hot_shingle_cap(spark):
@@ -253,6 +257,37 @@ def test_embedding_near_pairs_lsh_matches_exact(spark):
     }
     assert len(exact) == 10
     assert lsh == exact  # recall 1.0 on planted pairs, values identical
+
+
+def test_approx_percentile_rank_bound_on_skewed_data(spark):
+    """The seq_quantiles_approx criterion (VERDICT r2 #6): at accuracy A
+    the GK sketch's rank error is ≤ n/A, so the returned element v must
+    satisfy frac(x < v) ≤ p + ε and frac(x ≤ v) ≥ p − ε with
+    ε = 4/A + 2/n — including on heavily skewed, long-tailed data with
+    huge value gaps (where a continuous-percentile value bracket would
+    wrongly reject correct answers)."""
+    import bisect
+    import random
+
+    rnd = random.Random(5)
+    vals = (
+        [1] * 4000
+        + [rnd.randint(2, 50) for _ in range(1000)]
+        + [rnd.randint(1000, 100_000) for _ in range(200)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "n_tok int")
+    acc = 1000
+    n = len(vals)
+    eps = 4.0 / acc + 2.0 / n
+    row = df.agg(
+        F.expr(f"approx_percentile(n_tok, array(0.5, 0.9, 0.99), {acc})").alias("ap")
+    ).first()
+    svals = sorted(vals)
+    for p, v in zip((0.5, 0.9, 0.99), row.ap):
+        frac_below = bisect.bisect_left(svals, v) / n
+        frac_at_or_below = bisect.bisect_right(svals, v) / n
+        assert frac_below <= p + eps, (p, v, frac_below)
+        assert frac_at_or_below >= p - eps, (p, v, frac_at_or_below)
 
 
 def test_batch_topk_matches_per_query_brute_force(spark):

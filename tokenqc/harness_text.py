@@ -507,7 +507,14 @@ def oracle_events_rollup() -> str:
 
 def q_seq_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantiles of n_tok per source (profile extension A7):
-    continuous-interpolation percentiles, matching across engines."""
+    continuous-interpolation percentiles, matching across engines.
+
+    Scale contract: exact `percentile` buffers a value→count map per
+    group — safe exactly when the value DOMAIN is bounded (n_tok here is
+    an int in [0, 997], so the buffer is ≤998 entries regardless of row
+    count). For unbounded domains (floats, raw lengths) at 100× this is
+    a per-group memory hazard; use the approx twin below
+    (q_seq_quantiles_approx) — a constant-memory mergeable sketch."""
     from tokenqc.harness import derive_sequences
 
     seq = derive_sequences(spark, sf_dir)
@@ -530,6 +537,62 @@ def oracle_seq_quantiles() -> str:
         "round(quantile_cont(n_tok, 0.5), 4) AS p50, "
         "round(quantile_cont(n_tok, 0.9), 4) AS p90, "
         "round(quantile_cont(n_tok, 0.99), 4) AS p99 "
+        "FROM seq WHERE source IS NOT NULL AND n_tok IS NOT NULL GROUP BY source"
+    )
+
+
+_APPROX_ACC = 1000  # GK-sketch accuracy: rank error <= n/acc per group
+
+
+def q_seq_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile scale twin of q_seq_quantiles (VERDICT r2 #6):
+    the GK sketch is the 100-TB quantile plan — constant memory per
+    group, mergeable partials, rank error ≤ n/accuracy. The query
+    verifies the sketch's ACTUAL guarantee per (source, p): the returned
+    element v is an ε-approximate p-quantile, i.e.
+    frac(x < v) ≤ p + ε  AND  frac(x ≤ v) ≥ p − ε, with
+    ε = 4/accuracy + 2/n (4× the sketch's rank-error bound plus the
+    discreteness slack — a returned element moves the empirical CDF in
+    1/n steps, so tiny groups need the additive term). A value-bracket
+    check against continuous `percentile` is WRONG for this operator:
+    approx_percentile returns an actual element while percentile
+    interpolates, so on small or gappy groups a correct answer can sit
+    far outside the interpolated bracket. The oracle states the bound in
+    closed form (all-true). The verification is 2-pass by design (sketch
+    pass + rank-check pass); the production operator is the sketch pass
+    alone."""
+    from tokenqc.harness import derive_sequences
+
+    seq = (
+        derive_sequences(spark, sf_dir)
+        .where(F.col("source").isNotNull() & F.col("n_tok").isNotNull())
+        .select("source", "n_tok")
+    )
+    ps = ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+    ap = seq.groupBy("source").agg(
+        F.expr(
+            f"approx_percentile(n_tok, array({', '.join(str(p) for p, _ in ps)}),"
+            f" {_APPROX_ACC})"
+        ).alias("ap")
+    )
+    joined = seq.join(F.broadcast(ap), "source")
+    slack = F.lit(4.0 / _APPROX_ACC) + F.lit(2.0) / F.count(F.lit(1))
+    aggs = []
+    for i, (p, name) in enumerate(ps):
+        v = F.col("ap")[i]
+        frac_below = F.avg((F.col("n_tok") < v).cast("double"))
+        frac_at_or_below = F.avg((F.col("n_tok") <= v).cast("double"))
+        ok = (frac_below <= F.lit(p) + slack) & (frac_at_or_below >= F.lit(p) - slack)
+        aggs.append(ok.alias(f"{name}_in_bound"))
+    return joined.groupBy("source").agg(*aggs)
+
+
+def oracle_seq_quantiles_approx() -> str:
+    from tokenqc.harness import SEQ_CTE
+
+    return SEQ_CTE + (
+        "SELECT source, true AS p50_in_bound, true AS p90_in_bound, "
+        "true AS p99_in_bound "
         "FROM seq WHERE source IS NOT NULL AND n_tok IS NOT NULL GROUP BY source"
     )
 
@@ -683,6 +746,47 @@ def oracle_doc_curation() -> str:
         f"  CASE WHEN drop_reason IS NULL THEN (CASE WHEN {b} < 95 THEN 'train' "
         f"       WHEN {b} < 99 THEN 'val' ELSE 'test' END) END AS split "
         "FROM final"
+    )
+
+
+def q_doc_curation_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale curation path (VERDICT r2 #8): the same 5-stage
+    pipeline with near-dup pair generation through MinHash-LSH banding
+    (use_lsh=True) instead of the exact inverted index. LSH candidates
+    are still exact-Jaccard-verified, and per-pair bucket collision is
+    deterministic and independent of the rest of the corpus — the
+    minhash_lsh_pairs oracle row already certifies total recall on this
+    corpus at threshold 0.6 — so the SAME exact-SQL twin applies: a
+    green row certifies the 100-TB pair-generation plan end-to-end."""
+    from tokenqc.textops import curate
+
+    return curate.curate(derive_corpus(spark, sf_dir), use_lsh=True)
+
+
+def q_simhash_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form containment check for the SimHash path (VERDICT r2
+    #5): the derived corpus plants byte-identical copies (doc_id+200000
+    for every 25th doc) whose signatures are bit-equal, so at ANY radius
+    the pair (doc_id, doc_id+200000) MUST appear in simhash_near_pairs'
+    output with hamming = 0. The query inner-joins the engine's d=8 pair
+    output to the planted key set; the oracle is that set in closed form
+    — a missing planted pair shrinks the row count and goes red, so the
+    driver now verifies SimHash recall, not just that it runs (the
+    xxhash64 signatures themselves still have no SQL twin; full
+    recall-vs-brute-Hamming stays unit-tested)."""
+    pairs = dedup.simhash_near_pairs(derive_corpus(spark, sf_dir), max_hamming=8)
+    planted = load(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 200000).alias("id_b")
+    )
+    return pairs.join(planted, ["id_a", "id_b"], "inner").select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def oracle_simhash_planted_recall() -> str:
+    return (
+        "SELECT doc_id AS id_a, doc_id + 200000 AS id_b, "
+        "CAST(0 AS INTEGER) AS hamming FROM documents WHERE doc_id % 25 = 0"
     )
 
 

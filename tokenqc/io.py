@@ -119,6 +119,57 @@ def append_state(df: DataFrame, base_dir: str, run_id: str, batch: int) -> str:
     return write_batch(df, base_dir, "qc_state", run_id, batch)
 
 
+def write_batch_rows(
+    spark: SparkSession,
+    rows: list,
+    ddl: str,
+    arrow_schema,
+    base_dir: str,
+    table: str,
+    run_id: str,
+    batch: int,
+) -> str:
+    """Driver-side commit of a BOUNDED row set (verdicts, qc_state —
+    n_partitions × checks rows by construction, never data-sized).
+
+    Routing a 100-row frame through a full Spark job costs a scheduler
+    round + Hadoop commit protocol (≈1–4 s of pure serial tail measured
+    per write on this box); at two such commits per batch that tail is
+    the residual N→4N scaling gap (VERDICT r2 #4). The rows are already
+    on the driver, so for plain filesystem outputs this writes the
+    parquet slice directly with pyarrow (sub-10 ms) into the exact same
+    ``<table>/run_id=<r>/batch=<b>`` layout Spark would produce — same
+    readers, same resume semantics, same idempotent overwrite. Iceberg
+    and non-file schemes (hdfs://, s3a://) keep the Spark write path:
+    their commit protocols must go through the catalog/FS committer.
+
+    `rows` are tuples (or Rows) field-aligned with `arrow_schema`;
+    `ddl` is the Spark schema for the fallback frame.
+    """
+    qualified = _qualify(base_dir)
+    remote = "://" in qualified and not qualified.startswith("file:")
+    if use_iceberg(spark) or remote:
+        return write_batch(
+            spark.createDataFrame(rows, ddl).coalesce(1), base_dir, table, run_id, batch
+        )
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    local = qualified[len("file:"):] if qualified.startswith("file:") else qualified
+    path = os.path.join(local, table, f"run_id={run_id}", f"batch={batch}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    schema = pa.schema(arrow_schema)
+    cols = list(zip(*rows)) if rows else [[] for _ in schema]
+    tbl = pa.Table.from_arrays(
+        [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)], schema=schema
+    )
+    pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+    return path
+
+
 # ---------------------------------------------------------------------------
 # readers
 # ---------------------------------------------------------------------------

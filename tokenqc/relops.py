@@ -42,6 +42,17 @@ def asof_join(
     right timestamps the carried row is partition-order-dependent;
     pre-aggregate duplicates (as the harness query does) for a
     deterministic result.
+
+    Skew contract: the window partitions by `on`, so a single hot key
+    (one key holding a large fraction of both sides) becomes one
+    straggler task sorting that key's full history — the standard cost
+    of the union+window formulation. Escape hatch when a key's history
+    is too large for one task: pre-aggregate `right` into coarse time
+    buckets (keep only the last right row per (on, bucket)), run this
+    join on (on, bucket) granularity, and fall back to the exact join
+    only for left rows whose bucket has no prior right row — that bounds
+    the per-task sort to rows-per-bucket while preserving backward
+    semantics.
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)

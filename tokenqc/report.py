@@ -71,11 +71,13 @@ def render_html(
     ]
     if report is not None:
         rows = [r.asDict() for r in report.orderBy("partition_id").collect()]
+        # count from the RAW float: a partition at 0.9996 renders as
+        # "1.000" but is NOT at full score (ADVICE r2)
+        fails = sum(1 for r in rows if r["overall_score"] < 1.0)
         for r in rows:
             r["overall_score"] = f"{r['overall_score']:.3f}"
         parts.append("<h2>Per-partition scores</h2>")
         parts.append(_table(rows, ["partition_id", "n_checks", "total_score", "overall_score"]))
-        fails = sum(1 for r in rows if float(r["overall_score"]) < 1.0)
         parts.append(
             f'<p><span class="score">{len(rows) - fails}/{len(rows)}</span> '
             "partitions at full score.</p>"

@@ -47,6 +47,7 @@ import threading
 import time
 import uuid
 from dataclasses import dataclass, field
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,6 +72,34 @@ _VERDICT_SCHEMA = (
     "partition_id int, check_name string, status string, "
     "n_rows long, n_viol long, details string"
 )
+_STATE_SCHEMA = (
+    "partition_id int, status string, n_rows long, n_viol long, "
+    "wall_ms long, finished_at timestamp"
+)
+
+
+def _arrow_fields(kind: str):
+    import pyarrow as pa
+
+    if kind == "verdicts":
+        return [
+            pa.field("partition_id", pa.int32()),
+            pa.field("check_name", pa.string()),
+            pa.field("status", pa.string()),
+            pa.field("n_rows", pa.int64()),
+            pa.field("n_viol", pa.int64()),
+            pa.field("details", pa.string()),
+        ]
+    return [
+        pa.field("partition_id", pa.int32()),
+        pa.field("status", pa.string()),
+        pa.field("n_rows", pa.int64()),
+        pa.field("n_viol", pa.int64()),
+        pa.field("wall_ms", pa.int64()),
+        # tz-aware (isAdjustedToUTC) so Spark reads TimestampType (LTZ),
+        # identical to what its own writer produced before the fast path
+        pa.field("finished_at", pa.timestamp("us", tz="UTC")),
+    ]
 
 
 @dataclass
@@ -450,29 +479,54 @@ class QCRunner:
                 errors["drift"] = repr(e)
 
         _t = _mark("verdicts_plan", _t)
-        qio.write_batch(verdicts, self.out_dir, "verdicts", run_id, batch)
+        # materialize the verdict frame ONCE, driver-side: it is bounded by
+        # construction (n_partitions × checks + drift sources + unknown
+        # rows), so collecting it and deriving qc_state in plain Python
+        # replaces a second execution of the whole verdict aggregation (the
+        # old state = verdicts.groupBy(...) plan) with two tiny
+        # single-partition commits — the serial commit tail was the
+        # residual N→4N scaling gap (VERDICT r2 #4)
+        verdict_rows = verdicts.collect()
+        _t = _mark("verdicts_collect", _t)
+        qio.write_batch_rows(
+            spark, verdict_rows, _VERDICT_SCHEMA, _arrow_fields("verdicts"),
+            self.out_dir, "verdicts", run_id, batch,
+        )
         _t = _mark("verdicts_write", _t)
 
         # --- qc_state lineage rows (written LAST: a state row for a
         # partition implies its violations/verdicts committed) ------------
         wall_ms = int((time.monotonic() - t0) * 1000)
-        state = verdicts.where(F.col("partition_id") >= 0).groupBy("partition_id").agg(
-            F.max(F.when(F.col("status") == FAIL, 1).otherwise(0)).alias("any_fail"),
-            F.max(F.when(F.col("status") == UNKNOWN, 1).otherwise(0)).alias("any_unknown"),
-            F.max("n_rows").alias("n_rows"),
-            F.sum("n_viol").alias("n_viol"),
-        ).select(
-            "partition_id",
-            F.when(F.col("any_unknown") == 1, UNKNOWN)
-            .when(F.col("any_fail") == 1, FAIL)
-            .otherwise(PASS)
-            .alias("status"),
-            "n_rows",
-            "n_viol",
-            F.lit(wall_ms).alias("wall_ms"),
-            F.current_timestamp().alias("finished_at"),
+        per_part: dict[int, dict] = {}
+        for r in verdict_rows:
+            pid = r["partition_id"]
+            if pid is None or pid < 0:
+                continue
+            s = per_part.setdefault(
+                pid, {"any_fail": False, "any_unknown": False, "n_rows": 0, "n_viol": 0}
+            )
+            s["any_fail"] = s["any_fail"] or r["status"] == FAIL
+            s["any_unknown"] = s["any_unknown"] or r["status"] == UNKNOWN
+            s["n_rows"] = max(s["n_rows"], r["n_rows"] or 0)
+            s["n_viol"] += r["n_viol"] or 0
+        # timezone-aware so the pyarrow fast path stores the same
+        # UTC-adjusted instant Spark's session-local write would
+        now = datetime.now().astimezone()
+        state_rows = [
+            (
+                pid,
+                UNKNOWN if s["any_unknown"] else (FAIL if s["any_fail"] else PASS),
+                s["n_rows"],
+                s["n_viol"],
+                wall_ms,
+                now,
+            )
+            for pid, s in sorted(per_part.items())
+        ]
+        qio.write_batch_rows(
+            spark, state_rows, _STATE_SCHEMA, _arrow_fields("state"),
+            self.out_dir, "qc_state", run_id, batch,
         )
-        qio.append_state(state, self.out_dir, run_id, batch)
         viol.unpersist()
         for cached in side.values():
             cached.unpersist()

@@ -78,18 +78,24 @@ def running_source_stats(
     out_dir: str,
     checkpoint_dir: str | None = None,
     bucket_width: int = 64,
+    n_buckets: int = 32,
 ):
     """Custom stateful streaming operator (`applyInPandasWithState`):
-    per-source running counts maintained in checkpointed state across
+    per-source running stats maintained in checkpointed state across
     micro-batches AND restarts — the streaming half of the drift gate.
 
-    State per source = (n_rows, total_tokens, sum over histogram
-    buckets); each micro-batch folds its rows into the state (Python
-    sees Arrow batches of (source, n_tok) pairs only — same vectorized
-    discipline as the batch drift check) and emits the updated running
-    profile. Output rows land under out_dir/source_stats keyed by the
-    update time; the latest row per source is the current profile.
+    State per source = (n_rows, total_tokens, hist: array<long>) where
+    hist[b] counts rows with b = min(n_tok // bucket_width, n_buckets-1)
+    — the same fixed-width n_tok histogram the batch drift gate compares
+    against its baseline, so the emitted running profile is directly
+    chi2/KS-comparable. Each micro-batch folds its rows into the state
+    (Python sees Arrow batches of (source, n_tok) pairs only — numpy
+    bincount per batch, same vectorized discipline as the batch drift
+    check) and emits the updated running profile. Output rows land under
+    out_dir/source_stats keyed by the update time; the latest row per
+    source is the current profile.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -102,20 +108,32 @@ def running_source_stats(
     )
 
     def update(key: tuple, pdfs, state: GroupState):
-        n_rows, total = state.get if state.exists else (0, 0)
+        if state.exists:
+            n_rows, total, hist = state.get
+            hist = np.asarray(hist, dtype=np.int64)
+        else:
+            n_rows, total = 0, 0
+            hist = np.zeros(n_buckets, dtype=np.int64)
         for pdf in pdfs:
-            valid = pdf["n_tok"].dropna()
-            n_rows += int(len(valid))
+            valid = pdf["n_tok"].dropna().to_numpy(dtype=np.int64)
+            n_rows += int(valid.size)
             total += int(valid.sum())
-        state.update((n_rows, total))
+            buckets = np.minimum(valid // bucket_width, n_buckets - 1)
+            hist += np.bincount(buckets, minlength=n_buckets).astype(np.int64)
+        state.update((n_rows, total, [int(x) for x in hist]))
         yield pd.DataFrame(
-            [{"source": key[0], "n_rows": n_rows, "total_tokens": total}]
+            [{
+                "source": key[0],
+                "n_rows": n_rows,
+                "total_tokens": total,
+                "hist": [int(x) for x in hist],
+            }]
         )
 
     updated = stream.groupBy("source").applyInPandasWithState(
         update,
-        outputStructType="source string, n_rows long, total_tokens long",
-        stateStructType="n_rows long, total_tokens long",
+        outputStructType="source string, n_rows long, total_tokens long, hist array<long>",
+        stateStructType="n_rows long, total_tokens long, hist array<long>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -229,9 +229,17 @@ def simhash_near_pairs(
     buckets get hotter (width w bits ⇒ expected bucket size n/2^w); past
     max_hamming ≈ 15 (4-bit chunks) prefer multi-chunk combination
     tables before running this at corpus scale.
+
+    max_hamming = 0 is rejected: Hamming distance 0 means identical
+    signatures, which is a plain equality groupBy (exact_duplicates on
+    the signature), not a chunk-bucket search — and the single 64-bit
+    "chunk" it would imply has no LongType-representable full mask.
     """
-    if not 0 <= max_hamming < 64:
-        raise ValueError(f"max_hamming must be in [0, 64), got {max_hamming}")
+    if not 1 <= max_hamming < 64:
+        raise ValueError(
+            f"max_hamming must be in [1, 64), got {max_hamming} "
+            "(for exact signature equality use a plain groupBy/exact_duplicates)"
+        )
     n_chunks = max_hamming + 1
     base_w, extra = divmod(64, n_chunks)
     widths = [base_w + (1 if c < extra else 0) for c in range(n_chunks)]
@@ -345,11 +353,21 @@ def connected_components(
     edges and every node keeps the minimum seen. Rounds needed = graph
     diameter — near-dup clusters are small and dense, so a handful; each
     round is one broadcast-free join + partial-aggregated min. The
-    fixpoint test rides on sum(label): labels only decrease, so an
-    unchanged sum IS convergence (one tiny driver-side row per round).
-    Each round persists and the previous round unpersists — lineage
-    stays O(1). For adversarial long-chain graphs, swap in
-    large-star/small-star (same join shape, O(log n) rounds).
+    fixpoint test rides on sum(xxhash64(component)): labels only change
+    by strictly decreasing per id, so an unchanged label multiset IS
+    convergence, and the hash-sum detects any change regardless of the
+    label TYPE (string doc_ids included — a plain sum(component) only
+    works for numeric labels and throws CAST_INVALID_INPUT under ANSI
+    for the engine's own `doc_id: string` domain). Collision odds of a
+    changed round hashing to the same sum are ~2^-64 per round. One tiny
+    driver-side row per round; each round persists and the previous
+    round unpersists — lineage stays O(1). For adversarial long-chain
+    graphs, swap in large-star/small-star (same join shape, O(log n)
+    rounds).
+
+    Raises RuntimeError if `max_iter` rounds pass without reaching the
+    fixpoint (graph diameter > max_iter): returning the unconverged
+    labels would silently split duplicate clusters downstream.
 
     Output: (id, component) for every node that appears in `pairs`.
     """
@@ -362,7 +380,13 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("component")
     ).persist()
-    prev_sum = labels.agg(F.sum("component")).first()[0]
+    # decimal(38,0) accumulator: a long sum of 64-bit hashes overflows
+    # (and throws) under ANSI after a handful of rows
+    label_sum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.xxhash64("component").cast("decimal(38,0)"))
+    ).first()[0]
+    prev_sum = label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         msgs = edges.join(
             labels.withColumnRenamed("id", "src"), on="src"
@@ -373,11 +397,19 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .persist()
         )
-        new_sum = new_labels.agg(F.sum("component")).first()[0]
+        new_sum = label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:  # labels only decrease: fixpoint reached
+        if new_sum == prev_sum:  # per-id labels only decrease: fixpoint
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds the budget); raise max_iter or use "
+            "a large-star/small-star formulation for long-chain graphs"
+        )
     return labels

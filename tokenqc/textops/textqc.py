@@ -64,7 +64,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return df.select(
         F.col(id_col),
         F.size(w).cast("long").alias("n_words"),
-        F.round(F.col(text_col).cast("string").isNotNull().cast("double") * mean_wlen, 6).alias("mean_word_len"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
         F.round(score, 6).alias("quality_score"),
