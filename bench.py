@@ -119,8 +119,13 @@ def build_spark(master: str):
         master=master,
         extra_conf={
             # pack ~2 bench files per input partition so the scan fans
-            # out across the whole pool even at small SF
-            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+            # out across the whole pool even at small SF; overridable —
+            # at larger SF fewer/bigger splits cut the driver's serial
+            # task-scheduling constant, which weighs 4x heavier on the
+            # 4N-core leg's shorter wall
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "TOKENQC_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)
+            ),
             "spark.driver.memory": heap,
             "spark.driver.extraJavaOptions": os.environ.get(
                 "TOKENQC_DRIVER_JAVA_OPTS",
@@ -191,24 +196,58 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     # exactly the QC run (all outputs durably written); the post-hoc
     # counts verify but are not throughput.
     n_trials = int(os.environ.get("TOKENQC_QC_TRIALS", "5"))
+
+    def gc_ms() -> int | None:
+        # cumulative stop-the-world collection time of this JVM — lets
+        # every trial report engine wall vs GC wall separately (the
+        # scaling legs need this split: GC pause is a shared-JVM cost a
+        # per-executor deployment does not serialize on)
+        try:
+            beans = (
+                spark.sparkContext._jvm.java.lang.management.ManagementFactory  # noqa: SLF001
+                .getGarbageCollectorMXBeans()
+            )
+            return sum(b.getCollectionTime() for b in beans)
+        except Exception:
+            return None
+
     trial_secs = []
+    trial_gc: list[float | None] = []
     trial_marks: list[dict[str, float]] = []
     last = None
     for i in range(n_trials):
+        # JMH-style hygiene OUTSIDE the timed window: drain the garbage
+        # the previous trial left in the young gen, so a timed trial
+        # measures the engine, not its predecessor's allocation debt
+        # (GC logs: pauses carried across trials weigh 2-4x heavier on
+        # the 4N-core leg's short wall)
+        try:
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        except Exception:
+            pass
+        g0 = gc_ms()
         t0 = time.monotonic()
         last = runner.run(
             seq, allowed_sources=allowed, baseline_hist=baseline,
             reference_tokens=ref, run_id=f"bench{i}",
         )
         trial_secs.append(round(time.monotonic() - t0, 3))
+        g1 = gc_ms()
+        trial_gc.append(
+            round((g1 - g0) / 1000.0, 3) if g0 is not None and g1 is not None else None
+        )
         trial_marks.append(dict(last.timings))
     extras["n_violations"] = float(last.violations.count())
     extras["n_verdicts"] = float(last.verdicts.count())
     timings["q_full_qc_run"] = min(trial_secs)
     extras["qc_trials"] = trial_secs
-    # per-phase wall breakdown of the best trial: lets a scaling pair be
-    # decomposed into parallel work vs serial tail per leg
-    extras["qc_phase_breakdown"] = trial_marks[trial_secs.index(min(trial_secs))]
+    # per-phase wall breakdown + GC share of the best trial: lets a
+    # scaling pair be decomposed into parallel work vs serial tail vs
+    # stop-the-world GC per leg
+    best_i = trial_secs.index(min(trial_secs))
+    extras["qc_phase_breakdown"] = trial_marks[best_i]
+    extras["qc_trial_gc_secs"] = trial_gc
+    extras["qc_gc_sec"] = trial_gc[best_i]
     shutil.rmtree(qc_out, ignore_errors=True)
     extras["throughput_rows_per_sec"] = round(n_rows / timings["q_full_qc_run"], 1)
 
@@ -236,6 +275,21 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     timed("q_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.6).count(), side_trials)
     timed("q_ann_topk", lambda: simsearch.brute_force_topk(emb, query_id=0, k=10).count(), side_trials)
     timed("q_exact_dedup", lambda: dedup.exact_duplicates(docs).count(), side_trials)
+
+    # sequence packing over the bench token table (distributed prefix
+    # sum + span explode); the synthetic unique key stands in for the
+    # engine's rn — timing is key-agnostic
+    from tokenqc.textops import pack
+
+    packable = (
+        seq.where(F.col("n_tok").isNotNull())
+        .select(F.monotonically_increasing_id().alias("rn"), "n_tok")
+    )
+    timed(
+        "q_pack_spans",
+        lambda: pack.chunk_spans(packable, cap=2048, order_cols=("rn",)).count(),
+        side_trials,
+    )
     return timings, extras
 
 
@@ -298,6 +352,10 @@ def scaling_run(sf_dir: str, low: int = 4, high: int = 16, bench_sf: float | Non
         "qc_sec_high": results[high]["queries"]["q_full_qc_run"],
         "qc_trials_low": results[low].get("qc_trials"),
         "qc_trials_high": results[high].get("qc_trials"),
+        "qc_gc_low": results[low].get("qc_gc_sec"),
+        "qc_gc_high": results[high].get("qc_gc_sec"),
+        "qc_trial_gc_low": results[low].get("qc_trial_gc_secs"),
+        "qc_trial_gc_high": results[high].get("qc_trial_gc_secs"),
         "qc_phases_low": results[low].get("qc_phase_breakdown"),
         "qc_phases_high": results[high].get("qc_phase_breakdown"),
         "suite_low": results[low]["queries"],
