@@ -132,6 +132,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": HT.q_events_asof,
         "lineitem_range_join": HT.q_lineitem_range_join,
         "events_rollup": HT.q_events_rollup,
+        # round-3: repetition filter, PII detect/scrub, sequence packing
+        "doc_repetition": HT.q_doc_repetition,
+        "doc_pii": HT.q_doc_pii,
+        "doc_pii_scrub": HT.q_doc_pii_scrub,
+        "seq_pack_offsets": HT.q_seq_pack_offsets,
+        "seq_pack_spans": HT.q_seq_pack_spans,
     }
     q.update(_hash_family_queries())
     return q
@@ -181,6 +187,11 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": HT.oracle_events_asof(),
         "lineitem_range_join": HT.oracle_lineitem_range_join(),
         "events_rollup": HT.oracle_events_rollup(),
+        "doc_repetition": HT.oracle_doc_repetition(),
+        "doc_pii": HT.oracle_doc_pii(),
+        "doc_pii_scrub": HT.oracle_doc_pii_scrub(),
+        "seq_pack_offsets": HT.oracle_seq_pack_offsets(),
+        "seq_pack_spans": HT.oracle_seq_pack_spans(),
         # hash-family paths verified against exact closed-form results:
         # LSH candidates + exact verification must RECOVER the exact sets
         "minhash_lsh_pairs": HT.oracle_doc_ngram_jaccard(),

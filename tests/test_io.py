@@ -151,3 +151,42 @@ def test_html_report_artifact(spark, tmp_path, tables):
     assert 'class="FAIL"' in html  # planted violations show up graded
     assert "drift:" in html  # run-level drift verdicts present
     assert runner.write_report("never-ran") is None
+
+
+def test_diff_runs_classifies_changes(spark, tmp_path):
+    from tokenqc import report
+
+    ddl = (
+        "partition_id int, check_name string, status string, "
+        "n_rows long, n_viol long, details string"
+    )
+    run_a = [
+        (0, "completeness", "PASS", 100, 0, None),
+        (1, "completeness", "FAIL", 100, 9, None),   # -> PASS   (IMPROVED)
+        (2, "completeness", "PASS", 100, 2, None),   # n_viol up (REGRESSED)
+        (3, "format", "PASS", 100, 0, None),         # unchanged (absent)
+        (4, "format", "PASS", 100, 0, None),         # gone in b (GONE)
+    ]
+    run_b = [
+        (0, "completeness", "FAIL", 100, 5, None),   # PASS->FAIL (REGRESSED)
+        (1, "completeness", "PASS", 100, 0, None),
+        (2, "completeness", "PASS", 100, 7, None),
+        (3, "format", "PASS", 100, 0, None),
+        (5, "format", "UNKNOWN", 0, 0, None),        # new in b (NEW)
+    ]
+    out = str(tmp_path)
+    qio.write_batch(spark.createDataFrame(run_a, ddl), out, "verdicts", "ra", 0)
+    qio.write_batch(spark.createDataFrame(run_b, ddl), out, "verdicts", "rb", 0)
+    got = {
+        (r.partition_id, r.check_name): r.change
+        for r in report.diff_runs(spark, out, "ra", "rb").collect()
+    }
+    assert got == {
+        (0, "completeness"): "REGRESSED",
+        (1, "completeness"): "IMPROVED",
+        (2, "completeness"): "REGRESSED",
+        (4, "format"): "GONE",
+        (5, "format"): "NEW",
+    }
+    with pytest.raises(ValueError, match="no verdicts"):
+        report.diff_runs(spark, out, "ra", "nope")

@@ -1,0 +1,120 @@
+"""Sequence packing: distributed prefix-sum offsets + pack chunking
+(tokenqc/textops/pack.py). The invariants that matter at scale:
+
+- offsets equal the single-node cumulative sum for ANY partition count
+  (range-partition boundaries must cancel out);
+- spans partition each doc exactly (contiguous, sum to n_tok) and tile
+  every non-final pack to exactly `cap` tokens;
+- the physical plan contains NO global window and NO data-sized shuffle
+  beyond the one range exchange.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tokenqc.textops import pack
+
+
+def _mk(spark, n=500, seed=7, parts=None):
+    rnd = random.Random(seed)
+    rows = [(i, rnd.choice([0, 1, 3, 17, 120, 997, 2048, 5000])) for i in range(n)]
+    df = spark.createDataFrame(rows, "rn long, n_tok int")
+    return rows, (df.repartition(parts) if parts else df)
+
+
+def test_token_offsets_match_cumsum_any_partitioning(spark):
+    rows, df = _mk(spark)
+    want = {}
+    acc = 0
+    for rn, n in rows:
+        want[rn] = acc
+        acc += n
+    for num_partitions in (1, 3, 8, 64):
+        got = {
+            r.rn: r.offset
+            for r in pack.token_offsets(
+                df, order_cols=("rn",), num_partitions=num_partitions
+            ).collect()
+        }
+        assert got == want, f"num_partitions={num_partitions}"
+
+
+def test_token_offsets_independent_of_input_layout(spark):
+    rows, df_shuffled = _mk(spark, parts=13)
+    base = {
+        r.rn: r.offset for r in pack.token_offsets(df_shuffled, ("rn",)).collect()
+    }
+    _, df_plain = _mk(spark)
+    plain = {r.rn: r.offset for r in pack.token_offsets(df_plain, ("rn",)).collect()}
+    assert base == plain
+
+
+def test_pack_assignment_fields(spark):
+    _, df = _mk(spark)
+    out = pack.pack_assignment(df, cap=2048, order_cols=("rn",))
+    rows = out.collect()
+    for r in rows:
+        assert r.pack_id == r.offset // 2048
+        assert r.pack_pos == r.offset % 2048
+
+
+def test_chunk_spans_partition_each_doc_and_tile_packs(spark):
+    rows, df = _mk(spark)
+    spans = pack.chunk_spans(df, cap=2048, order_cols=("rn",)).collect()
+    # per-doc: spans contiguous in pack order, lens sum to n_tok
+    by_doc: dict[int, list] = {}
+    for s in spans:
+        by_doc.setdefault(s.rn, []).append(s)
+    n_of = dict(rows)
+    for rn, ss in by_doc.items():
+        ss.sort(key=lambda s: s.pack_id)
+        assert sum(s.len for s in ss) == n_of[rn]
+        assert all(s.len > 0 for s in ss)
+        # middle spans start at 0; only the first span may start mid-pack
+        for s in ss[1:]:
+            assert s.start == 0
+    # zero-token docs emit nothing
+    for rn, n in rows:
+        if n == 0:
+            assert rn not in by_doc
+    # packs: every pack except the last is covered by exactly cap tokens
+    per_pack: dict[int, int] = {}
+    for s in spans:
+        per_pack[s.pack_id] = per_pack.get(s.pack_id, 0) + s.len
+    last = max(per_pack)
+    for pid, tot in per_pack.items():
+        assert tot == (2048 if pid != last else sum(n for _, n in rows) - 2048 * last)
+
+
+def test_chunk_spans_rejects_bad_cap(spark):
+    _, df = _mk(spark, n=10)
+    with pytest.raises(ValueError):
+        pack.chunk_spans(df, cap=0)
+    with pytest.raises(ValueError):
+        pack.pack_assignment(df, cap=-5)
+
+
+def test_token_offsets_plan_has_no_global_window(spark):
+    """The scale contract: one RangePartitioning exchange for the data,
+    a MapInPandas local scan, a broadcast join for the bases — and never
+    a partition-less Window (the single-task scale-killer) nor a
+    hash-repartition of the data by partition id."""
+    import re
+
+    _, df = _mk(spark, n=200)
+    out = pack.token_offsets(df, ("rn",), num_partitions=8)
+    jvm = out.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the only exchanges: the range partition + tiny broadcast; the big
+    # side must NOT hash-shuffle again after the range exchange
+    hash_ex = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert not hash_ex, hash_ex

@@ -152,3 +152,28 @@ def test_connected_components_raises_when_unconverged(spark):
     df = spark.createDataFrame(chain, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(df, max_iter=2)
+
+
+pack_rows = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pack_rows, st.integers(min_value=1, max_value=7))
+def test_token_offsets_property(spark, sizes, num_partitions):
+    """Offsets = exclusive prefix sum over the order key, for ANY token
+    sizes (zeros included) and ANY partition count — range-partition
+    boundaries must cancel out of the two-phase scan."""
+    from tokenqc.textops import pack
+
+    df = spark.createDataFrame(list(enumerate(sizes)), "rn long, n_tok int")
+    got = {
+        r.rn: r.offset
+        for r in pack.token_offsets(df, ("rn",), num_partitions=num_partitions).collect()
+    }
+    acc, want = 0, {}
+    for rn, n in enumerate(sizes):
+        want[rn] = acc
+        acc += n
+    assert got == want

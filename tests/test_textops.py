@@ -482,3 +482,63 @@ def test_mg_heavy_hitters_bound_at_small_k(spark):
     # each forfeit at most n/(k+1)
     slack = (df.rdd.getNumPartitions() + 1) * n / (k + 1)
     assert true[999] - got[999] <= slack
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),           # top 3/4; 2grams: "a a","a a","a b" -> dup 1/3
+            (2, "x y z w"),           # all distinct
+            (3, "go go go go"),       # maximal repetition
+            (4, "solo"),              # single word: no 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textqc.repetition_stats(df).collect()}
+    assert out[1].n_words == 4
+    assert out[1].top_word_frac == 0.75
+    assert out[1].dup_2gram_frac == round(1 - 2 / 3, 6)
+    assert out[1].repetitive  # top 0.75 > 0.3
+    assert out[2].top_word_frac == 0.25 and out[2].dup_2gram_frac == 0.0
+    assert not out[2].repetitive
+    assert out[3].top_word_frac == 1.0 and out[3].dup_2gram_frac == round(1 - 1 / 3, 6)
+    assert out[4].n_words == 1 and out[4].dup_2gram_frac == 0.0
+
+
+def test_pii_flags_and_scrub(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at bob.smith+x@corp.example.org thanks"),
+            (2, "server 192.168.1.250 and backup 10.0.0.1"),
+            (3, "call +1-555-123-4567 today"),
+            (4, "nothing sensitive here"),
+            (5, "a@b.io and 1.2.3.4 and +44-201-555-0199"),
+        ],
+        "doc_id long, text string",
+    )
+    flags = {r.doc_id: r for r in textqc.pii_flags(df).collect()}
+    assert (flags[1].n_email, flags[1].n_ipv4, flags[1].n_phone) == (1, 0, 0)
+    assert (flags[2].n_email, flags[2].n_ipv4, flags[2].n_phone) == (0, 2, 0)
+    assert (flags[3].n_email, flags[3].n_ipv4, flags[3].n_phone) == (0, 0, 1)
+    assert flags[4].has_pii is False
+    assert (flags[5].n_email, flags[5].n_ipv4, flags[5].n_phone) == (1, 1, 1)
+    scrubbed = {r.doc_id: r.text for r in textqc.pii_scrub(df).collect()}
+    assert scrubbed[1] == "reach me at [EMAIL] thanks"
+    assert scrubbed[2] == "server [IPV4] and backup [IPV4]"
+    assert scrubbed[3] == "call [PHONE] today"
+    assert scrubbed[4] == "nothing sensitive here"
+    assert scrubbed[5] == "[EMAIL] and [IPV4] and [PHONE]"
+    # scrub output carries no residual matches
+    rescan = textqc.pii_flags(textqc.pii_scrub(df))
+    assert rescan.where(F.col("has_pii")).count() == 0
+
+
+def test_repetition_stats_plan_is_shuffle_free(spark):
+    """The repetition filter must stay a per-row projection: no Exchange
+    of any kind in the plan (aggregate over array_sort, not
+    explode+groupBy)."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = textqc.repetition_stats(df)._jdf.queryExecution().explainString(mode)
+    assert "Exchange" not in plan, plan

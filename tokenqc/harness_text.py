@@ -897,3 +897,183 @@ def oracle_top_violation_examples() -> str:
         "(PARTITION BY check_name ORDER BY doc_id DESC) AS INTEGER) AS rk "
         "FROM viol QUALIFY rk <= 3"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: repetition filter, PII detect/scrub, sequence packing
+# ---------------------------------------------------------------------------
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition stats on the derived corpus. Thresholds
+    are tightened from the operator's real-world defaults (0.3/0.5) to
+    values that SPLIT this word-soup corpus (top 0.053–0.25 median
+    0.092; dup 0–0.138 median 0.026), so the `repetitive` verdict column
+    carries real variance for the oracle instead of a constant."""
+    return textqc.repetition_stats(
+        derive_corpus(spark, sf_dir), top_word_threshold=0.12, dup_2gram_threshold=0.05
+    )
+
+
+def oracle_doc_repetition() -> str:
+    return CORPUS_CTE + """
+, w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM corpus),
+ wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+ top AS (SELECT doc_id, max(c) AS mc, CAST(sum(c) AS BIGINT) AS nw FROM wc GROUP BY 1),
+ g AS (SELECT doc_id,
+        greatest(len(string_split(trim(text), ' ')) - 1, 0) AS total2,
+        len(list_distinct(list_transform(
+            range(0, greatest(len(string_split(trim(text), ' ')) - 1, 0)),
+            i -> (string_split(trim(text), ' '))[i+1] || ' ' || (string_split(trim(text), ' '))[i+2]))) AS d2
+      FROM corpus)
+SELECT t.doc_id, t.nw AS n_words,
+       round(t.mc * 1.0 / t.nw, 6) AS top_word_frac,
+       round(CASE WHEN g.total2 > 0 THEN 1.0 - g.d2 * 1.0 / g.total2 ELSE 0.0 END, 6) AS dup_2gram_frac,
+       (round(t.mc * 1.0 / t.nw, 6) > 0.12
+        OR round(CASE WHEN g.total2 > 0 THEN 1.0 - g.d2 * 1.0 / g.total2 ELSE 0.0 END, 6) > 0.05) AS repetitive
+FROM top t JOIN g USING (doc_id)
+"""
+
+
+# documents with deterministically planted PII (emails every 7th doc,
+# IPv4 every 11th, phone numbers every 13th) — identical arithmetic in
+# Spark and SQL so detection counts are oracle-checkable
+_PII_CTE = """
+WITH pii AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END ||
+    CASE WHEN doc_id % 13 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    AS text
+  FROM documents
+)
+"""
+
+
+def derive_pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    email = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(
+            F.lit(" call +1-555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), email, ip, phone).alias("text")
+    )
+
+
+def q_doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection counts over the planted corpus — the oracle knows
+    exactly which docs carry which PII, so every count is verified."""
+    return textqc.pii_flags(derive_pii_corpus(spark, sf_dir))
+
+
+def oracle_doc_pii() -> str:
+    return _PII_CTE + """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+  CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}')) AS INTEGER) AS n_phone,
+  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
+   OR len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) > 0
+   OR len(regexp_extract_all(text, '\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}')) > 0) AS has_pii
+FROM pii
+"""
+
+
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub transform: every planted PII span replaced by its typed
+    placeholder; the oracle re-derives the scrubbed text in SQL so the
+    replacement (order included) is verified byte-for-byte."""
+    return textqc.pii_scrub(derive_pii_corpus(spark, sf_dir))
+
+
+def oracle_doc_pii_scrub() -> str:
+    # same replacement ORDER as textqc.PII_PATTERNS (email, ipv4, phone)
+    return _PII_CTE + """
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g'),
+    '\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}', '[PHONE]', 'g') AS text
+FROM pii
+"""
+
+
+_PACK_CAP = 2048
+
+
+def q_seq_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, phase 1: the distributed prefix-sum token
+    offsets (two-phase scan, see tokenqc/textops/pack.py — never a
+    global single-task window) + the closed-form pack assignment. The
+    oracle is the definitional single-node cumulative-sum window."""
+    from tokenqc.harness import derive_sequences
+    from tokenqc.textops import pack
+
+    seq = (
+        derive_sequences(spark, sf_dir)
+        .where(F.col("n_tok").isNotNull())
+        .select("rn", "n_tok")
+    )
+    return pack.pack_assignment(seq, cap=_PACK_CAP, order_cols=("rn",)).select(
+        "rn", "n_tok", "offset", "pack_id", "pack_pos"
+    )
+
+
+def oracle_seq_pack_offsets() -> str:
+    from tokenqc.harness import SEQ_CTE
+
+    return SEQ_CTE + f"""
+, off AS (
+  SELECT rn, n_tok,
+    CAST(coalesce(sum(n_tok) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+  FROM seq WHERE n_tok IS NOT NULL)
+SELECT rn, n_tok, "offset", "offset" // {_PACK_CAP} AS pack_id, "offset" % {_PACK_CAP} AS pack_pos
+FROM off
+"""
+
+
+def q_seq_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, phase 2: each doc exploded into its per-pack
+    (start, len) spans — the exact slices a training loader reads. The
+    oracle re-derives every span from the cumulative offsets."""
+    from tokenqc.harness import derive_sequences
+    from tokenqc.textops import pack
+
+    seq = (
+        derive_sequences(spark, sf_dir)
+        .where(F.col("n_tok").isNotNull())
+        .select("rn", "n_tok")
+    )
+    return pack.chunk_spans(seq, cap=_PACK_CAP, order_cols=("rn",)).select(
+        "rn", "pack_id", "start", "len"
+    )
+
+
+def oracle_seq_pack_spans() -> str:
+    from tokenqc.harness import SEQ_CTE
+
+    c = _PACK_CAP
+    return SEQ_CTE + f"""
+, off AS (
+  SELECT rn, n_tok,
+    CAST(coalesce(sum(n_tok) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+  FROM seq WHERE n_tok IS NOT NULL)
+SELECT rn, p AS pack_id,
+  greatest("offset", p*{c}) - p*{c} AS start,
+  least("offset" + n_tok, (p+1)*{c}) - greatest("offset", p*{c}) AS "len"
+FROM off, LATERAL unnest(generate_series("offset" // {c}, ("offset" + n_tok - 1) // {c})) AS t(p)
+WHERE n_tok > 0
+"""

@@ -120,3 +120,51 @@ def write_text(spark: SparkSession, path: str, text: str) -> str:
     finally:
         out.close()
     return path
+
+
+def diff_runs(
+    spark: SparkSession, out_dir: str, run_a: str, run_b: str
+) -> DataFrame:
+    """QC regression detection between two runs of the same input
+    family: full-outer-join the two runs' (partition_id, check_name)
+    verdicts and emit one row per cell whose status or violation count
+    changed, with a `change` classification:
+
+    - REGRESSED  — PASS→FAIL/UNKNOWN, or n_viol grew
+    - IMPROVED   — FAIL/UNKNOWN→PASS, or n_viol shrank
+    - NEW/GONE   — the check/partition exists in only one run
+
+    Both verdict frames are bounded (n_partitions × checks rows), so the
+    join is trivially broadcastable at any data scale — this is a
+    metadata diff, never a data diff. The engine analogue of comparing
+    two of the reference's QC report pages run-over-run.
+    """
+    from tokenqc import io as qio
+    from tokenqc.schema import PASS
+
+    a = qio.read_table(spark, out_dir, "verdicts", run_a)
+    b = qio.read_table(spark, out_dir, "verdicts", run_b)
+    if a is None or b is None:
+        missing = run_a if a is None else run_b
+        raise ValueError(f"run '{missing}' has no verdicts under {out_dir}")
+    key = ["partition_id", "check_name"]
+    a = a.select(*key, F.col("status").alias("status_a"), F.col("n_viol").alias("n_viol_a"))
+    b = b.select(*key, F.col("status").alias("status_b"), F.col("n_viol").alias("n_viol_b"))
+    j = a.join(b, key, "full_outer")
+    change = (
+        F.when(F.col("status_a").isNull(), F.lit("NEW"))
+        .when(F.col("status_b").isNull(), F.lit("GONE"))
+        .when(
+            (F.col("status_a") == PASS) & (F.col("status_b") != PASS), F.lit("REGRESSED")
+        )
+        .when(
+            (F.col("status_a") != PASS) & (F.col("status_b") == PASS), F.lit("IMPROVED")
+        )
+        .when(F.col("n_viol_b") > F.col("n_viol_a"), F.lit("REGRESSED"))
+        .when(F.col("n_viol_b") < F.col("n_viol_a"), F.lit("IMPROVED"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(*key, "status_a", "status_b", "n_viol_a", "n_viol_b", "change")
+    )

@@ -1,0 +1,176 @@
+"""Sequence packing: distributed prefix-sum token offsets + fixed-length
+pack chunking — the operator that turns a curated corpus into training
+batches (GPT-style "concatenate everything, slice every `cap` tokens").
+
+The primitive Spark lacks is a distributed ordered prefix sum (cumulative
+n_tok over a global document order). The naive formulation — a window
+with no partition spec — moves the entire table into ONE task
+(`WindowExec: No Partition Defined`), the same scale-killer the top-k
+operators avoid. This module implements the textbook two-phase scan
+instead:
+
+  1. range-partition + sort by the (unique) order key — ONE shuffle,
+     contiguous ranges, parallel in-partition sorts;
+  2. per-partition local cumulative sums (an Arrow `mapInPandas` pass
+     that carries a running total across batches — order-preserving,
+     no shuffle);
+  3. per-partition totals (a `spark_partition_id()` groupBy on the
+     persisted frame — P rows reach the driver, P = shuffle partition
+     count, never data-sized);
+  4. exclusive-prefix the P totals driver-side, broadcast-join the
+     bases back, add.
+
+The resulting `offset` is a pure function of the data and the total
+order — partition BOUNDARIES (which `repartitionByRange` picks by
+sampling) cancel out, so the operator is deterministic as long as the
+order key is unique. At 100 TB the only data-sized costs are one range
+shuffle and two narrow passes over the cached sorted frame.
+
+Pack semantics on top of the offsets are closed-form (no further
+shuffle): `pack_id = offset div cap`, `pack_pos = offset mod cap`, and
+the span explode emits one row per (doc, pack) overlap for docs that
+straddle pack boundaries — exactly the slicing a training-data loader
+performs.
+
+Reference analogue: the reference's per-tool artifact assembly loop
+(/root/reference/main.nf:96-116) concatenates per-tool outputs into one
+ordered report; packing is the token-level version of that assembly at
+corpus scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def token_offsets(
+    df: DataFrame,
+    order_cols: Iterable[str] = ("doc_id",),
+    n_col: str = "n_tok",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum of `n_col` over the total order given by
+    `order_cols` (which must be a unique key — ties across a range-
+    partition boundary would make the order, and thus the offsets,
+    ambiguous). Adds an `offset` column (long); all other input columns
+    pass through.
+
+    Two-phase distributed scan, never a global single-task window: see
+    the module docstring for the shape and why boundaries cancel.
+
+    The range-partitioned frame is persisted for the duration of the
+    plan: phases 2 and 3 MUST see identical partition boundaries (the
+    bases are keyed by partition id), and the cache guarantees that
+    even if Spark ever recomputes. It is left to LRU eviction after the
+    query completes, like the LSH bucket frames.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    order_cols = list(order_cols)
+    spark = df.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    parted = (
+        df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    out_schema = ", ".join(
+        f"{name} {dtype}" for name, dtype in parted.dtypes
+    ) + ", __local_end long"
+
+    def local_scan(batches) -> Iterator:
+        # running inclusive cumsum; mapInPandas hands batches of one
+        # partition to one generator in order, so the carry is exact
+        carry = 0
+        for pdf in batches:
+            ends = pdf[n_col].astype("int64").cumsum() + carry
+            if len(ends):
+                carry = int(ends.iloc[-1])
+            pdf = pdf.assign(__local_end=ends)
+            yield pdf
+
+    local = parted.mapInPandas(local_scan, schema=out_schema)
+
+    # P rows (P = shuffle partitions) — driver-bounded by construction
+    totals = {
+        r["__pid"]: r["t"]
+        for r in parted.groupBy("__pid").agg(F.sum(n_col).alias("t")).collect()
+    }
+    base, bases = 0, []
+    for pid in sorted(totals):
+        bases.append((pid, base))
+        base += int(totals[pid] or 0)
+    base_df = spark.createDataFrame(bases, "__pid int, __base long")
+
+    return (
+        local.join(F.broadcast(base_df), "__pid")
+        .withColumn(
+            "offset", F.col("__base") + F.col("__local_end") - F.col(n_col).cast("long")
+        )
+        .drop("__pid", "__local_end", "__base")
+    )
+
+
+def pack_assignment(
+    df: DataFrame,
+    cap: int,
+    order_cols: Iterable[str] = ("doc_id",),
+    n_col: str = "n_tok",
+) -> DataFrame:
+    """Each doc's position in the packed token stream: `offset` (global
+    token offset), `pack_id = offset div cap`, `pack_pos = offset mod
+    cap` — closed-form on top of `token_offsets`, no extra shuffle."""
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    off = token_offsets(df, order_cols=order_cols, n_col=n_col)
+    # integral `div`, not double division: at 10^12-sequence scale the
+    # stream offset exceeds 2^53 and float division would mis-bucket
+    return off.select(
+        *off.columns,
+        F.expr(f"offset div {int(cap)}").alias("pack_id"),
+        (F.col("offset") % cap).alias("pack_pos"),
+    )
+
+
+def chunk_spans(
+    df: DataFrame,
+    cap: int,
+    order_cols: Iterable[str] = ("doc_id",),
+    n_col: str = "n_tok",
+) -> DataFrame:
+    """Explode each doc into its per-pack spans: one row per (doc, pack)
+    the doc's tokens overlap, with `start` (position inside the pack)
+    and `len` (tokens contributed). A doc straddling pack boundaries
+    yields several rows; every pack except the final one is covered by
+    exactly `cap` tokens. This IS the slicing plan a training loader
+    executes — emitted declaratively so Catalyst keeps it in the scan
+    stage (sequence + explode, no shuffle beyond token_offsets' one).
+
+    Zero-token docs (n_tok = 0) occupy no stream positions and emit no
+    spans.
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    off = token_offsets(df, order_cols=order_cols, n_col=n_col)
+    n = F.col(n_col).cast("long")
+    # integral `div` (see pack_assignment): offsets overflow double past 2^53
+    first_pack = F.expr(f"offset div {int(cap)}")
+    last_pack = F.expr(f"(offset + cast({n_col} as bigint) - 1) div {int(cap)}")
+    exploded = off.where(n > 0).select(
+        *off.columns,
+        F.explode(F.sequence(first_pack, last_pack)).alias("pack_id"),
+    )
+    pack_start = F.col("pack_id") * cap  # stream offset where this pack begins
+    span_begin = F.greatest(F.col("offset"), pack_start)
+    span_end = F.least(F.col("offset") + n, pack_start + cap)
+    return exploded.select(
+        *[c for c in off.columns if c != "offset"],
+        "pack_id",
+        (span_begin - pack_start).alias("start"),
+        (span_end - span_begin).alias("len"),
+    )

@@ -353,3 +353,106 @@ def mg_heavy_hitters(
             schema="token int, est_count long",
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_word_threshold: float = 0.3,
+    dup_2gram_threshold: float = 0.5,
+) -> DataFrame:
+    """Gopher-style intra-document repetition filter: the fraction of
+    words taken by the single most frequent word, and the fraction of
+    word-2-gram occurrences that are repeats. Boilerplate / template /
+    spam documents light up on both; the `repetitive` flag applies the
+    (overridable) thresholds to the rounded stats so the verdict is
+    engine-portable.
+
+    Everything is per-row closed-form expression — ZERO shuffle at any
+    scale: the top-word count is a run-length fold over the sorted word
+    array (`aggregate` over `array_sort`, whole-stage codegen), not an
+    explode + groupBy; the 2-gram ratio is `array_distinct` over an
+    in-row transform. Reference analogue: the repeated-content lint of
+    the README scans (/root/reference/bin/analyze_joss.py:107-157),
+    promoted to a corpus-scale quality gate.
+    """
+    w = words_expr(text_col)
+    n_words = F.size(w)
+    run1 = F.lit(1).cast("long")
+
+    def step(s: Column, x: Column) -> Column:
+        run = F.when(x == s["prev"], s["run"] + 1).otherwise(run1)
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(s["best"], run).alias("best")
+        )
+
+    top_count = F.aggregate(
+        F.array_sort(w),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        step,
+        lambda s: s["best"],
+    )
+    grams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n_words - 2),
+            lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total2 = F.size(grams)
+    dup2 = F.when(
+        total2 > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total2.cast("double"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.round(top_count.cast("double") / n_words.cast("double"), 6)
+    dup_frac = F.round(dup2, 6)
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        top_frac.alias("top_word_frac"),
+        dup_frac.alias("dup_2gram_frac"),
+        ((top_frac > top_word_threshold) | (dup_frac > dup_2gram_threshold)).alias(
+            "repetitive"
+        ),
+    )
+
+
+# PII patterns: deliberately simple, RE2-compatible (no backrefs or
+# lookaround) so the SAME pattern runs in Spark (Java regex), DuckDB
+# (RE2) and any downstream scrubber. Heuristics, not validators — e.g.
+# the IPv4 pattern accepts 999.1.2.3; the point is consistent flagging.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,2}-\d{3}-\d{3}-\d{4}",
+}
+
+
+def pii_flags(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document PII detection counts (one `regexp_count` per pattern,
+    single scan, JVM-side) + the any-of flag — the detect half of the
+    curation pipeline's scrub stage."""
+    counts = {
+        name: F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    }
+    any_pii = None
+    for name in PII_PATTERNS:
+        c = F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[name])) > 0
+        any_pii = c if any_pii is None else (any_pii | c)
+    return df.select(F.col(id_col), *counts.values(), any_pii.alias("has_pii"))
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Replace every PII match with a typed placeholder ([EMAIL], [IPV4],
+    [PHONE]) — the transform half. Chained regexp_replace in one
+    projection: still a single scan, still zero Python."""
+    out = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return df.select(F.col(id_col), out.alias("text"))
