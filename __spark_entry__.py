@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_stats": H.q_seq_stats,
         "seq_scores": H.q_seq_scores,
         "seq_drift_stats": H.q_seq_drift_stats,
+        "seq_drift_js": H.q_seq_drift_js,
         "seq_vocab_topk": H.q_seq_vocab_topk,
         "seq_vocab_by_source": H.q_seq_vocab_by_source,
         "seq_heavy_hitters": H.q_seq_heavy_hitters,
@@ -138,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": HT.q_doc_pii_scrub,
         "seq_pack_offsets": HT.q_seq_pack_offsets,
         "seq_pack_spans": HT.q_seq_pack_spans,
+        "seq_pack_by_source": HT.q_seq_pack_by_source,
     }
     q.update(_hash_family_queries())
     return q
@@ -155,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_stats": H.oracle_seq_stats(),
         "seq_scores": H.oracle_seq_scores(),
         "seq_drift_stats": H.oracle_seq_drift_stats(),
+        "seq_drift_js": H.oracle_seq_drift_js(),
         "seq_vocab_topk": H.oracle_seq_vocab_topk(),
         "seq_vocab_by_source": H.oracle_seq_vocab_by_source(),
         "seq_heavy_hitters": H.oracle_seq_heavy_hitters(),
@@ -192,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": HT.oracle_doc_pii_scrub(),
         "seq_pack_offsets": HT.oracle_seq_pack_offsets(),
         "seq_pack_spans": HT.oracle_seq_pack_spans(),
+        "seq_pack_by_source": HT.oracle_seq_pack_by_source(),
         # hash-family paths verified against exact closed-form results:
         # LSH candidates + exact verification must RECOVER the exact sets
         "minhash_lsh_pairs": HT.oracle_doc_ngram_jaccard(),

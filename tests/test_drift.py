@@ -99,3 +99,49 @@ def test_ks_pvalue_matches_classical_constants():
     for lam, alpha in [(1.358, 0.05), (1.628, 0.01), (1.949, 0.001)]:
         d = lam / (n ** 0.5 + 0.12 + 0.11 / n ** 0.5)
         assert abs(ks_pvalue(d, n) - alpha) < 2e-3, lam
+
+
+def test_js_divergence_identical_disjoint_missing(spark):
+    import pyspark.sql.functions as F
+
+    cfg = cb.CheckConfig(n_partitions=4, bucket_width=64)
+    # source 'same': matches its baseline exactly -> JS 0, PASS
+    # source 'far': all mass in buckets the baseline gives zero -> JS 1, FAIL
+    # source 'nobase': no baseline rows -> UNKNOWN
+    rows = (
+        [("same", 10) for _ in range(50)] + [("same", 100) for _ in range(50)]
+        + [("far", 300) for _ in range(40)]
+        + [("nobase", 10) for _ in range(10)]
+    )
+    df = spark.createDataFrame(
+        [("d", s, n) for s, n in rows], "doc_id string, source string, n_tok int"
+    )
+    base = spark.createDataFrame(
+        [("same", 0, 0.5), ("same", 1, 0.5), ("far", 0, 1.0)],
+        "source string, bucket int, p double",
+    )
+    out = {r.source: r for r in drift.js_divergence(df, base, cfg).collect()}
+    assert out["same"].js_divergence == 0.0 and out["same"].status == "PASS"
+    assert out["far"].js_divergence == 1.0 and out["far"].status == "FAIL"
+    assert out["nobase"].status == "UNKNOWN"
+    assert out["same"].n_rows == 100 and out["far"].n_rows == 40
+
+
+def test_js_divergence_hand_computed(spark):
+    import math
+
+    cfg = cb.CheckConfig(n_partitions=4, bucket_width=64)
+    # observed: 75% bucket0 / 25% bucket1 vs baseline 50/50
+    rows = [("s", 10)] * 75 + [("s", 100)] * 25
+    df = spark.createDataFrame(
+        [("d", s, n) for s, n in rows], "doc_id string, source string, n_tok int"
+    )
+    base = spark.createDataFrame(
+        [("s", 0, 0.5), ("s", 1, 0.5)], "source string, bucket int, p double"
+    )
+    got = drift.js_divergence(df, base, cfg).first().js_divergence
+    q, p = [0.75, 0.25], [0.5, 0.5]
+    want = 0.5 * sum(
+        qi * math.log2(2 * qi / (pi + qi)) for qi, pi in zip(q, p)
+    ) + 0.5 * sum(pi * math.log2(2 * pi / (pi + qi)) for qi, pi in zip(q, p))
+    assert got == round(want, 6)

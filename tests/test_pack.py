@@ -118,3 +118,48 @@ def test_token_offsets_plan_has_no_global_window(spark):
     # side must NOT hash-shuffle again after the range exchange
     hash_ex = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
     assert not hash_ex, hash_ex
+
+
+def test_stream_offsets_restart_per_stream(spark):
+    """stream_col: every stream's offsets are an independent exclusive
+    prefix sum over the order key — verified against per-stream python
+    cumsums on a multi-stream frame, across partition counts."""
+    rnd = random.Random(11)
+    rows = [
+        (i, rnd.choice(["a", "bb", "c"]), rnd.choice([0, 1, 5, 40, 1000]))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "rn long, src string, n_tok int")
+    want: dict[int, int] = {}
+    acc: dict[str, int] = {}
+    for rn, s, n in rows:  # rows already in rn order
+        want[rn] = acc.get(s, 0)
+        acc[s] = acc.get(s, 0) + n
+    for parts in (1, 5, 32):
+        got = {
+            r.rn: r.offset
+            for r in pack.token_offsets(
+                df, ("rn",), num_partitions=parts, stream_col="src"
+            ).collect()
+        }
+        assert got == want, f"parts={parts}"
+
+
+def test_stream_pack_never_mixes_streams(spark):
+    rows = [(i, "s" + str(i % 2), 700) for i in range(40)]
+    df = spark.createDataFrame(rows, "rn long, src string, n_tok int")
+    out = pack.pack_assignment(df, cap=2048, order_cols=("rn",), stream_col="src")
+    spans = pack.chunk_spans(df, cap=2048, order_cols=("rn",), stream_col="src")
+    # per (stream, pack) coverage: all non-final packs tile to exactly cap
+    per = {}
+    for r in spans.collect():
+        per[(r.src, r.pack_id)] = per.get((r.src, r.pack_id), 0) + r.len
+    for s in ("s0", "s1"):
+        packs = sorted(p for (src, p) in per if src == s)
+        total = 700 * 20
+        for p in packs[:-1]:
+            assert per[(s, p)] == 2048
+        assert per[(s, packs[-1])] == total - 2048 * packs[-1]
+    # offsets restart per stream
+    firsts = {r.src: r.offset for r in out.where(F.col("rn") < 2).collect()}
+    assert firsts == {"s0": 0, "s1": 0}

@@ -201,3 +201,52 @@ def verdicts(df: DataFrame, baseline_hist: DataFrame, cfg: CheckConfig) -> DataF
         "ks_p",
         "out_frac",
     )
+
+
+def js_divergence(
+    df: DataFrame,
+    baseline_hist: DataFrame,
+    cfg: CheckConfig,
+    js_max: float = 0.1,
+) -> DataFrame:
+    """Jensen–Shannon divergence per source between the observed n_tok
+    histogram and the baseline — the information-theoretic twin of the
+    chi2/KS gate (log base 2, so JS ∈ [0, 1]; symmetric; defined even
+    where one side has zero mass, which is exactly where KL explodes).
+
+    Same scale discipline as `verdicts`: the statistic is computed over
+    the AGGREGATED histograms (sources × buckets rows after the
+    distributed groupBy) — but unlike chi2/KS it needs no special
+    functions, so it stays entirely JVM-side in one aggregate expression
+    (no Python at all). Output: (source, n_rows, js_divergence, status)
+    with FAIL when js > js_max, UNKNOWN when the source has no baseline.
+    """
+    hist = observed_histogram(df, cfg)
+    tot = hist.groupBy("source").agg(F.sum("cnt").alias("n"))
+    obs = hist.join(tot, "source").select(
+        "source", "bucket", "n", (F.col("cnt") / F.col("n")).alias("q")
+    )
+    bsum = baseline_hist.groupBy("source").agg(F.sum("p").alias("psum"))
+    base = baseline_hist.join(bsum, "source").select(
+        "source", "bucket", (F.col("p") / F.col("psum")).alias("p")
+    )
+    j = obs.join(base, ["source", "bucket"], "full_outer")
+    p = F.coalesce(F.col("p"), F.lit(0.0))
+    q = F.coalesce(F.col("q"), F.lit(0.0))
+    # 0·log(0/x) := 0 — guard each term, not the sum
+    term_q = F.when(q > 0, q * F.log2(F.lit(2.0) * q / (p + q))).otherwise(F.lit(0.0))
+    term_p = F.when(p > 0, p * F.log2(F.lit(2.0) * p / (p + q))).otherwise(F.lit(0.0))
+    agg = j.groupBy("source").agg(
+        F.max("n").alias("n_rows"),
+        (F.lit(0.5) * F.sum(term_q) + F.lit(0.5) * F.sum(term_p)).alias("js_raw"),
+        F.max(F.col("p").isNotNull().cast("int")).alias("has_base"),
+    )
+    return agg.select(
+        "source",
+        F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+        F.round("js_raw", 6).alias("js_divergence"),
+        F.when(F.col("has_base") == 0, F.lit("UNKNOWN"))
+        .when(F.round("js_raw", 6) > js_max, F.lit("FAIL"))
+        .otherwise(F.lit("PASS"))
+        .alias("status"),
+    )

@@ -630,3 +630,48 @@ def oracle_seq_drift_stats() -> str:
         "FROM hist h JOIN bhist b ON h.bucket = b.bucket JOIN tot t ON h.source = t.source "
         "GROUP BY h.source"
     )
+
+
+def q_seq_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JS-divergence drift gate (the information-theoretic twin of the
+    chi2/KS verdicts): baseline = web's own histogram as probabilities,
+    applied to every source. web must measure exactly 0; the off-shape
+    spam9 source (0.013 bits) FAILs at the 0.001 threshold while the
+    near-identical books/code/wiki (~5e-05) PASS — so both the statistic
+    and the verdict logic carry real variance. Entirely JVM-side: no
+    pandas, one full-outer join of two aggregated histograms."""
+    from tokenqc.checks import drift
+
+    seq = derive_sequences(spark, sf_dir)
+    hist = drift.observed_histogram(seq, CFG)
+    web = hist.where(F.col("source") == "web").select("bucket", "cnt")
+    wtot = web.agg(F.sum("cnt").alias("bt"))
+    base = (
+        hist.select("source").distinct()
+        .crossJoin(web.crossJoin(wtot).select("bucket", (F.col("cnt") / F.col("bt")).alias("p")))
+    )
+    return drift.js_divergence(seq, base, CFG, js_max=0.001)
+
+
+def oracle_seq_drift_js() -> str:
+    return SEQ_CTE + (
+        ", hist AS (SELECT source, CAST(floor(n_tok/64) AS INTEGER) AS bucket, count(*) AS cnt "
+        "  FROM seq WHERE source IS NOT NULL AND n_tok > 0 GROUP BY source, bucket), "
+        "wt AS (SELECT sum(cnt) AS bt FROM hist WHERE source = 'web'), "
+        "jsbase AS (SELECT s.source, h.bucket, h.cnt * 1.0 / (SELECT bt FROM wt) AS p "
+        "  FROM (SELECT DISTINCT source FROM hist) s, "
+        "       (SELECT bucket, cnt FROM hist WHERE source = 'web') h), "
+        "tot AS (SELECT source, sum(cnt) AS n FROM hist GROUP BY source), "
+        "obs AS (SELECT h.source, h.bucket, h.cnt * 1.0 / t.n AS q, t.n AS n "
+        "  FROM hist h JOIN tot t USING (source)), "
+        "j AS (SELECT coalesce(o.source, b.source) AS source, coalesce(o.q, 0) AS q, "
+        "             coalesce(b.p, 0) AS p, o.n AS n "
+        "  FROM obs o FULL OUTER JOIN jsbase b ON o.source = b.source AND o.bucket = b.bucket) "
+        "SELECT source, CAST(coalesce(max(n), 0) AS BIGINT) AS n_rows, "
+        "round(0.5*sum(CASE WHEN q > 0 THEN q*log2(2*q/(p+q)) ELSE 0 END) "
+        "    + 0.5*sum(CASE WHEN p > 0 THEN p*log2(2*p/(p+q)) ELSE 0 END), 6) AS js_divergence, "
+        "CASE WHEN round(0.5*sum(CASE WHEN q > 0 THEN q*log2(2*q/(p+q)) ELSE 0 END) "
+        "    + 0.5*sum(CASE WHEN p > 0 THEN p*log2(2*p/(p+q)) ELSE 0 END), 6) > 0.001 "
+        "     THEN 'FAIL' ELSE 'PASS' END AS status "
+        "FROM j GROUP BY source"
+    )

@@ -1077,3 +1077,37 @@ SELECT rn, p AS pack_id,
 FROM off, LATERAL unnest(generate_series("offset" // {c}, ("offset" + n_tok - 1) // {c})) AS t(p)
 WHERE n_tok > 0
 """
+
+
+def q_seq_pack_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-separated packing: every source gets its own token stream
+    (offsets restart at 0 per source, packs never mix sources —
+    curriculum/domain-separated packing). Same two-phase prefix-sum
+    plan, range-partitioned on (source, rn); the oracle is the
+    per-source cumulative-sum window."""
+    from tokenqc.harness import derive_sequences
+    from tokenqc.textops import pack
+
+    seq = (
+        derive_sequences(spark, sf_dir)
+        .where(F.col("n_tok").isNotNull() & F.col("source").isNotNull())
+        .select("rn", "source", "n_tok")
+    )
+    return pack.pack_assignment(
+        seq, cap=_PACK_CAP, order_cols=("rn",), stream_col="source"
+    ).select("rn", "source", "n_tok", "offset", "pack_id", "pack_pos")
+
+
+def oracle_seq_pack_by_source() -> str:
+    from tokenqc.harness import SEQ_CTE
+
+    return SEQ_CTE + f"""
+, off AS (
+  SELECT rn, source, n_tok,
+    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY rn
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+  FROM seq WHERE n_tok IS NOT NULL AND source IS NOT NULL)
+SELECT rn, source, n_tok, "offset",
+       "offset" // {_PACK_CAP} AS pack_id, "offset" % {_PACK_CAP} AS pack_pos
+FROM off
+"""

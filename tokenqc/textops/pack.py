@@ -51,12 +51,25 @@ def token_offsets(
     order_cols: Iterable[str] = ("doc_id",),
     n_col: str = "n_tok",
     num_partitions: int | None = None,
+    stream_col: str | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum of `n_col` over the total order given by
     `order_cols` (which must be a unique key — ties across a range-
     partition boundary would make the order, and thus the offsets,
     ambiguous). Adds an `offset` column (long); all other input columns
     pass through.
+
+    With `stream_col`, each stream (e.g. source/domain) gets its OWN
+    independent token stream — offsets restart at 0 per stream, so
+    downstream packing never mixes streams in one pack
+    (curriculum/domain-separated packing). The global order becomes
+    (stream, *order_cols); the per-partition scan carries one running
+    total per stream (streams are contiguous after the range sort, so
+    the carry hands over exactly one stream across a batch or partition
+    boundary); the driver prefix runs per stream over the
+    P × streams-touching-partition totals — still metadata-sized.
+    Stream values must be NON-NULL (a null key would fall out of the
+    base equi-join) — filter or fill upstream.
 
     Two-phase distributed scan, never a global single-task window: see
     the module docstring for the shape and why boundaries cancel.
@@ -70,12 +83,13 @@ def token_offsets(
     import pandas as pd  # noqa: F401  (mapInPandas contract)
 
     order_cols = list(order_cols)
+    key_cols = ([stream_col] if stream_col else []) + order_cols
     spark = df.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     parted = (
-        df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
+        df.repartitionByRange(n_part, *[F.col(c) for c in key_cols])
+        .sortWithinPartitions(*key_cols)
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
@@ -83,32 +97,68 @@ def token_offsets(
         f"{name} {dtype}" for name, dtype in parted.dtypes
     ) + ", __local_end long"
 
-    def local_scan(batches) -> Iterator:
-        # running inclusive cumsum; mapInPandas hands batches of one
-        # partition to one generator in order, so the carry is exact
-        carry = 0
-        for pdf in batches:
-            ends = pdf[n_col].astype("int64").cumsum() + carry
-            if len(ends):
-                carry = int(ends.iloc[-1])
-            pdf = pdf.assign(__local_end=ends)
-            yield pdf
+    if stream_col is None:
+
+        def local_scan(batches) -> Iterator:
+            # running inclusive cumsum; mapInPandas hands batches of one
+            # partition to one generator in order, so the carry is exact
+            carry = 0
+            for pdf in batches:
+                ends = pdf[n_col].astype("int64").cumsum() + carry
+                if len(ends):
+                    carry = int(ends.iloc[-1])
+                pdf = pdf.assign(__local_end=ends)
+                yield pdf
+
+    else:
+
+        def local_scan(batches) -> Iterator:
+            # per-stream cumsum; rows arrive sorted by (stream, key), so
+            # only the stream straddling the batch boundary carries over
+            cur_stream, carry = None, 0
+            for pdf in batches:
+                ends = (
+                    pdf.groupby(stream_col, sort=False, dropna=False)[n_col]
+                    .cumsum()
+                    .astype("int64")
+                )
+                if len(pdf):
+                    first = pdf[stream_col].iloc[0]
+                    if cur_stream is not None and first == cur_stream:
+                        ends = ends + (pdf[stream_col] == first).astype("int64") * carry
+                    cur_stream = pdf[stream_col].iloc[-1]
+                    carry = int(ends.iloc[-1])
+                pdf = pdf.assign(__local_end=ends)
+                yield pdf
 
     local = parted.mapInPandas(local_scan, schema=out_schema)
 
-    # P rows (P = shuffle partitions) — driver-bounded by construction
-    totals = {
-        r["__pid"]: r["t"]
-        for r in parted.groupBy("__pid").agg(F.sum(n_col).alias("t")).collect()
-    }
-    base, bases = 0, []
-    for pid in sorted(totals):
-        bases.append((pid, base))
-        base += int(totals[pid] or 0)
-    base_df = spark.createDataFrame(bases, "__pid int, __base long")
+    # P (or P × streams-touching-partition) rows — driver-bounded
+    group = ["__pid"] + ([stream_col] if stream_col else [])
+    total_rows = parted.groupBy(*group).agg(F.sum(n_col).alias("t")).collect()
+    if stream_col is None:
+        totals = {r["__pid"]: r["t"] for r in total_rows}
+        base, bases = 0, []
+        for pid in sorted(totals):
+            bases.append((pid, base))
+            base += int(totals[pid] or 0)
+        base_df = spark.createDataFrame(bases, "__pid int, __base long")
+        join_on = ["__pid"]
+    else:
+        per_stream: dict = {}
+        bases = []
+        for r in sorted(total_rows, key=lambda r: (r[stream_col] is not None, r[stream_col], r["__pid"])):
+            s = r[stream_col]
+            bases.append((r["__pid"], s, per_stream.get(s, 0)))
+            per_stream[s] = per_stream.get(s, 0) + int(r["t"] or 0)
+        s_dtype = dict(parted.dtypes)[stream_col]
+        base_df = spark.createDataFrame(
+            bases, f"__pid int, {stream_col} {s_dtype}, __base long"
+        )
+        join_on = ["__pid", stream_col]
 
     return (
-        local.join(F.broadcast(base_df), "__pid")
+        local.join(F.broadcast(base_df), join_on)
         .withColumn(
             "offset", F.col("__base") + F.col("__local_end") - F.col(n_col).cast("long")
         )
@@ -121,13 +171,16 @@ def pack_assignment(
     cap: int,
     order_cols: Iterable[str] = ("doc_id",),
     n_col: str = "n_tok",
+    stream_col: str | None = None,
 ) -> DataFrame:
     """Each doc's position in the packed token stream: `offset` (global
-    token offset), `pack_id = offset div cap`, `pack_pos = offset mod
-    cap` — closed-form on top of `token_offsets`, no extra shuffle."""
+    token offset — per stream when `stream_col` is set), `pack_id =
+    offset div cap`, `pack_pos = offset mod cap` — closed-form on top of
+    `token_offsets`, no extra shuffle. With a stream column, pack ids
+    are per-stream (qualify with the stream column downstream)."""
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
-    off = token_offsets(df, order_cols=order_cols, n_col=n_col)
+    off = token_offsets(df, order_cols=order_cols, n_col=n_col, stream_col=stream_col)
     # integral `div`, not double division: at 10^12-sequence scale the
     # stream offset exceeds 2^53 and float division would mis-bucket
     return off.select(
@@ -142,6 +195,7 @@ def chunk_spans(
     cap: int,
     order_cols: Iterable[str] = ("doc_id",),
     n_col: str = "n_tok",
+    stream_col: str | None = None,
 ) -> DataFrame:
     """Explode each doc into its per-pack spans: one row per (doc, pack)
     the doc's tokens overlap, with `start` (position inside the pack)
@@ -156,7 +210,7 @@ def chunk_spans(
     """
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
-    off = token_offsets(df, order_cols=order_cols, n_col=n_col)
+    off = token_offsets(df, order_cols=order_cols, n_col=n_col, stream_col=stream_col)
     n = F.col(n_col).cast("long")
     # integral `div` (see pack_assignment): offsets overflow double past 2^53
     first_pack = F.expr(f"offset div {int(cap)}")
