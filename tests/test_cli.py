@@ -58,3 +58,23 @@ def test_missing_input_clean_error(capsys):
     assert rc == 2
     err = capsys.readouterr().err
     assert "cannot read --input" in err and "PATH_NOT_FOUND" in err
+
+
+def test_cli_diff_against(spark, synth_dir, tmp_path, capsys):
+    out_dir = str(tmp_path / "out")
+    base = [
+        "--input", f"{synth_dir}/sequences.parquet",
+        "--out", out_dir,
+        "--allowed-sources", f"{synth_dir}/allowed_sources.parquet",
+        "--partitions", "8",
+    ]
+    assert cli.main(base + ["--run-id", "runA"]) == 0
+    # identical second run: diff against runA must report no changes
+    assert cli.main(base + ["--run-id", "runB", "--diff-against", "runA"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["diff"]["against"] == "runA"
+    assert out["diff"]["counts"] == {} and out["diff"]["regressed"] == []
+    # unknown run id: clean error field, not a crash
+    assert cli.main(base + ["--run-id", "runC", "--diff-against", "nope"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "no verdicts" in out["diff"]["error"]

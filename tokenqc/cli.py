@@ -46,6 +46,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "--report", action="store_true",
         help="also render the human-readable HTML report artifact",
     )
+    ap.add_argument(
+        "--diff-against", default=None, metavar="RUN_ID",
+        help="after the run, diff this run's verdicts against a previous "
+        "run's (REGRESSED/IMPROVED/NEW/GONE) and include the counts + "
+        "regressed cells in the summary JSON",
+    )
     args = ap.parse_args(argv)
     if args.partitions <= 0:
         ap.error("--partitions must be positive")
@@ -98,6 +104,28 @@ def main(argv: list[str] | None = None) -> int:
         "failed_partitions": res.state.where("status = 'FAIL'").count(),
         "errors": res.errors,
     }
+    if args.diff_against:
+        from pyspark.sql import functions as F
+
+        from tokenqc import report as qreport
+
+        try:
+            diff = qreport.diff_runs(spark, args.out, args.diff_against, res.run_id)
+            by_change = {
+                r["change"]: r["n"]
+                for r in diff.groupBy("change").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            regressed = [
+                f"{r.partition_id}/{r.check_name}"
+                for r in diff.where(F.col("change") == "REGRESSED")
+                .orderBy("partition_id", "check_name")
+                .limit(20)
+                .collect()
+            ]
+            summary["diff"] = {"against": args.diff_against, "counts": by_change,
+                               "regressed": regressed}
+        except ValueError as e:
+            summary["diff"] = {"against": args.diff_against, "error": str(e)}
     print(json.dumps(summary))
     return 0 if not res.errors else 1
 
