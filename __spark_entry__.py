@@ -11,9 +11,15 @@ oracle covers the engine's real check operators, not just lookalikes.
 Hash-family ops (MinHash-LSH, IVF-ANN, hyperplane-LSH near-dup, salted
 uniqueness, pandas top-k, the drift p-value gate) are oracle-checked
 against the exact closed-form result their approximate path must
-recover. SimHash's raw pair query (xxhash64 signatures, no SQL twin)
-stays rows-only, but its recall is now driver-verified too via the
-planted-pair containment query (simhash_planted_recall).
+recover.
+
+The declared surface is EXACTLY 50 queries, every one oracle-paired
+(the driver records at most 50 rows; r03 declared 57 and lost the seven
+riskiest to the cap). Eight subsumed queries moved to
+``extra_queries``/``extra_oracle_sql`` and keep identical oracle parity
+coverage under pytest (tests/test_entry.py) — including simhash_pairs,
+the one rows-only query (xxhash64 signatures, no SQL twin; its recall
+is driver-gated via simhash_planted_recall instead).
 """
 
 from __future__ import annotations
@@ -74,19 +80,41 @@ def _hash_family_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]
         )
 
     return {
-        "minhash_lsh_pairs": q_minhash_lsh,
-        "simhash_pairs": q_simhash_pairs,
         "simhash_planted_recall": HT.q_simhash_planted_recall,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "pandas_ann_topk": q_pandas_ann_topk,
-        "drift_verdicts_full": H.q_seq_drift_verdicts,
         "uniqueness_salted": q_uniqueness_salted,
+        "drift_verdicts_full": H.q_seq_drift_verdicts,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "embed_neardup_lsh": HT.q_embed_neardup_lsh,
+        "minhash_lsh_pairs": q_minhash_lsh,
+        "_simhash_pairs": q_simhash_pairs,
+        "_pandas_ann_topk": q_pandas_ann_topk,
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 queries — the driver records at most 50 CORRECTNESS
+    rows (r03 declared 57, got 50), so the surface is consolidated to
+    fit and ordered riskiest-first (hash-family recall gates, then the
+    newest operators). Every folded-out query keeps full oracle parity
+    coverage in pytest via ``extra_queries``/``extra_oracle_sql``
+    (tests/test_entry.py) — see that mapping for what subsumes what."""
+    hf = _hash_family_queries()
     q = {
+        # hash-family / approximate paths verified against exact
+        # closed-form results — the rows the last two rounds fought for
+        "simhash_planted_recall": hf["simhash_planted_recall"],
+        "uniqueness_salted": hf["uniqueness_salted"],
+        "drift_verdicts_full": hf["drift_verdicts_full"],
+        "ivf_ann_topk": hf["ivf_ann_topk"],
+        "embed_neardup_lsh": hf["embed_neardup_lsh"],
+        "minhash_lsh_pairs": hf["minhash_lsh_pairs"],
+        # round-4: materialized packs; round-3: packing/repetition/PII
+        "seq_pack_tokens": HT.q_seq_pack_tokens,
+        "seq_pack_spans": HT.q_seq_pack_spans,
+        "seq_pack_by_source": HT.q_seq_pack_by_source,
+        "doc_repetition": HT.q_doc_repetition,
+        "doc_pii": HT.q_doc_pii,
+        "doc_pii_scrub": HT.q_doc_pii_scrub,
         # engine gates on the derived sequences table
         "seq_violation_counts": H.q_seq_violation_counts,
         "seq_format_violations": H.q_seq_format_violations,
@@ -99,13 +127,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_scores": H.q_seq_scores,
         "seq_drift_stats": H.q_seq_drift_stats,
         "seq_drift_js": H.q_seq_drift_js,
-        "seq_vocab_topk": H.q_seq_vocab_topk,
         "seq_vocab_by_source": H.q_seq_vocab_by_source,
         "seq_heavy_hitters": H.q_seq_heavy_hitters,
+        "seq_quantiles": HT.q_seq_quantiles,
+        "seq_quantiles_approx": HT.q_seq_quantiles_approx,
         # dedup / similarity / text QC
         "doc_exact_dup": HT.q_doc_exact_dup,
         "doc_ngram_jaccard": HT.q_doc_ngram_jaccard,
-        "embed_cosine_pairs": HT.q_embed_cosine_pairs,
         "ann_topk": HT.q_ann_topk,
         "ann_batch_topk": HT.q_ann_batch_topk,
         "doc_token_count": HT.q_doc_token_count,
@@ -115,38 +143,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": HT.q_doc_contamination,
         "dedup_clusters": HT.q_dedup_clusters,
         "doc_split": HT.q_doc_split,
-        "doc_curation": HT.q_doc_curation,
         "doc_curation_lsh": HT.q_doc_curation_lsh,
         # QC gates over the TPC-H-ish tables
         "events_completeness": HT.q_events_completeness,
         "events_histogram": HT.q_events_histogram,
-        "lineitem_uniqueness": HT.q_lineitem_uniqueness,
         "lineitem_referential": HT.q_lineitem_referential,
         "lineitem_structural": HT.q_lineitem_structural,
-        "customer_format": HT.q_customer_format,
         "top_violation_examples": HT.q_top_violation_examples,
         "outcome_counts": HT.q_outcome_counts,
         "content_flags": HT.q_content_flags,
         "events_sessions": HT.q_events_sessions,
-        "seq_quantiles": HT.q_seq_quantiles,
-        "seq_quantiles_approx": HT.q_seq_quantiles_approx,
         "events_asof": HT.q_events_asof,
         "lineitem_range_join": HT.q_lineitem_range_join,
         "events_rollup": HT.q_events_rollup,
-        # round-3: repetition filter, PII detect/scrub, sequence packing
-        "doc_repetition": HT.q_doc_repetition,
-        "doc_pii": HT.q_doc_pii,
-        "doc_pii_scrub": HT.q_doc_pii_scrub,
-        "seq_pack_offsets": HT.q_seq_pack_offsets,
-        "seq_pack_spans": HT.q_seq_pack_spans,
-        "seq_pack_by_source": HT.q_seq_pack_by_source,
     }
-    q.update(_hash_family_queries())
+    assert len(q) == 50, len(q)
     return q
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries folded OUT of the 50-row driver surface (each subsumed by
+    a retained query on the same operator) but still oracle-verified in
+    pytest: tests/test_entry.py parametrizes over queries() ∪ extra.
+
+    - embed_cosine_pairs  ⊂ embed_neardup_lsh (same exact-pair oracle)
+    - pandas_ann_topk     ⊂ ann_topk (same top-k oracle, Arrow path)
+    - simhash_pairs       — rows-only by design; recall is driver-gated
+                            via simhash_planted_recall
+    - doc_curation        ⊂ doc_curation_lsh (identical output, exact
+                            pair-generation path)
+    - seq_pack_offsets    ⊂ seq_pack_spans/tokens (derived from offsets)
+    - lineitem_uniqueness ⊂ seq_uniqueness + uniqueness_salted
+    - customer_format     ⊂ seq_format_violations
+    - seq_vocab_topk      ⊂ seq_vocab_by_source
+    """
+    hf = _hash_family_queries()
+    return {
+        "embed_cosine_pairs": HT.q_embed_cosine_pairs,
+        "pandas_ann_topk": hf["_pandas_ann_topk"],
+        "simhash_pairs": hf["_simhash_pairs"],
+        "doc_curation": HT.q_doc_curation,
+        "seq_pack_offsets": HT.q_seq_pack_offsets,
+        "lineitem_uniqueness": HT.q_lineitem_uniqueness,
+        "customer_format": HT.q_customer_format,
+        "seq_vocab_topk": H.q_seq_vocab_topk,
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """DuckDB twins for extra_queries (simhash_pairs stays rows-only)."""
+    return {
+        "embed_cosine_pairs": HT.oracle_embed_cosine_pairs(),
+        "pandas_ann_topk": HT.oracle_ann_topk(),
+        "doc_curation": HT.oracle_doc_curation(),
+        "seq_pack_offsets": HT.oracle_seq_pack_offsets(),
+        "lineitem_uniqueness": HT.oracle_lineitem_uniqueness(),
+        "customer_format": HT.oracle_customer_format(),
+        "seq_vocab_topk": H.oracle_seq_vocab_topk(),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # hash-family paths verified against exact closed-form results:
+        # LSH/IVF candidates + exact verification must RECOVER the exact
+        # sets; the planted-pair containment set certifies SimHash recall
+        "simhash_planted_recall": HT.oracle_simhash_planted_recall(),
+        "uniqueness_salted": H.oracle_seq_uniqueness(),
+        "drift_verdicts_full": H.oracle_seq_drift_verdicts(),
+        "ivf_ann_topk": HT.oracle_ann_topk(),
+        "embed_neardup_lsh": HT.oracle_embed_neardup_lsh(),
+        "minhash_lsh_pairs": HT.oracle_doc_ngram_jaccard(),
+        "seq_pack_tokens": HT.oracle_seq_pack_tokens(),
+        "seq_pack_spans": HT.oracle_seq_pack_spans(),
+        "seq_pack_by_source": HT.oracle_seq_pack_by_source(),
+        "doc_repetition": HT.oracle_doc_repetition(),
+        "doc_pii": HT.oracle_doc_pii(),
+        "doc_pii_scrub": HT.oracle_doc_pii_scrub(),
         "seq_violation_counts": H.oracle_seq_violation_counts(),
         "seq_format_violations": H.oracle_seq_format_violations(),
         "seq_uniqueness": H.oracle_seq_uniqueness(),
@@ -158,12 +231,12 @@ def oracle_sql() -> dict[str, str]:
         "seq_scores": H.oracle_seq_scores(),
         "seq_drift_stats": H.oracle_seq_drift_stats(),
         "seq_drift_js": H.oracle_seq_drift_js(),
-        "seq_vocab_topk": H.oracle_seq_vocab_topk(),
         "seq_vocab_by_source": H.oracle_seq_vocab_by_source(),
         "seq_heavy_hitters": H.oracle_seq_heavy_hitters(),
+        "seq_quantiles": HT.oracle_seq_quantiles(),
+        "seq_quantiles_approx": HT.oracle_seq_quantiles_approx(),
         "doc_exact_dup": HT.oracle_doc_exact_dup(),
         "doc_ngram_jaccard": HT.oracle_doc_ngram_jaccard(),
-        "embed_cosine_pairs": HT.oracle_embed_cosine_pairs(),
         "ann_topk": HT.oracle_ann_topk(),
         "ann_batch_topk": HT.oracle_ann_batch_topk(),
         "doc_token_count": HT.oracle_doc_token_count(),
@@ -173,41 +246,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_contamination": HT.oracle_doc_contamination(),
         "dedup_clusters": HT.oracle_dedup_clusters(),
         "doc_split": HT.oracle_doc_split(),
-        "doc_curation": HT.oracle_doc_curation(),
         "doc_curation_lsh": HT.oracle_doc_curation(),
         "events_completeness": HT.oracle_events_completeness(),
         "events_histogram": HT.oracle_events_histogram(),
-        "lineitem_uniqueness": HT.oracle_lineitem_uniqueness(),
         "lineitem_referential": HT.oracle_lineitem_referential(),
         "lineitem_structural": HT.oracle_lineitem_structural(),
-        "customer_format": HT.oracle_customer_format(),
         "top_violation_examples": HT.oracle_top_violation_examples(),
         "outcome_counts": HT.oracle_outcome_counts(),
         "content_flags": HT.oracle_content_flags(),
         "events_sessions": HT.oracle_events_sessions(),
-        "seq_quantiles": HT.oracle_seq_quantiles(),
-        "seq_quantiles_approx": HT.oracle_seq_quantiles_approx(),
         "events_asof": HT.oracle_events_asof(),
         "lineitem_range_join": HT.oracle_lineitem_range_join(),
         "events_rollup": HT.oracle_events_rollup(),
-        "doc_repetition": HT.oracle_doc_repetition(),
-        "doc_pii": HT.oracle_doc_pii(),
-        "doc_pii_scrub": HT.oracle_doc_pii_scrub(),
-        "seq_pack_offsets": HT.oracle_seq_pack_offsets(),
-        "seq_pack_spans": HT.oracle_seq_pack_spans(),
-        "seq_pack_by_source": HT.oracle_seq_pack_by_source(),
-        # hash-family paths verified against exact closed-form results:
-        # LSH candidates + exact verification must RECOVER the exact sets
-        "minhash_lsh_pairs": HT.oracle_doc_ngram_jaccard(),
-        "ivf_ann_topk": HT.oracle_ann_topk(),
-        "pandas_ann_topk": HT.oracle_ann_topk(),
-        "uniqueness_salted": H.oracle_seq_uniqueness(),
-        "drift_verdicts_full": H.oracle_seq_drift_verdicts(),
-        "embed_neardup_lsh": HT.oracle_embed_neardup_lsh(),
-        # the planted-pair containment set is closed-form: the driver now
-        # verifies SimHash RECALL on the planted exact copies
-        "simhash_planted_recall": HT.oracle_simhash_planted_recall(),
-        # simhash_pairs itself stays rows-only: xxhash64-based signatures
-        # are not ANSI-SQL-expressible; full recall is unit-tested vs
-        # brute-force Hamming at d=8 instead (tests/test_textops.py)
     }

@@ -31,6 +31,44 @@ def test_overwrite_batch_is_idempotent(spark, tmp_path):
     assert qio.read_table(spark, str(tmp_path), "t", "r").count() == 1
 
 
+def test_local_file_path_resolution(spark, tmp_path):
+    """ADVICE r3: local-vs-remote routing must resolve the scheme via the
+    Hadoop FS API, not string-sniffing. file:-scheme (explicit or via
+    the local defaultFS) resolves to a POSIX path; remote schemes don't."""
+    p = str(tmp_path)
+    assert qio._local_file_path(spark, p) == p
+    assert qio._local_file_path(spark, f"file:{p}") == p
+    assert qio._local_file_path(spark, f"file://{p}") == p
+    assert qio._local_file_path(spark, "s3a://bucket/prefix") is None
+
+
+def test_write_batch_rows_atomic_and_clean(spark, tmp_path):
+    """The pyarrow fast path commits via temp-file + os.replace: after a
+    write no .inprogress temp remains, and a leftover temp from a
+    crashed writer is invisible to readers (dotfile) and replaced by the
+    next idempotent overwrite."""
+    import os
+
+    import pyarrow as pa
+
+    out = str(tmp_path)
+    ddl = "k int, v string"
+    schema = [("k", pa.int32()), ("v", pa.string())]
+    path = qio.write_batch_rows(spark, [(1, "a"), (2, "b")], ddl, schema, out, "t", "r", 0)
+    files = os.listdir(path)
+    assert files == ["part-00000.parquet"]
+    assert qio.read_table(spark, out, "t", "r").count() == 2
+    # plant a torn temp (simulated crash mid-write) — readers must not see it
+    torn = os.path.join(path, ".part-00000.parquet.inprogress")
+    with open(torn, "wb") as f:
+        f.write(b"not parquet")
+    assert qio.read_table(spark, out, "t", "r").count() == 2
+    # idempotent retry replaces the slice and clears the temp
+    qio.write_batch_rows(spark, [(3, "c")], ddl, schema, out, "t", "r", 0)
+    assert os.listdir(path) == ["part-00000.parquet"]
+    assert qio.read_table(spark, out, "t", "r").count() == 1
+
+
 def test_drop_orphan_batches(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "k int")
     for b in (0, 1, 2):
@@ -166,6 +204,9 @@ def test_diff_runs_classifies_changes(spark, tmp_path):
         (2, "completeness", "PASS", 100, 2, None),   # n_viol up (REGRESSED)
         (3, "format", "PASS", 100, 0, None),         # unchanged (absent)
         (4, "format", "PASS", 100, 0, None),         # gone in b (GONE)
+        (6, "drift", "FAIL", 100, 3, None),          # -> UNKNOWN: lost coverage (REGRESSED)
+        (7, "drift", "UNKNOWN", 0, 0, None),         # -> FAIL: coverage regained (IMPROVED)
+        (8, "drift", "UNKNOWN", 0, 0, None),         # UNKNOWN both sides (absent)
     ]
     run_b = [
         (0, "completeness", "FAIL", 100, 5, None),   # PASS->FAIL (REGRESSED)
@@ -173,6 +214,9 @@ def test_diff_runs_classifies_changes(spark, tmp_path):
         (2, "completeness", "PASS", 100, 7, None),
         (3, "format", "PASS", 100, 0, None),
         (5, "format", "UNKNOWN", 0, 0, None),        # new in b (NEW)
+        (6, "drift", "UNKNOWN", 0, 0, None),
+        (7, "drift", "FAIL", 100, 3, None),
+        (8, "drift", "UNKNOWN", 0, 0, None),
     ]
     out = str(tmp_path)
     qio.write_batch(spark.createDataFrame(run_a, ddl), out, "verdicts", "ra", 0)
@@ -187,6 +231,42 @@ def test_diff_runs_classifies_changes(spark, tmp_path):
         (2, "completeness"): "REGRESSED",
         (4, "format"): "GONE",
         (5, "format"): "NEW",
+        (6, "drift"): "REGRESSED",
+        (7, "drift"): "IMPROVED",
     }
     with pytest.raises(ValueError, match="no verdicts"):
         report.diff_runs(spark, out, "ra", "nope")
+
+
+def test_diff_runs_uses_latest_batch_view(spark, tables, tmp_path, monkeypatch):
+    """Resume-then-diff (VERDICT r3 #1): a resumed run keeps superseded
+    batch-0 rows on disk next to the batch-1 re-validation; diff_runs
+    must read the latest-committed-batch view so every cell appears once
+    and a run whose final state equals the baseline diffs EMPTY."""
+    from tokenqc import report
+    from tokenqc.checks import uniqueness
+    from tokenqc.checks.base import CheckConfig
+    from tokenqc.runner import QCRunner
+
+    out = str(tmp_path / "q")
+    runner = QCRunner(spark, CheckConfig(n_partitions=8), out_dir=out)
+    runner.run(tables["sequences"], allowed_sources=tables["allowed_sources"], run_id="base")
+
+    def boom(*a, **k):
+        raise RuntimeError("uniqueness exploded")
+
+    # run 'res': batch 0 grades every partition UNKNOWN (family error) ...
+    monkeypatch.setattr(uniqueness, "violations", boom)
+    runner.run(tables["sequences"], allowed_sources=tables["allowed_sources"], run_id="res")
+    monkeypatch.undo()
+    # ... then the resume re-validates them all into batch 1
+    runner.run(tables["sequences"], allowed_sources=tables["allowed_sources"], run_id="res")
+
+    # raw verdicts really do hold both batches (the trap diff_runs must dodge)
+    raw = qio.read_table(spark, out, "verdicts", "res")
+    assert raw.select("batch").distinct().count() == 2
+
+    rows = report.diff_runs(spark, out, "base", "res").collect()
+    keys = [(r.partition_id, r.check_name) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate diff cells from stale batches"
+    assert rows == [], f"spurious changes from superseded rows: {rows[:5]}"

@@ -914,15 +914,18 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_doc_repetition() -> str:
+    # tokenizer mirrors the ENGINE's words_expr = split(trim(text), '\\s+')
+    # (ADVICE r3: string_split on a single space diverges on any document
+    # with consecutive whitespace — regexp_split_to_array is the twin)
     return CORPUS_CTE + """
-, w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM corpus),
+, w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM corpus),
  wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
  top AS (SELECT doc_id, max(c) AS mc, CAST(sum(c) AS BIGINT) AS nw FROM wc GROUP BY 1),
  g AS (SELECT doc_id,
-        greatest(len(string_split(trim(text), ' ')) - 1, 0) AS total2,
+        greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 0) AS total2,
         len(list_distinct(list_transform(
-            range(0, greatest(len(string_split(trim(text), ' ')) - 1, 0)),
-            i -> (string_split(trim(text), ' '))[i+1] || ' ' || (string_split(trim(text), ' '))[i+2]))) AS d2
+            range(0, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 0)),
+            i -> (regexp_split_to_array(trim(text), '\\s+'))[i+1] || ' ' || (regexp_split_to_array(trim(text), '\\s+'))[i+2]))) AS d2
       FROM corpus)
 SELECT t.doc_id, t.nw AS n_words,
        round(t.mc * 1.0 / t.nw, 6) AS top_word_frac,
@@ -934,14 +937,17 @@ FROM top t JOIN g USING (doc_id)
 
 
 # documents with deterministically planted PII (emails every 7th doc,
-# IPv4 every 11th, phone numbers every 13th) — identical arithmetic in
-# Spark and SQL so detection counts are oracle-checkable
+# IPv4 every 11th, phone numbers every 13th, SSN-alikes every 17th,
+# card-alikes every 19th) — identical arithmetic in Spark and SQL so
+# detection counts are oracle-checkable
 _PII_CTE = """
 WITH pii AS (
   SELECT doc_id, text ||
     CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
     CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END ||
-    CASE WHEN doc_id % 13 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    CASE WHEN doc_id % 13 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+    CASE WHEN doc_id % 17 = 0 THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+    CASE WHEN doc_id % 19 = 0 THEN ' card 4' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
     AS text
   FROM documents
 )
@@ -967,8 +973,28 @@ def derive_pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         ),
     ).otherwise(F.lit(""))
+    ssn = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(
+            F.lit(" ssn "),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    cc = F.when(
+        F.col("doc_id") % 19 == 0,
+        F.concat(
+            F.lit(" card 4"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-1111-1111-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
     return docs.select(
-        "doc_id", F.concat(F.col("text"), email, ip, phone).alias("text")
+        "doc_id", F.concat(F.col("text"), email, ip, phone, ssn, cc).alias("text")
     )
 
 
@@ -979,14 +1005,21 @@ def q_doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_doc_pii() -> str:
-    return _PII_CTE + """
+    # built from the SAME RE2-portable pattern constants the engine
+    # compiles (textqc.PII_PATTERNS) — pattern set can't silently drift
+    from tokenqc.textops.textqc import PII_PATTERNS
+
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS INTEGER) AS n_{n}"
+        for n, p in PII_PATTERNS.items()
+    )
+    anyof = "\n   OR ".join(
+        f"len(regexp_extract_all(text, '{p}')) > 0" for p in PII_PATTERNS.values()
+    )
+    return _PII_CTE + f"""
 SELECT doc_id,
-  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
-  CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
-  CAST(len(regexp_extract_all(text, '\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}')) AS INTEGER) AS n_phone,
-  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
-   OR len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) > 0
-   OR len(regexp_extract_all(text, '\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}')) > 0) AS has_pii
+  {counts},
+  ({anyof}) AS has_pii
 FROM pii
 """
 
@@ -999,16 +1032,14 @@ def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_doc_pii_scrub() -> str:
-    # same replacement ORDER as textqc.PII_PATTERNS (email, ipv4, phone)
-    return _PII_CTE + """
-SELECT doc_id,
-  regexp_replace(
-    regexp_replace(
-      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g'),
-    '\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}', '[PHONE]', 'g') AS text
-FROM pii
-"""
+    # same replacement ORDER as textqc.PII_PATTERNS — the chain is
+    # generated from the engine's own pattern dict (order included)
+    from tokenqc.textops.textqc import PII_PATTERNS
+
+    expr = "text"
+    for n, p in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{p}', '[{n.upper()}]', 'g')"
+    return _PII_CTE + f"\nSELECT doc_id, {expr} AS text\nFROM pii\n"
 
 
 _PACK_CAP = 2048
@@ -1076,6 +1107,67 @@ SELECT rn, p AS pack_id,
   least("offset" + n_tok, (p+1)*{c}) - greatest("offset", p*{c}) AS "len"
 FROM off, LATERAL unnest(generate_series("offset" // {c}, ("offset" + n_tok - 1) // {c})) AS t(p)
 WHERE n_tok > 0
+"""
+
+
+def q_seq_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, phase 3 (NEW r4): the MATERIALIZED packs — each
+    pack's actual token array gathered from the per-doc slices (one
+    pack_id hash shuffle beyond token_offsets' range shuffle; groups are
+    cap-bounded so no skew is possible). The pack content is compared
+    byte-exactly via md5 over the canonical comma-joined token string —
+    array columns hash differently across engines' pandas bridges, a
+    digest of the canonical text form does not. The oracle rebuilds
+    every pack in DuckDB from the closed-form token values via LATERAL
+    slices + ordered string_agg.
+
+    n_col is size(tokens), not the (deliberately corrupted) n_tok
+    column: packing runs on a validated corpus where the two agree."""
+    from tokenqc.harness import derive_sequences
+    from tokenqc.textops import pack
+
+    seq = (
+        derive_sequences(spark, sf_dir)
+        .where(F.col("tokens").isNotNull())
+        .select("rn", "tokens", F.size("tokens").cast("int").alias("nt"))
+    )
+    packed = pack.pack_tokens(
+        seq, cap=_PACK_CAP, order_cols=("rn",), tokens_col="tokens", n_col="nt"
+    )
+    return packed.select(
+        "pack_id",
+        "n_tokens",
+        F.md5(F.array_join(F.col("tokens").cast("array<string>"), ",")).alias("tokens_md5"),
+    )
+
+
+def oracle_seq_pack_tokens() -> str:
+    from tokenqc.harness import SEQ_CTE
+
+    c = _PACK_CAP
+    # token at 1-based in-doc position x of doc rn = (x*31 + rn) % 50257
+    # (the SEQ_CTE determinism contract) — each pack is rebuilt from the
+    # closed form, sliced laterally, ordered by in-pack position
+    return SEQ_CTE + f"""
+, off AS (
+  SELECT rn, sz,
+    CAST(coalesce(sum(sz) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+  FROM seq WHERE sz IS NOT NULL),
+ spans AS (
+  SELECT rn, p,
+    greatest(o, p*{c}) - p*{c} AS pos,
+    greatest(o, p*{c}) - o + 1 AS ds,
+    least(o + sz, (p+1)*{c}) - greatest(o, p*{c}) AS ln
+  FROM off, LATERAL unnest(generate_series(o // {c}, (o + sz - 1) // {c})) AS t(p)
+  WHERE sz > 0),
+ pieces AS (
+  SELECT p AS pack_id, pos, ln,
+    array_to_string(list_transform(generate_series(ds, ds + ln - 1),
+                                   x -> CAST((x*31 + rn) % 50257 AS VARCHAR)), ',') AS piece
+  FROM spans)
+SELECT pack_id, CAST(sum(ln) AS INTEGER) AS n_tokens,
+       md5(string_agg(piece, ',' ORDER BY pos)) AS tokens_md5
+FROM pieces GROUP BY pack_id
 """
 
 

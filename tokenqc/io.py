@@ -64,10 +64,20 @@ def _ident(spark: SparkSession, table: str) -> str:
 # ---------------------------------------------------------------------------
 # Hadoop FileSystem helpers (FS-agnostic: file://, hdfs://, s3a://)
 # ---------------------------------------------------------------------------
+_SCHEME_RE = None
+
+
 def _qualify(path: str) -> str:
     # a bare relative path would resolve against the JVM's user.dir,
-    # which need not equal the Python cwd — pin local paths explicitly
-    if "://" not in path and not path.startswith("/"):
+    # which need not equal the Python cwd — pin local paths explicitly.
+    # A URI scheme prefix (file:, hdfs://, s3a://) is NOT a relative
+    # path even without the // (file:/x is a legal Hadoop Path).
+    global _SCHEME_RE
+    if _SCHEME_RE is None:
+        import re
+
+        _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]+:")
+    if not _SCHEME_RE.match(path) and not path.startswith("/"):
         return os.path.abspath(path)
     return path
 
@@ -91,6 +101,28 @@ def _delete(spark: SparkSession, path: str) -> None:
     fs, jpath = _hadoop_fs(spark, path)
     if fs.exists(jpath):
         fs.delete(jpath, True)
+
+
+def _local_file_path(spark: SparkSession, path: str) -> str | None:
+    """The POSIX path for `path` iff Spark itself would resolve it onto
+    the local filesystem; None otherwise.
+
+    String-sniffing ("no :// means local") is wrong on a real cluster:
+    Spark resolves scheme-less paths against ``fs.defaultFS`` (hdfs://
+    on most clusters), so a driver-side pyarrow write to the bare path
+    would land on the driver's local disk while every reader looks in
+    HDFS. Resolve the scheme through the same Hadoop FileSystem API the
+    readers use and only report local when that qualified scheme is
+    ``file``."""
+    try:
+        fs, jpath = _hadoop_fs(spark, path)
+        if fs.getScheme() != "file":
+            return None
+        # strip any file:/ prefix via the qualified URI (handles
+        # file:///x, file:/x and bare /x uniformly)
+        return fs.makeQualified(jpath).toUri().getPath()
+    except Exception:
+        return None
 
 
 # ---------------------------------------------------------------------------
@@ -145,10 +177,19 @@ def write_batch_rows(
 
     `rows` are tuples (or Rows) field-aligned with `arrow_schema`;
     `ddl` is the Spark schema for the fallback frame.
+
+    Local-vs-remote is decided by resolving the path's scheme through
+    the Hadoop FileSystem API (`_local_file_path`), NOT by string
+    sniffing: on a cluster a scheme-less path resolves against
+    fs.defaultFS and must take the Spark committer path. The pyarrow
+    fast path writes to a dot-prefixed temp file in the final directory
+    and `os.replace`s it into place — atomic on POSIX, and parquet
+    readers ignore dotfiles, so a crash mid-write leaves no torn slice
+    for qc_state's resume protocol to trip over (it sees an empty batch
+    dir, which reads as absent and re-validates).
     """
-    qualified = _qualify(base_dir)
-    remote = "://" in qualified and not qualified.startswith("file:")
-    if use_iceberg(spark) or remote:
+    local = None if use_iceberg(spark) else _local_file_path(spark, base_dir)
+    if local is None:
         return write_batch(
             spark.createDataFrame(rows, ddl).coalesce(1), base_dir, table, run_id, batch
         )
@@ -157,7 +198,6 @@ def write_batch_rows(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    local = qualified[len("file:"):] if qualified.startswith("file:") else qualified
     path = os.path.join(local, table, f"run_id={run_id}", f"batch={batch}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
@@ -166,7 +206,9 @@ def write_batch_rows(
     tbl = pa.Table.from_arrays(
         [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)], schema=schema
     )
-    pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+    tmp = os.path.join(path, ".part-00000.parquet.inprogress")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(path, "part-00000.parquet"))
     return path
 
 
@@ -198,6 +240,44 @@ def read_table(
         return spark.read.option("basePath", base).parquet(path)
     except AnalysisException:
         return None
+
+
+def read_current(
+    spark: SparkSession, base_dir: str, table: str, run_id: str
+) -> DataFrame | None:
+    """The run's CURRENT view of a result table: for each partition, only
+    the rows from its latest *committed* batch count.
+
+    Batch slices are an immutable append-log — a partition re-validated
+    after an UNKNOWN grade gets fresh rows under a new batch id rather
+    than an in-place rewrite of a mixed batch dir. This view supersedes
+    the stale rows with a broadcast semi-join against qc_state's
+    per-partition max(batch) (n_partitions rows); run-level rows
+    (partition_id = -1, verdicts only) dedupe by (check_name, max batch).
+
+    Shared by the runner's result frames AND report.diff_runs — a diff
+    over the raw table would pair a superseded batch-0 UNKNOWN row with
+    the other run's row and emit spurious REGRESSED/IMPROVED cells
+    (VERDICT r3 #1)."""
+    df = read_table(spark, base_dir, table, run_id)
+    if df is None:
+        return None
+    state = df if table == "qc_state" else read_table(spark, base_dir, "qc_state", run_id)
+    if state is None:
+        return df
+    latest = F.broadcast(
+        state.groupBy("partition_id").agg(F.max("batch").alias("batch"))
+    )
+    cur = df.where(F.col("partition_id") >= 0).join(
+        latest, on=["partition_id", "batch"], how="left_semi"
+    )
+    neg = df.where(F.col("partition_id") < 0)
+    if table == "verdicts":
+        neg_latest = F.broadcast(
+            neg.groupBy("check_name").agg(F.max("batch").alias("batch"))
+        )
+        neg = neg.join(neg_latest, on=["check_name", "batch"], how="left_semi")
+    return cur.unionByName(neg)
 
 
 def list_batches(spark: SparkSession, base_dir: str, table: str, run_id: str) -> list[int]:

@@ -128,22 +128,38 @@ def diff_runs(
     """QC regression detection between two runs of the same input
     family: full-outer-join the two runs' (partition_id, check_name)
     verdicts and emit one row per cell whose status or violation count
-    changed, with a `change` classification:
+    changed, with a `change` classification ordered by status severity
+    PASS < FAIL < UNKNOWN (UNKNOWN is *worst*: the check lost coverage
+    there, which is more alarming than a measured FAIL):
 
-    - REGRESSED  — PASS→FAIL/UNKNOWN, or n_viol grew
-    - IMPROVED   — FAIL/UNKNOWN→PASS, or n_viol shrank
+    - REGRESSED  — severity rose (PASS→FAIL, PASS→UNKNOWN, FAIL→UNKNOWN),
+                   or same status and n_viol grew
+    - IMPROVED   — severity fell (UNKNOWN→FAIL counts: coverage regained;
+                   FAIL→PASS, UNKNOWN→PASS), or same status and n_viol shrank
     - NEW/GONE   — the check/partition exists in only one run
+
+    n_viol deltas are only compared when NEITHER side is UNKNOWN —
+    UNKNOWN rows carry n_viol=0 by construction, not a measurement
+    (ADVICE r3: FAIL→UNKNOWN previously fell through to the n_viol
+    branch and mis-read lost coverage as IMPROVED).
+
+    Each run's verdicts are read through io.read_current — the
+    latest-committed-batch view — so a resumed run (a partition graded
+    UNKNOWN in batch 0, re-validated in batch 1; both slices on disk)
+    contributes exactly one row per (partition_id, check_name) and no
+    spurious duplicate-key pairings (VERDICT r3 #1).
 
     Both verdict frames are bounded (n_partitions × checks rows), so the
     join is trivially broadcastable at any data scale — this is a
     metadata diff, never a data diff. The engine analogue of comparing
-    two of the reference's QC report pages run-over-run.
+    two of the reference's QC report pages run-over-run
+    (/root/reference/README.md:143-147).
     """
     from tokenqc import io as qio
-    from tokenqc.schema import PASS
+    from tokenqc.schema import FAIL, PASS, UNKNOWN
 
-    a = qio.read_table(spark, out_dir, "verdicts", run_a)
-    b = qio.read_table(spark, out_dir, "verdicts", run_b)
+    a = qio.read_current(spark, out_dir, "verdicts", run_a)
+    b = qio.read_current(spark, out_dir, "verdicts", run_b)
     if a is None or b is None:
         missing = run_a if a is None else run_b
         raise ValueError(f"run '{missing}' has no verdicts under {out_dir}")
@@ -151,15 +167,21 @@ def diff_runs(
     a = a.select(*key, F.col("status").alias("status_a"), F.col("n_viol").alias("n_viol_a"))
     b = b.select(*key, F.col("status").alias("status_b"), F.col("n_viol").alias("n_viol_b"))
     j = a.join(b, key, "full_outer")
+
+    def sev(col: str):
+        return (
+            F.when(F.col(col) == PASS, F.lit(0))
+            .when(F.col(col) == FAIL, F.lit(1))
+            .when(F.col(col) == UNKNOWN, F.lit(2))
+        )
+
+    either_unknown = (F.col("status_a") == UNKNOWN) | (F.col("status_b") == UNKNOWN)
     change = (
         F.when(F.col("status_a").isNull(), F.lit("NEW"))
         .when(F.col("status_b").isNull(), F.lit("GONE"))
-        .when(
-            (F.col("status_a") == PASS) & (F.col("status_b") != PASS), F.lit("REGRESSED")
-        )
-        .when(
-            (F.col("status_a") != PASS) & (F.col("status_b") == PASS), F.lit("IMPROVED")
-        )
+        .when(sev("status_b") > sev("status_a"), F.lit("REGRESSED"))
+        .when(sev("status_b") < sev("status_a"), F.lit("IMPROVED"))
+        .when(either_unknown, F.lit(None))  # equal-UNKNOWN: n_viol meaningless
         .when(F.col("n_viol_b") > F.col("n_viol_a"), F.lit("REGRESSED"))
         .when(F.col("n_viol_b") < F.col("n_viol_a"), F.lit("IMPROVED"))
     )

@@ -229,37 +229,10 @@ class QCRunner:
 
     # ------------------------------------------------------------------
     def _read_current(self, run_id: str, table: str) -> DataFrame | None:
-        """The run's current view of a result table: for each partition,
-        only the rows from its latest *committed* batch count.
-
-        Batch slices are an immutable append-log — a partition
-        re-validated after an UNKNOWN grade gets fresh rows under a new
-        batch id rather than an in-place rewrite of a mixed batch dir.
-        This view supersedes the stale rows: a broadcast semi-join
-        against qc_state's per-partition max(batch) (n_partitions rows).
-        Run-level rows (partition_id = -1) dedupe by (check_name,
-        max batch)."""
-        df = qio.read_table(self.spark, self.out_dir, table, run_id)
-        if df is None:
-            return None
-        state = df if table == "qc_state" else qio.read_table(
-            self.spark, self.out_dir, "qc_state", run_id
-        )
-        if state is None:
-            return df
-        latest = F.broadcast(
-            state.groupBy("partition_id").agg(F.max("batch").alias("batch"))
-        )
-        cur = df.where(F.col("partition_id") >= 0).join(
-            latest, on=["partition_id", "batch"], how="left_semi"
-        )
-        neg = df.where(F.col("partition_id") < 0)
-        if table == "verdicts":
-            neg_latest = F.broadcast(
-                neg.groupBy("check_name").agg(F.max("batch").alias("batch"))
-            )
-            neg = neg.join(neg_latest, on=["check_name", "batch"], how="left_semi")
-        return cur.unionByName(neg)
+        """Latest-committed-batch view — see io.read_current (hoisted
+        there so the runner and report.diff_runs share one
+        implementation of the supersede semantics)."""
+        return qio.read_current(self.spark, self.out_dir, table, run_id)
 
     # ------------------------------------------------------------------
     def _resume_point(self, run_id: str) -> tuple[set[int], set[int]]:

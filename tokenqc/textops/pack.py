@@ -52,6 +52,7 @@ def token_offsets(
     n_col: str = "n_tok",
     num_partitions: int | None = None,
     stream_col: str | None = None,
+    max_streams: int = 100_000,
 ) -> DataFrame:
     """Exclusive prefix sum of `n_col` over the total order given by
     `order_cols` (which must be a unique key — ties across a range-
@@ -70,6 +71,16 @@ def token_offsets(
     P × streams-touching-partition totals — still metadata-sized.
     Stream values must be NON-NULL (a null key would fall out of the
     base equi-join) — filter or fill upstream.
+
+    **Cardinality bound**: the driver-side prefix materializes up to
+    P × distinct-streams total rows, which is metadata-sized for
+    source/domain-like keys but quadratic pain for a high-cardinality
+    stream key (a doc-level key would collect the whole table). The
+    guard measures `approx_count_distinct(stream_col)` on the already-
+    cached frame (one narrow job) and raises past `max_streams`
+    (default 100k ⇒ ≤ P×100k base rows); for genuinely high-cardinality
+    streams, partition the input BY the stream key upstream and run the
+    stream-less prefix per partition instead.
 
     Two-phase distributed scan, never a global single-task window: see
     the module docstring for the shape and why boundaries cancel.
@@ -132,6 +143,19 @@ def token_offsets(
                 yield pdf
 
     local = parted.mapInPandas(local_scan, schema=out_schema)
+
+    if stream_col is not None:
+        n_streams = parted.agg(
+            F.approx_count_distinct(stream_col).alias("c")
+        ).first()["c"]
+        if n_streams > max_streams:
+            raise ValueError(
+                f"stream_col={stream_col!r} has ~{n_streams} distinct values "
+                f"(> max_streams={max_streams}): the per-stream driver prefix "
+                "would collect P × streams rows. Partition the input by the "
+                "stream key upstream and run the stream-less prefix per "
+                "partition, or raise max_streams deliberately."
+            )
 
     # P (or P × streams-touching-partition) rows — driver-bounded
     group = ["__pid"] + ([stream_col] if stream_col else [])
@@ -228,3 +252,77 @@ def chunk_spans(
         (span_begin - pack_start).alias("start"),
         (span_end - span_begin).alias("len"),
     )
+
+
+def pack_tokens(
+    df: DataFrame,
+    cap: int,
+    order_cols: Iterable[str] = ("doc_id",),
+    tokens_col: str = "tokens",
+    n_col: str = "n_tok",
+    stream_col: str | None = None,
+) -> DataFrame:
+    """Materialize the packed batches themselves: one row per pack with
+    its assembled `tokens` array (exactly `cap` tokens everywhere except
+    the final partial pack) and `n_tokens` — the table a training loader
+    actually consumes, completing the contract `chunk_spans` only plans.
+
+    `n_col` must equal the true array length (pack a VALIDATED corpus,
+    or pass size(tokens)); a lying n_col would shift every downstream
+    offset.
+
+    Shape: token_offsets' range shuffle + two narrow passes, then the
+    span explode and slice stay in the scan stage, and ONE further hash
+    shuffle keyed by pack_id assembles the packs. Each pack group holds
+    at most `cap` tokens by construction (spans can't overlap within a
+    pack), so the collect_list state per group is cap-bounded — no skew
+    possible regardless of document length distribution: a giant doc
+    just contributes cap-token slices to many packs. Assembly order
+    inside a pack is by the span's in-pack position (`array_sort` on
+    (pos, piece) structs — collect_list order is nondeterministic, the
+    sort restores the stream order deterministically).
+
+    With `stream_col`, packs are per-stream (grouped by (stream,
+    pack_id)) and never mix streams.
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    off = token_offsets(df, order_cols=order_cols, n_col=n_col, stream_col=stream_col)
+    n = F.col(n_col).cast("long")
+    first_pack = F.expr(f"offset div {int(cap)}")
+    last_pack = F.expr(f"(offset + cast({n_col} as bigint) - 1) div {int(cap)}")
+    stream = [stream_col] if stream_col else []
+    pieces = off.where(n > 0).select(
+        *stream,
+        "offset",
+        n.alias("__n"),
+        F.col(tokens_col).alias("__toks"),
+        F.explode(F.sequence(first_pack, last_pack)).alias("pack_id"),
+    )
+    pack_start = F.col("pack_id") * cap
+    span_begin = F.greatest(F.col("offset"), pack_start)
+    span_end = F.least(F.col("offset") + F.col("__n"), pack_start + cap)
+    piece = F.slice(
+        F.col("__toks"),
+        (span_begin - F.col("offset") + 1).cast("int"),  # 1-based in-doc start
+        (span_end - span_begin).cast("int"),
+    )
+    keyed = pieces.select(
+        *stream,
+        "pack_id",
+        (span_begin - pack_start).alias("__pos"),
+        piece.alias("__piece"),
+    )
+    assembled = keyed.groupBy(*stream, "pack_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("__pos").alias("pos"), F.col("__piece").alias("piece"))
+                    )
+                ),
+                lambda x: x.piece,
+            )
+        ).alias(tokens_col)
+    )
+    return assembled.withColumn("n_tokens", F.size(tokens_col).cast("int"))
