@@ -363,6 +363,143 @@ def scaling_run(sf_dir: str, low: int = 4, high: int = 16, bench_sf: float | Non
     }
 
 
+def _new_stage_stats(ui: str, seen: set) -> list[dict]:
+    """Per-stage task-duration stats for stages completed since `seen`
+    was last updated, via the UI REST API (local, no network)."""
+    import urllib.request
+
+    def get(path):
+        with urllib.request.urlopen(f"{ui}{path}", timeout=30) as r:
+            return json.loads(r.read())
+
+    app_id = get("/api/v1/applications")[0]["id"]
+    out = []
+    for st in get(f"/api/v1/applications/{app_id}/stages?status=complete"):
+        sid = (st["stageId"], st["attemptId"])
+        if sid in seen:
+            continue
+        seen.add(sid)
+        tasks = get(
+            f"/api/v1/applications/{app_id}/stages/{st['stageId']}/{st['attemptId']}"
+            f"/taskList?length=5000"
+        )
+        durs = sorted(t.get("duration", 0) for t in tasks)
+        if durs:
+            out.append({
+                "stage": st["stageId"], "name": st["name"].split(" ")[0],
+                "n_tasks": len(durs), "max_task_ms": durs[-1],
+                "p50_task_ms": durs[len(durs) // 2],
+            })
+    return out
+
+
+def skew_run(master: str, sf_dir: str, bench_sf: float | None = None,
+             hot_denom: int = 10, n_salt: int = 16) -> dict:
+    """Planted-skew benchmark (the north rule names skewed-partition
+    handling explicitly): remap ~1/hot_denom of doc_ids onto ONE hot key
+    over the cached bench sequences, then time two aggregation shapes:
+
+    - count path: uniqueness.violations plain vs salt=n_salt. Expected
+      ~parity — map-side partial aggregation already pre-combines a hot
+      key to one row per map task, so the plain groupBy.count is the
+      right default even under skew (recorded to document WHY).
+    - distinct path: groupBy(doc_id).agg(count_distinct(sig)) plain vs
+      skew.salted_distinct_count. Also ~parity for a single distinct:
+      Catalyst's rewrite already shuffles the dedup by (key, value) —
+      recorded as the measured boundary of where salting helps.
+    - enumeration path (the real straggler): dup-row enumeration via a
+      per-key WINDOW (every hot-key row on ONE task) vs
+      uniqueness.enumerate_rows_skewsafe (per-(key,sig) aggregation +
+      broadcast dup-dimension join — the table is never shuffled by the
+      hot key). Same output multiset; walls + max-task-time ratio are
+      the skew evidence the north rule asks for.
+
+    Task-time skew is read from the UI REST API (enabled only in this
+    mode): per-variant max/p50 task duration over its stages.
+    """
+    from pyspark.sql import functions as F
+
+    from tokenqc.checks import uniqueness
+    from tokenqc.checks.base import CheckConfig
+    from tokenqc.session import get_spark
+    from tokenqc import skew as skew_mod
+
+    sf = bench_sf if bench_sf is not None else _sf_of(sf_dir)
+    data_dir = ensure_bench_data(sf)
+    n = _n_threads(master)
+    heap = os.environ.get("TOKENQC_DRIVER_MEM", f"{24 if n <= 16 else 32}g")
+    spark = get_spark(
+        "tokenqc-skew", master=master,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.driver.memory": heap,
+            "spark.driver.extraJavaOptions": f"-Xms{heap} -XX:+UseParallelGC",
+        },
+    )
+    cfg = CheckConfig(n_partitions=64)
+    seq = spark.read.parquet(os.path.join(data_dir, "sequences"))
+    hot = F.when(
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(hot_denom)) == 0, F.lit("hotdoc")
+    ).otherwise(F.col("doc_id"))
+    skewed = seq.select(hot.alias("doc_id"), "tokens").persist()
+    n_rows = skewed.count()  # materialize the cache outside timing
+    sig = F.xxhash64("tokens")
+
+    variants = {
+        "count_plain": lambda: uniqueness.violations(skewed, cfg).count(),
+        "count_salted": lambda: uniqueness.violations(skewed, cfg, salt=n_salt).count(),
+        "distinct_plain": lambda: (
+            skewed.groupBy("doc_id").agg(F.count_distinct(sig).alias("cnt"))
+            .where(F.col("cnt") > 1).count()
+        ),
+        "distinct_salted": lambda: (
+            skew_mod.salted_distinct_count(skewed, "doc_id", sig, n_salt)
+            .where(F.col("cnt") > 1).count()
+        ),
+        "enum_window": lambda: uniqueness.enumerate_rows(skewed, cfg).count(),
+        "enum_skewsafe": lambda: uniqueness.enumerate_rows_skewsafe(skewed, cfg).count(),
+    }
+    ui = spark.sparkContext.uiWebUrl
+    seen: set = set()
+    results: dict[str, dict] = {}
+    trials = int(os.environ.get("TOKENQC_SIDE_TRIALS", "3"))
+    for name, fn in variants.items():
+        fn()  # warm (codegen + cache)
+        _new_stage_stats(ui, seen)  # drain warm-up stages out of `seen`
+        best, out, best_stages = None, None, []
+        for _ in range(trials):
+            t0 = time.monotonic()
+            out = fn()
+            dt = time.monotonic() - t0
+            # attribute stage stats PER TRIAL and keep the min-wall
+            # trial's — the box's bimodal throttle otherwise leaks a
+            # throttled trial's task times into the reported skew
+            trial_stages = _new_stage_stats(ui, seen)
+            if best is None or dt < best:
+                best, best_stages = dt, trial_stages
+        stages = best_stages
+        heaviest = max(stages, key=lambda s: s["max_task_ms"]) if stages else {}
+        results[name] = {
+            "wall_sec": round(best, 3), "result_rows": out,
+            "max_task_ms": heaviest.get("max_task_ms"),
+            "p50_task_ms": heaviest.get("p50_task_ms"),
+            "n_tasks": heaviest.get("n_tasks"),
+        }
+    skewed.unpersist()
+    ep, es = results["enum_window"], results["enum_skewsafe"]
+    return {
+        "metric": "tokenqc_skew_bench",
+        "sf": sf, "master": master, "n_rows": n_rows,
+        "hot_frac": round(1.0 / hot_denom, 3), "n_salt": n_salt,
+        "variants": results,
+        "enum_wall_speedup": round(ep["wall_sec"] / es["wall_sec"], 3),
+        "enum_max_task_ratio": (
+            round(ep["max_task_ms"] / es["max_task_ms"], 3)
+            if ep.get("max_task_ms") and es.get("max_task_ms") else None
+        ),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -370,8 +507,17 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--bench-sf", type=float, default=None,
                     help="override the synthetic sequences scale (rows = sf*6e6)")
+    ap.add_argument("--skew", action="store_true",
+                    help="planted-skew experiment: plain vs salted aggregation "
+                    "walls + per-task skew on a one-hot-key input")
+    ap.add_argument("--hot-denom", type=int, default=10,
+                    help="skew mode: 1/hot_denom of rows land on ONE doc_id")
+    ap.add_argument("--n-salt", type=int, default=16)
     args = ap.parse_args()
-    if args.scaling:
+    if args.skew:
+        print(json.dumps(skew_run(args.master, args.sf_dir, bench_sf=args.bench_sf,
+                                  hot_denom=args.hot_denom, n_salt=args.n_salt)))
+    elif args.scaling:
         print(json.dumps(scaling_run(args.sf_dir, bench_sf=args.bench_sf)))
     else:
         print(json.dumps(single_run(args.master, args.sf_dir, args.bench_sf)))

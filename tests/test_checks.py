@@ -81,6 +81,50 @@ def test_uniqueness_salted_matches_plain(tables):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_enumerate_rows_skewsafe_matches_window(spark, tables):
+    """The skew-safe enumeration (agg + broadcast dup-dimension join,
+    no per-key window) must emit the exact (doc_id → surplus count)
+    multiset of the window formulation — including ties (identical
+    tokens within a group) and a planted hot key."""
+    from pyspark.sql import functions as F
+
+    base = tables["sequences"].where("doc_id is not null").select("doc_id", "tokens")
+    hot = base.limit(50).select(F.lit("hotdoc").alias("doc_id"), "tokens")
+    df = base.unionByName(hot)  # hot key: 50 rows, mixed dup/distinct tokens
+    plain = {
+        (r.doc_id): r.c
+        for r in uniqueness.enumerate_rows(df, CFG).groupBy("doc_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    safe = {
+        (r.doc_id): r.c
+        for r in uniqueness.enumerate_rows_skewsafe(df, CFG).groupBy("doc_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert plain == safe and plain["hotdoc"] == 49
+
+
+def test_salted_distinct_count_exact_under_skew(spark):
+    """salted_distinct_count must equal the plain countDistinct on a
+    frame with one hot key carrying all-distinct values (the case that
+    defeats map-side partial aggregation), for any salt width."""
+    from pyspark.sql import functions as F
+
+    from tokenqc.skew import salted_distinct_count
+
+    rows = [("hot", i) for i in range(500)]  # 500 distinct values, one key
+    rows += [(f"k{i % 20}", i % 7) for i in range(200)]  # repeated values
+    df = spark.createDataFrame(rows, "doc_id string, v int")
+    want = {
+        r.doc_id: r.cnt
+        for r in df.groupBy("doc_id").agg(F.count_distinct("v").alias("cnt")).collect()
+    }
+    for n_salt in (2, 16, 64):
+        got = {
+            r.doc_id: r.cnt
+            for r in salted_distinct_count(df, "doc_id", F.col("v"), n_salt).collect()
+        }
+        assert got == want, f"n_salt={n_salt}"
+
+
 def test_invariant_exact(tables, seq_pa, expected):
     v = invariant.violations(tables["sequences"], tables["reference_tokens"], CFG)
     got = sorted(r.doc_id for r in v.select("doc_id").collect())

@@ -170,17 +170,35 @@ def test_iceberg_end_to_end(spark, tmp_path):  # pragma: no cover
 
 
 def test_html_report_artifact(spark, tmp_path, tables):
+    from tokenqc import report
+    from tokenqc.checks import drift
     from tokenqc.checks.base import CheckConfig
     from tokenqc.runner import QCRunner
+    from tokenqc.textops import pack, textqc
 
-    runner = QCRunner(spark, CheckConfig(n_partitions=8), out_dir=str(tmp_path / "q"))
+    cfg = CheckConfig(n_partitions=8)
+    runner = QCRunner(spark, cfg, out_dir=str(tmp_path / "q"))
     runner.run(
         tables["sequences"],
         allowed_sources=tables["allowed_sources"],
         baseline_hist=tables["baseline_hist"],
         run_id="rep1",
     )
-    path = runner.write_report("rep1")
+    # round-3/4 operator sections: JS drift, repetition/PII roll-up,
+    # packing footer (all bounded summaries)
+    js = drift.js_divergence(tables["sequences"], tables["baseline_hist"], cfg)
+    corpus = spark.createDataFrame(
+        [("d1", "a a a a a"), ("d2", "one two three four five 1.2.3.4")],
+        "doc_id string, text string",
+    )
+    tqc = report.text_qc_rows(
+        repetition=textqc.repetition_stats(corpus),
+        pii=textqc.pii_flags(corpus),
+    )
+    seqs = tables["sequences"].where("n_tok is not null and doc_id is not null")
+    spans = pack.chunk_spans(seqs.select("doc_id", "n_tok"), cap=256)
+    ps = report.pack_stats_row(spans, cap=256)
+    path = runner.write_report("rep1", js_drift=js, text_qc=tqc, pack_stats=ps)
     with open(path) as f:
         html = f.read()
     assert "tokenqc QC report" in html and "rep1" in html
@@ -188,6 +206,13 @@ def test_html_report_artifact(spark, tmp_path, tables):
     assert "Top violation examples" in html
     assert 'class="FAIL"' in html  # planted violations show up graded
     assert "drift:" in html  # run-level drift verdicts present
+    assert "JS-divergence drift" in html
+    assert "Corpus text QC (repetition / PII)" in html
+    assert "repetition" in html and "pii" in html and "n_email=" in html
+    assert "Packing summary" in html and str(ps["n_packs"]) in html
+    assert tqc[0]["n_flagged"] == 1 and tqc[1]["n_flagged"] == 1  # planted
+    # every pack except possibly the final partial one tiles to cap
+    assert ps["n_packs"] > 0 and ps["n_full_packs"] >= ps["n_packs"] - 1
     assert runner.write_report("never-ran") is None
 
 

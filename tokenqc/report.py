@@ -57,13 +57,70 @@ def top_violation_examples(violations: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def text_qc_rows(
+    repetition: DataFrame | None = None, pii: DataFrame | None = None
+) -> list[dict]:
+    """Corpus text-QC gates rolled up for the report: one aggregate job
+    per provided frame (outputs of textqc.repetition_stats /
+    textqc.pii_flags), one summary row each — driver-bounded."""
+    rows: list[dict] = []
+    if repetition is not None:
+        r = repetition.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("repetitive").cast("int")).alias("k"),
+            F.round(F.avg("top_word_frac"), 4).alias("avg_top"),
+            F.round(F.avg("dup_2gram_frac"), 4).alias("avg_dup"),
+        ).first()
+        rows.append({
+            "gate": "repetition", "n_docs": r["n"], "n_flagged": int(r["k"] or 0),
+            "detail": f"avg top_word_frac={r['avg_top']}, avg dup_2gram_frac={r['avg_dup']}",
+        })
+    if pii is not None:
+        count_cols = [c for c in pii.columns if c.startswith("n_")]
+        p = pii.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("has_pii").cast("int")).alias("k"),
+            *[F.sum(c).alias(c) for c in count_cols],
+        ).first()
+        detail = ", ".join(f"{c}={int(p[c] or 0)}" for c in count_cols)
+        rows.append({
+            "gate": "pii", "n_docs": p["n"], "n_flagged": int(p["k"] or 0),
+            "detail": detail,
+        })
+    return rows
+
+
+def pack_stats_row(spans: DataFrame, cap: int) -> dict:
+    """Packing summary from a chunk_spans output (one aggregate over the
+    span rows, grouped only in-aggregate — a single bounded row)."""
+    full = spans.groupBy("pack_id").agg(F.sum("len").alias("t"))
+    r = full.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum((F.col("t") == cap).cast("int")).alias("n_full"),
+        F.sum("t").alias("n_tokens"),
+    ).first()
+    return {
+        "cap": cap,
+        "n_packs": r["n_packs"],
+        "n_full_packs": int(r["n_full"] or 0),
+        "n_tokens": int(r["n_tokens"] or 0),
+    }
+
+
 def render_html(
     run_id: str,
     report: DataFrame | None,
     verdicts: DataFrame | None,
     violations: DataFrame | None,
+    js_drift: DataFrame | None = None,
+    text_qc: list[dict] | None = None,
+    pack_stats: dict | None = None,
 ) -> str:
-    """Assemble the report page from the run's result frames."""
+    """Assemble the report page from the run's result frames.
+
+    Optional round-3/4 operator sections: `js_drift` (a
+    drift.js_divergence output — sources rows), `text_qc`
+    (text_qc_rows summary), `pack_stats` (pack_stats_row footer)."""
     parts = [
         "<html><head><title>tokenqc run report</title>",
         f"<style>{_STYLE}</style></head><body>",
@@ -103,6 +160,16 @@ def render_html(
         ex = [r.asDict() for r in top_violation_examples(violations).orderBy("check_name", F.desc("doc_id")).collect()]
         parts.append("<h2>Top violation examples per check</h2>")
         parts.append(_table(ex, ["check_name", "doc_id", "observed", "expected"]))
+    if js_drift is not None:
+        rows = [r.asDict() for r in js_drift.orderBy("source").collect()]
+        parts.append("<h2>JS-divergence drift (per source)</h2>")
+        parts.append(_table(rows, ["source", "n_rows", "js_divergence", "status"]))
+    if text_qc:
+        parts.append("<h2>Corpus text QC (repetition / PII)</h2>")
+        parts.append(_table(text_qc, ["gate", "n_docs", "n_flagged", "detail"]))
+    if pack_stats:
+        parts.append("<h2>Packing summary</h2>")
+        parts.append(_table([pack_stats], ["cap", "n_packs", "n_full_packs", "n_tokens"]))
     parts.append("</body></html>")
     return "\n".join(parts)
 

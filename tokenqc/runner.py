@@ -520,10 +520,21 @@ class QCRunner:
     def stats_profile(self, sequences: DataFrame) -> DataFrame:
         return stats.profile(sequences, self.cfg)
 
-    def write_report(self, run_id: str) -> str | None:
+    def write_report(
+        self,
+        run_id: str,
+        js_drift: DataFrame | None = None,
+        text_qc: list | None = None,
+        pack_stats: dict | None = None,
+    ) -> str | None:
         """Render the run's human-readable HTML artifact (reference
         analogue: test-results/POT_ai_analysis.html) to
-        <out_dir>/reports/run_id=<id>/report.html; None if nothing ran."""
+        <out_dir>/reports/run_id=<id>/report.html; None if nothing ran.
+
+        The optional sections surface the corpus-level operators that
+        run OUTSIDE the check families: a drift.js_divergence frame,
+        report.text_qc_rows (repetition/PII roll-up) and
+        report.pack_stats_row (packing footer)."""
         import os
 
         from tokenqc import report as qreport
@@ -533,6 +544,9 @@ class QCRunner:
             return None
         verd = self._read_current(run_id, "verdicts")
         viol = self._read_current(run_id, "violations")
-        html = qreport.render_html(run_id, rep, verd, viol)
+        html = qreport.render_html(
+            run_id, rep, verd, viol,
+            js_drift=js_drift, text_qc=text_qc, pack_stats=pack_stats,
+        )
         path = os.path.join(self.out_dir, "reports", f"run_id={run_id}", "report.html")
         return qreport.write_text(self.spark, path, html)

@@ -38,6 +38,35 @@ def salted_count(df: DataFrame, key: str, n_salt: int) -> DataFrame:
     return partial.groupBy(key).agg(F.sum("c").alias("cnt"))
 
 
+def salted_distinct_count(
+    df: DataFrame, key: str, value: Column | str, n_salt: int
+) -> DataFrame:
+    """Two-stage count-DISTINCT-by-key salted by the VALUE's hash — exact
+    (no value can land in two ``pmod(xxhash64(value), n_salt)`` buckets,
+    so per-bucket distinct counts sum to the true count).
+
+    Honest scope (measured, BENCH/skew_result.json): for a SINGLE
+    distinct aggregate Catalyst's rewrite is already skew-proof — the
+    dedup stage shuffles by (key, value), spreading a hot key evenly,
+    and the final count is partial-agg-bounded — so this helper is
+    ~parity there. It matters for plans that shuffle by the grouping key
+    alone with unreduced per-key data: MULTIPLE distinct aggregates
+    (the Expand plan partitions by group keys only) and holistic
+    aggregates (collect_list/collect_set), where a hot key's entire
+    value set hits one reducer.
+
+    Output: (key, cnt) with cnt = exact distinct-value count.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    bucket = F.pmod(F.xxhash64(v), F.lit(n_salt)).cast("int")
+    partial = (
+        df.select(F.col(key), v.alias("__v"), bucket.alias("__b"))
+        .groupBy(key, "__b")
+        .agg(F.count_distinct(F.col("__v")).alias("c"))
+    )
+    return partial.groupBy(key).agg(F.sum("c").alias("cnt"))
+
+
 def salted_repartition(df: DataFrame, key: Column | str, n_parts: int, n_salt: int) -> DataFrame:
     """Repartition on (key, salt) — spreads a hot key across n_salt
     partitions for downstream per-partition work that doesn't need

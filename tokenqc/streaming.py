@@ -25,6 +25,17 @@ from tokenqc.checks import base as cb
 from tokenqc.checks import completeness, format as format_check, referential, structural
 from tokenqc.schema import SEQUENCES
 
+# Version suffix for the default stateful-operator checkpoint dir.
+# Spark pins the stateStructType in the checkpoint and refuses to
+# restart a query whose state schema changed (e.g. v1 was
+# (n_rows, total_tokens); v2 added hist array<long>). Keying the
+# DEFAULT checkpoint location by this version makes a schema change
+# start a fresh, valid checkpoint instead of failing the restart —
+# bump it whenever stateStructType changes. Callers pinning their own
+# checkpoint_dir across an upgrade must discard it (or re-key it)
+# themselves: there is no state migration.
+STATE_SCHEMA_VERSION = 2
+
 
 def _row_facets(cfg: cb.CheckConfig) -> list[cb.Facet]:
     return (
@@ -94,12 +105,21 @@ def running_source_stats(
     check) and emits the updated running profile. Output rows land under
     out_dir/source_stats keyed by the update time; the latest row per
     source is the current profile.
+
+    State survives restarts ONLY while the state schema is unchanged:
+    the default checkpoint dir is keyed by STATE_SCHEMA_VERSION, so an
+    upgrade that changes stateStructType starts fresh (predictably)
+    rather than failing Spark's state-schema compatibility check
+    against an old checkpoint. An explicitly-passed checkpoint_dir is
+    the caller's to invalidate across such upgrades.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_stats_checkpoint")
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        out_dir, f"_stats_checkpoint_v{STATE_SCHEMA_VERSION}"
+    )
     stream = (
         spark.readStream.schema(SEQUENCES)
         .parquet(input_dir)
