@@ -176,6 +176,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - lineitem_uniqueness ⊂ seq_uniqueness + uniqueness_salted
     - customer_format     ⊂ seq_format_violations
     - seq_vocab_topk      ⊂ seq_vocab_by_source
+
+    Plus round-4 operators that arrived AFTER the surface was frozen at
+    50 (oracle-verified here, same contract):
+    - seq_unigram_logprob — mean unigram log2-prob quality gate
+    - seq_pack_epoch      — deterministic epoch-shuffle keys (md5)
     """
     hf = _hash_family_queries()
     return {
@@ -187,6 +192,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_uniqueness": HT.q_lineitem_uniqueness,
         "customer_format": HT.q_customer_format,
         "seq_vocab_topk": H.q_seq_vocab_topk,
+        "seq_unigram_logprob": HT.q_seq_unigram_logprob,
+        "seq_pack_epoch": HT.q_seq_pack_epoch,
     }
 
 
@@ -200,6 +207,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "lineitem_uniqueness": HT.oracle_lineitem_uniqueness(),
         "customer_format": HT.oracle_customer_format(),
         "seq_vocab_topk": H.oracle_seq_vocab_topk(),
+        "seq_unigram_logprob": HT.oracle_seq_unigram_logprob(),
+        "seq_pack_epoch": HT.oracle_seq_pack_epoch(),
     }
 
 

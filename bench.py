@@ -290,6 +290,23 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
         lambda: pack.chunk_spans(packable, cap=2048, order_cols=("rn",)).count(),
         side_trials,
     )
+    # materialized packs: spans + slice + one pack_id shuffle + assembly
+    # — the full loader contract over the real token arrays
+    packable_tok = (
+        seq.where(F.col("tokens").isNotNull())  # size(NULL) is NULL under ANSI
+        .select(
+            F.monotonically_increasing_id().alias("rn"),
+            "tokens",
+            F.size("tokens").cast("int").alias("nt"),
+        )
+    )
+    timed(
+        "q_pack_tokens",
+        lambda: pack.pack_tokens(
+            packable_tok, cap=2048, order_cols=("rn",), tokens_col="tokens", n_col="nt"
+        ).count(),
+        side_trials,
+    )
     return timings, extras
 
 

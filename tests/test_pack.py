@@ -215,10 +215,27 @@ def test_pack_tokens_materializes_exact_packs(spark):
         assert all(s == 17 for p, s in sizes.items() if p != last)
 
 
-def test_pack_tokens_plan_one_pack_shuffle(spark):
-    """Scale shape: beyond token_offsets' range exchange the ONLY extra
-    shuffle is the single hashpartitioning on pack_id for assembly — and
-    still no partition-less Window anywhere."""
+def test_epoch_order_deterministic_and_spread(spark):
+    """epoch_order: same seed → identical keys; different seeds → a
+    different permutation; keys are distinct per pack (md5 of distinct
+    ids) so the sort order is total."""
+    df = spark.createDataFrame([(i,) for i in range(50)], "pack_id long")
+    k17a = {r.pack_id: r.epoch_key for r in pack.epoch_order(df, 17).collect()}
+    k17b = {r.pack_id: r.epoch_key for r in pack.epoch_order(df, 17).collect()}
+    k18 = {r.pack_id: r.epoch_key for r in pack.epoch_order(df, 18).collect()}
+    assert k17a == k17b
+    assert len(set(k17a.values())) == 50
+    order17 = sorted(k17a, key=k17a.get)
+    order18 = sorted(k18, key=k18.get)
+    assert order17 != order18 and order17 != list(range(50))
+
+
+def test_pack_tokens_plan_shape(spark):
+    """Scale shape: exactly ONE hashpartitioning on pack_id assembles the
+    packs; no partition-less Window anywhere; and the token arrays never
+    enter the Python prefix-sum scan — the MapInPandas node's schema is
+    the slim (order, n) projection (arrays ride only the JVM-side offset
+    join and the assembly shuffle)."""
     import re
 
     rnd = random.Random(5)
@@ -230,5 +247,8 @@ def test_pack_tokens_plan_one_pack_shuffle(spark):
     plan = out._jdf.queryExecution().explainString(mode)
     assert "Window" not in plan, plan
     # formatted mode details exchanges as "Arguments: hashpartitioning(...)"
-    hash_ex = re.findall(r"hashpartitioning\([^)]*\)", plan)
-    assert len(hash_ex) == 1 and "pack_id" in hash_ex[0], hash_ex
+    pack_ex = [e for e in re.findall(r"hashpartitioning\([^)]*\)", plan) if "pack_id" in e]
+    assert len(pack_ex) == 1, plan
+    mip = re.search(r"MapInPandas[^\n]*\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert mip is not None, plan
+    assert "tokens" not in mip.group(1), mip.group(1)

@@ -170,6 +170,22 @@ def test_vocab_topk_partial_aggregates_and_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_unigram_logprob_model_is_broadcast(spark):
+    """The vocab-bounded model must join back BROADCAST onto the exploded
+    tokens (never a shuffle of the corpus by token id), and the per-doc
+    mean must partial-aggregate before its exchange."""
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame(
+        [(i, list(range(1, 2 + i % 7))) for i in range(100)],
+        "doc_id long, tokens array<int>",
+    )
+    plan = plan_of(textqc.unigram_logprob(df))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_avg" in plan or "HashAggregate" in plan
+
+
 def test_heavy_hitters_merge_input_is_bounded(spark):
     """The MG final merge must receive per-partition summaries (<=k rows
     each), never raw tokens: the plan between the two Python stages is a

@@ -332,6 +332,29 @@ def test_ivf_prebuilt_index_matches_inline(spark):
         idx.unpersist()
 
 
+def test_unigram_logprob_hand_computed(spark):
+    """Corpus: tokens 1 (x3), 2 (x2), 3 (x1); total 6. Per-doc mean
+    log2-prob checked against the by-hand model; empty/null-token docs
+    are excluded."""
+    import math
+
+    df = spark.createDataFrame(
+        [("a", [1, 1, 2]), ("b", [1, 3]), ("c", [2]), ("d", None), ("e", [])],
+        "doc_id string, tokens array<int>",
+    )
+    p = {1: 3 / 6, 2: 2 / 6, 3: 1 / 6}
+    want = {
+        "a": (3, round(sum(math.log2(p[t]) for t in [1, 1, 2]) / 3, 5)),
+        "b": (2, round(sum(math.log2(p[t]) for t in [1, 3]) / 2, 5)),
+        "c": (1, round(math.log2(p[2]), 5)),
+    }
+    got = {
+        r.doc_id: (r.n_scored, r.mean_logp)
+        for r in textqc.unigram_logprob(df).collect()
+    }
+    assert got == want
+
+
 def test_vocab_topk(spark):
     df = spark.createDataFrame(
         [("a", [1, 1, 2], "web"), ("b", [1, 3], "web"), ("c", [2, 3, 3, 3], "code"), ("d", None, "web")],

@@ -1171,6 +1171,69 @@ FROM pieces GROUP BY pack_id
 """
 
 
+def q_seq_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence mean unigram log2-probability (cheap perplexity
+    filter) — scored per rn (the unique row key, so planted duplicate
+    doc_ids don't merge two documents' token bags). The oracle rebuilds
+    the whole model from the closed-form token values."""
+    from tokenqc.harness import derive_sequences
+
+    seq = (
+        derive_sequences(spark, sf_dir)
+        .where(F.col("tokens").isNotNull())
+        .select("rn", "tokens")
+    )
+    return textqc.unigram_logprob(seq, id_col="rn")
+
+
+def oracle_seq_unigram_logprob() -> str:
+    from tokenqc.harness import SEQ_CTE
+
+    return SEQ_CTE + """
+, tk AS (
+  SELECT rn, unnest(list_transform(range(1, sz + 1),
+                                   x -> CAST((x*31 + rn) % 50257 AS INTEGER))) AS tok
+  FROM seq WHERE sz IS NOT NULL AND sz > 0),
+ c AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+ t AS (SELECT sum(c) AS t FROM c),
+ m AS (SELECT tok, log2(c * 1.0 / t) AS logp FROM c, t)
+SELECT rn, CAST(count(*) AS INTEGER) AS n_scored, round(avg(logp), 5) AS mean_logp
+FROM tk JOIN m USING (tok) GROUP BY rn
+"""
+
+
+def q_seq_pack_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle keys over the pack ids (portable md5,
+    so the oracle recomputes every key byte-for-byte)."""
+    from tokenqc.harness import derive_sequences
+    from tokenqc.textops import pack
+
+    seq = (
+        derive_sequences(spark, sf_dir)
+        .where(F.col("n_tok").isNotNull())
+        .select("rn", "n_tok")
+    )
+    packs = (
+        pack.pack_assignment(seq, cap=_PACK_CAP, order_cols=("rn",))
+        .select("pack_id")
+        .distinct()
+    )
+    return pack.epoch_order(packs, seed=17).select("pack_id", "epoch_key")
+
+
+def oracle_seq_pack_epoch() -> str:
+    from tokenqc.harness import SEQ_CTE
+
+    return SEQ_CTE + f"""
+, off AS (
+  SELECT rn, n_tok,
+    CAST(coalesce(sum(n_tok) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+  FROM seq WHERE n_tok IS NOT NULL),
+ packs AS (SELECT DISTINCT "offset" // {_PACK_CAP} AS pack_id FROM off)
+SELECT pack_id, md5('17|' || CAST(pack_id AS VARCHAR)) AS epoch_key FROM packs
+"""
+
+
 def q_seq_pack_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-separated packing: every source gets its own token stream
     (offsets restart at 0 per source, packs never mix sources —

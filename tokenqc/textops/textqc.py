@@ -208,6 +208,45 @@ def vocab_topk(
     )
 
 
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Per-document mean unigram log2-probability under the corpus's own
+    unigram model — the cheap end of perplexity filtering (the standard
+    LLM-data quality gate: documents of improbable tokens are gibberish,
+    wrong-tokenizer, or binary junk; documents of only ultra-frequent
+    tokens are boilerplate). Self-scored, so every token has nonzero
+    count and no smoothing is needed.
+
+    Scale shape, all JVM-side: explode is narrow; the model groupBy is
+    VOCAB-bounded (partial agg moves at most |vocab| x tasks rows, same
+    argument as vocab_topk); the corpus total is a one-row cross join;
+    the model (<= |vocab| rows) joins back BROADCAST onto the exploded
+    tokens; the per-doc mean partial-aggregates before its shuffle.
+    Output: (id, n_scored, mean_logp) for docs with >= 1 token —
+    empty/null-token docs have no distribution to score and are
+    excluded (they are completeness violations upstream).
+    """
+    toks = df.where(
+        F.col(tokens_col).isNotNull() & (F.size(tokens_col) > 0)
+    ).select(F.col(id_col), F.explode(tokens_col).alias("__tok"))
+    cnt = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c").alias("t"))
+    model = cnt.crossJoin(F.broadcast(total)).select(
+        "__tok", F.log2(F.col("c") / F.col("t")).alias("__logp")
+    )
+    return (
+        toks.join(F.broadcast(model), "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_scored"),
+            # round to 5 decimals: the mean of ~1e3 doubles agrees across
+            # engines to ~1e-13 relative, far inside 5 places
+            F.round(F.avg("__logp"), 5).alias("mean_logp"),
+        )
+    )
+
+
 def contamination_flags(
     docs: DataFrame, benchmark: DataFrame, n: int = 3,
     id_col: str = "doc_id", text_col: str = "text", min_hits: int = 1,
