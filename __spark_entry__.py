@@ -181,6 +181,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50 (oracle-verified here, same contract):
     - seq_unigram_logprob — mean unigram log2-prob quality gate
     - seq_pack_epoch      — deterministic epoch-shuffle keys (md5)
+    - seq_mixture_sample  — token-budget domain re-weighting sample
     """
     hf = _hash_family_queries()
     return {
@@ -194,6 +195,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_vocab_topk": H.q_seq_vocab_topk,
         "seq_unigram_logprob": HT.q_seq_unigram_logprob,
         "seq_pack_epoch": HT.q_seq_pack_epoch,
+        "seq_mixture_sample": HT.q_seq_mixture_sample,
     }
 
 
@@ -209,6 +211,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_vocab_topk": H.oracle_seq_vocab_topk(),
         "seq_unigram_logprob": HT.oracle_seq_unigram_logprob(),
         "seq_pack_epoch": HT.oracle_seq_pack_epoch(),
+        "seq_mixture_sample": HT.oracle_seq_mixture_sample(),
     }
 
 

@@ -355,6 +355,34 @@ def test_unigram_logprob_hand_computed(spark):
     assert got == want
 
 
+def test_mixture_plan_and_sample(spark):
+    """Plan: integer targets and ppm rates, capped at 10^6; absent
+    sources excluded. Sample: deterministic (same rows every run),
+    respects rate 10^6 = keep-all, and only planned sources survive."""
+    rows = [(i, "a" if i % 2 == 0 else ("b" if i % 3 == 0 else "junk"), 10) for i in range(600)]
+    df = spark.createDataFrame(rows, "rn long, source string, n_tok int")
+    # a: 300 rows/3000 tok, b: 100 rows/1000 tok, junk: 200 rows
+    plan = textqc.mixture_plan(df, budget_tokens=2_500, weights={"a": 3, "b": 1})
+    p = {r.source: (r.total_tok, r.target_tok, r.rate_ppm) for r in plan.collect()}
+    assert set(p) == {"a", "b"}  # junk excluded
+    assert p["a"] == (3000, 1875, 1875 * 1_000_000 // 3000)
+    assert p["b"] == (1000, 625, 625 * 1_000_000 // 1000)
+    # cap: a budget larger than the source takes the whole source
+    cap = {r.source: r.rate_ppm for r in textqc.mixture_plan(df, 1_000_000, {"a": 1}).collect()}
+    assert cap == {"a": 1_000_000}
+    s1 = sorted(r.rn for r in textqc.mixture_sample(df, plan, id_col="rn").collect())
+    s2 = sorted(r.rn for r in textqc.mixture_sample(df, plan, id_col="rn").collect())
+    assert s1 == s2 and s1  # deterministic, non-empty
+    kept = {r.rn: r.source for r in textqc.mixture_sample(df, plan, id_col="rn").collect()}
+    assert set(kept.values()) <= {"a", "b"}
+    assert all(rn % 2 == 0 for rn, s in kept.items() if s == "a")
+    # ~62.5% of 300 'a' rows under a uniform hash — loose bounds
+    n_a = sum(1 for s in kept.values() if s == "a")
+    assert 120 <= n_a <= 260
+    with pytest.raises(ValueError):
+        textqc.mixture_plan(df, budget_tokens=0, weights={"a": 1})
+
+
 def test_vocab_topk(spark):
     df = spark.createDataFrame(
         [("a", [1, 1, 2], "web"), ("b", [1, 3], "web"), ("c", [2, 3, 3, 3], "code"), ("d", None, "web")],

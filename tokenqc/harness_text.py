@@ -1234,6 +1234,47 @@ SELECT pack_id, md5('17|' || CAST(pack_id AS VARCHAR)) AS epoch_key FROM packs
 """
 
 
+_MIX_BUDGET = 1_000_000
+_MIX_WEIGHTS = {"web": 1, "books": 1, "code": 1, "wiki": 1}  # spam9 excluded
+
+
+def q_seq_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (domain re-weighting): equal-weight
+    1M-token budget over the four clean sources (spam9 excluded via the
+    weight dict). The sample is a pure function of (salt, rn, the
+    per-source totals) — the oracle reproduces every kept row."""
+    from tokenqc.harness import derive_sequences
+
+    seq = (
+        derive_sequences(spark, sf_dir)
+        .where(F.col("n_tok").isNotNull())
+        .select("rn", "source", "n_tok")
+    )
+    plan = textqc.mixture_plan(seq, _MIX_BUDGET, _MIX_WEIGHTS)
+    return textqc.mixture_sample(seq, plan, id_col="rn").select("rn", "source", "n_tok")
+
+
+def oracle_seq_mixture_sample() -> str:
+    from tokenqc.harness import SEQ_CTE
+
+    sw = sum(_MIX_WEIGHTS.values())
+    targets = ", ".join(
+        f"('{s}', {_MIX_BUDGET * w // sw})" for s, w in _MIX_WEIGHTS.items()
+    )
+    return SEQ_CTE + f"""
+, tot AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tok
+  FROM seq WHERE source IS NOT NULL AND n_tok IS NOT NULL GROUP BY 1),
+ plan AS (
+  SELECT source, least(1000000, (CAST(target_tok AS BIGINT) * 1000000) // total_tok) AS rate_ppm
+  FROM tot JOIN (VALUES {targets}) AS w(source, target_tok) USING (source))
+SELECT rn, source, n_tok
+FROM seq JOIN plan USING (source)
+WHERE n_tok IS NOT NULL
+  AND CAST(('0x' || substr(md5('mix-v1' || CAST(rn AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < rate_ppm
+"""
+
+
 def q_seq_pack_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-separated packing: every source gets its own token stream
     (offsets restart at 0 per source, packs never mix sources —

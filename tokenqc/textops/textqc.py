@@ -316,6 +316,77 @@ def deterministic_split(
     return out.withColumn("split", expr)
 
 
+def mixture_plan(
+    df: DataFrame,
+    budget_tokens: int,
+    weights: dict[str, int],
+    source_col: str = "source",
+    n_col: str = "n_tok",
+) -> DataFrame:
+    """Per-source sampling plan for token-budget data mixing — the
+    "domain re-weighting" step of a training-data pipeline: given a
+    total token budget and relative mixture weights, compute each
+    source's sampling rate so the expected sampled tokens hit
+    budget × w/Σw (capped at taking the whole source).
+
+    All integer arithmetic, so the plan is bit-portable to any engine:
+    target_tok = budget × w // Σw (precomputed driver-side — weights are
+    config, not data); rate_ppm = min(10^6, target_tok × 10^6 //
+    total_tok). Sources absent from `weights` are excluded (rate 0 by
+    inner join). One vocab-of-sources-bounded aggregation; output
+    (source, total_tok, target_tok, rate_ppm).
+    """
+    if budget_tokens <= 0 or not weights or min(weights.values()) < 0:
+        raise ValueError("budget_tokens must be positive and weights non-negative")
+    sw = sum(weights.values())
+    rows = [(s, int(budget_tokens) * int(w) // sw) for s, w in weights.items()]
+    wdf = df.sparkSession.createDataFrame(rows, f"{source_col} string, target_tok long")
+    tot = (
+        df.where(F.col(source_col).isNotNull() & F.col(n_col).isNotNull())
+        .groupBy(source_col)
+        .agg(F.sum(n_col).cast("long").alias("total_tok"))
+    )
+    return tot.join(F.broadcast(wdf), source_col).select(
+        source_col,
+        "total_tok",
+        "target_tok",
+        F.least(F.lit(1000000), F.expr("(target_tok * 1000000) div total_tok"))
+        .cast("int")
+        .alias("rate_ppm"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    plan: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic Bernoulli sample at the plan's per-source rates:
+    keep a row iff md5(salt || id) first-8-hex mod 10^6 < rate_ppm —
+    content-independent and portable (the deterministic_split idiom;
+    the 32-bit space mod 10^6 carries a ~0.02% modulo bias, identical
+    in every engine), so reruns, resharding and other engines reproduce
+    the exact same sample. The plan joins BROADCAST — the corpus is
+    never shuffled; the filter runs in the scan stage."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    return (
+        df.join(F.broadcast(plan.select(source_col, "rate_ppm")), source_col)
+        .where(u < F.col("rate_ppm"))
+        .drop("rate_ppm")
+    )
+
+
 def mg_heavy_hitters(
     df: DataFrame, tokens_col: str = "tokens", k: int = 256
 ) -> DataFrame:
