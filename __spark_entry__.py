@@ -182,6 +182,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - seq_unigram_logprob — mean unigram log2-prob quality gate
     - seq_pack_epoch      — deterministic epoch-shuffle keys (md5)
     - seq_mixture_sample  — token-budget domain re-weighting sample
+    - events_asof_bucketed — hot-key-safe as-of (per-bucket windows)
     """
     hf = _hash_family_queries()
     return {
@@ -196,6 +197,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_unigram_logprob": HT.q_seq_unigram_logprob,
         "seq_pack_epoch": HT.q_seq_pack_epoch,
         "seq_mixture_sample": HT.q_seq_mixture_sample,
+        "events_asof_bucketed": HT.q_events_asof_bucketed,
     }
 
 
@@ -212,6 +214,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_unigram_logprob": HT.oracle_seq_unigram_logprob(),
         "seq_pack_epoch": HT.oracle_seq_pack_epoch(),
         "seq_mixture_sample": HT.oracle_seq_mixture_sample(),
+        "events_asof_bucketed": HT.oracle_events_asof(),
     }
 
 

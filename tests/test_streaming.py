@@ -128,6 +128,73 @@ def test_running_source_stats_stateful_across_restart(spark, tmp_path):
         assert sum(h) > 0
 
 
+def test_streaming_drift_matches_batch_gate(spark, tmp_path):
+    """The streaming JS gate must grade EXACTLY like the batch gate on
+    the same rows' histograms (one shared js_from_histograms
+    implementation, both sides clamped into the stream state's fixed
+    bucket domain): after two file waves, the final-epoch verdicts
+    equal the batch formula over the full static data — statuses AND
+    js values — with UNKNOWN for a source missing from the baseline."""
+    import pyspark.sql.functions as F
+
+    from tokenqc.checks import drift
+    from tokenqc.checks.base import CheckConfig
+
+    inp = tmp_path / "dr_in"
+    inp.mkdir()
+    out = str(tmp_path / "dr_out")
+    seq = synth.generate_sequences(1200, seed=11)
+    pq.write_table(seq.slice(0, 600), str(inp / "f1.parquet"))
+    pq.write_table(seq.slice(600, 600), str(inp / "f2.parquet"))
+
+    cfg = CheckConfig()
+    static = spark.createDataFrame(seq.to_pandas())
+    # baseline: web's own observed shape (PASS), a flat wrong shape for
+    # books (should FAIL at a tight js_max), nothing for the others
+    hist = drift.observed_histogram(
+        static.where(F.col("source").isNotNull() & (F.col("n_tok") > 0)), cfg
+    )
+    web_n = hist.where("source = 'web'").agg(F.sum("cnt")).first()[0]
+    base = hist.where("source = 'web'").select(
+        "source", "bucket", (F.col("cnt") / F.lit(float(web_n))).alias("p")
+    ).unionByName(
+        spark.createDataFrame(
+            [("books", b, 1.0 / 32) for b in range(32)], "source string, bucket int, p double"
+        )
+    )
+
+    q = streaming.streaming_drift(spark, str(inp), out, base, js_max=0.01)
+    q.awaitTermination(120)
+
+    got_df = spark.read.parquet(f"{out}/drift_stream")
+    last = got_df.agg(F.max("epoch")).first()[0]
+    got = {
+        r.source: (r.n_rows, r.js_divergence, r.status)
+        for r in got_df.where(F.col("epoch") == last).collect()
+    }
+    def clamp_hist(h):
+        return (
+            h.select("source", F.least(F.col("bucket"), F.lit(31)).alias("bucket"), "cnt")
+            .groupBy("source", "bucket").agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def clamp_base(b):
+        return (
+            b.select("source", F.least(F.col("bucket"), F.lit(31)).alias("bucket"), "p")
+            .groupBy("source", "bucket").agg(F.sum("p").alias("p"))
+        )
+
+    want = {
+        r.source: (r.n_rows, r.js_divergence, r.status)
+        for r in drift.js_from_histograms(
+            clamp_hist(hist), clamp_base(base), js_max=0.01
+        ).collect()
+    }
+    assert got == want
+    assert got["web"][2] == "PASS" and got["books"][2] == "FAIL"
+    assert all(v[2] == "UNKNOWN" for s, v in got.items() if s not in ("web", "books"))
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     import pyspark.sql.functions as F
 

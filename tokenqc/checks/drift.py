@@ -221,7 +221,17 @@ def js_divergence(
     (no Python at all). Output: (source, n_rows, js_divergence, status)
     with FAIL when js > js_max, UNKNOWN when the source has no baseline.
     """
-    hist = observed_histogram(df, cfg)
+    return js_from_histograms(observed_histogram(df, cfg), baseline_hist, js_max)
+
+
+def js_from_histograms(
+    hist: DataFrame, baseline_hist: DataFrame, js_max: float = 0.1
+) -> DataFrame:
+    """JS gate over an ALREADY-AGGREGATED (source, bucket, cnt) frame —
+    the shared core of the batch gate (js_divergence) and the streaming
+    gate (streaming.streaming_drift folds its stateful running
+    histograms into this exact formula, so batch and stream verdicts
+    are definitionally identical)."""
     tot = hist.groupBy("source").agg(F.sum("cnt").alias("n"))
     obs = hist.join(tot, "source").select(
         "source", "bucket", "n", (F.col("cnt") / F.col("n")).alias("q")

@@ -446,6 +446,24 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value", F.round("snap_value", 6).alias("snap_value"))
 
 
+def q_events_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key-safe as-of formulation (window per (key, time
+    bucket) + bucket-granularity carry) — must produce the identical
+    result as the plain union+window against DuckDB's native ASOF."""
+    from tokenqc import relops
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    snaps = (
+        ev.where((F.col("event_id") % 7 == 0) & F.col("value").isNotNull())
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("snap_value"))
+    )
+    out = relops.asof_join_bucketed(
+        ev, snaps, on="user_id", left_ts="ts", right_ts="ts", bucket_seconds=6 * 3600
+    )
+    return out.select("event_id", "user_id", "value", F.round("snap_value", 6).alias("snap_value"))
+
+
 def oracle_events_asof() -> str:
     return (
         "WITH snaps AS (SELECT user_id, ts, max(value) AS snap_value FROM events "

@@ -46,13 +46,9 @@ def asof_join(
     Skew contract: the window partitions by `on`, so a single hot key
     (one key holding a large fraction of both sides) becomes one
     straggler task sorting that key's full history — the standard cost
-    of the union+window formulation. Escape hatch when a key's history
-    is too large for one task: pre-aggregate `right` into coarse time
-    buckets (keep only the last right row per (on, bucket)), run this
-    join on (on, bucket) granularity, and fall back to the exact join
-    only for left rows whose bucket has no prior right row — that bounds
-    the per-task sort to rows-per-bucket while preserving backward
-    semantics.
+    of the union+window formulation. When a key's history is too large
+    for one task, use :func:`asof_join_bucketed` — identical semantics,
+    per-task sort bounded to one time bucket.
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
@@ -109,6 +105,136 @@ def asof_join(
         F.when(~stale, F.col(f"__last_{c}")).alias(c) for c in right_cols
     ]
     return carried.select(*left_cols, *matched)
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Backward as-of join with a BOUNDED per-task sort — the hot-key
+    escape hatch :func:`asof_join`'s docstring promises, implemented.
+
+    Same semantics and contracts as asof_join (right wins ties, right
+    unique per (on, right_ts), tolerance on the ORIGINAL right
+    timestamp). Different shuffle shape: time is cut into
+    `bucket_seconds` buckets and the window partitions by (key, bucket)
+    instead of key, so a hot key's straggler shrinks from its ENTIRE
+    history to one bucket's rows. Cross-bucket carry is restored
+    exactly:
+
+    1. per (key, right-bucket): keep only the LAST right row
+       (max_by aggregation — partial-agg bounded, spread across
+       buckets);
+    2. bucket-granularity as-of: a per-KEY window over those one-row-
+       per-bucket summaries plus the left side's distinct buckets
+       computes each left bucket's carry-in (the latest right row from
+       any STRICTLY earlier bucket). Per-key window input is
+       O(#buckets), independent of row counts — bounded by time range /
+       bucket_seconds, not by data volume;
+    3. main pass: union left rows, right rows and one synthetic
+       carry-in row per (key, left-bucket) (sorted before everything in
+       its bucket), window per (key, bucket) — exact in-bucket backward
+       match, carry-in covering lefts before the bucket's first right.
+
+    Choose bucket_seconds so a hot key's densest bucket fits a task;
+    the bucket count (and step-2 window width) is time_span/bucket.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    w = int(bucket_seconds)
+    if w <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {w}")
+    lb = F.floor(F.unix_timestamp(F.col(left_ts).cast("timestamp")) / w).alias("__b")
+    rb = F.floor(F.unix_timestamp(F.col(right_ts).cast("timestamp")) / w).alias("__b")
+
+    # (1) last right row per (key, bucket)
+    r_payload = F.struct(
+        F.col(right_ts).cast("timestamp").alias("__rts"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    bucket_last = right.select(F.col(on), rb, r_payload.alias("__p")).groupBy(
+        on, "__b"
+    ).agg(F.max_by("__p", F.col("__p.__rts")).alias("__p"))
+
+    # (2) carry-in per (key, left-bucket): bucket-level as-of over
+    # one-row-per-bucket summaries — right bucket b becomes visible at
+    # b+1 (in-bucket rows are matched exactly in step 3)
+    lb_rows = left.select(F.col(on), lb).distinct().withColumn("__side", F.lit(1))
+    bl_rows = bucket_last.select(
+        on, (F.col("__b") + 1).alias("__b"), F.lit(0).alias("__side"), "__p"
+    )
+    bw = (
+        Window.partitionBy(on)
+        .orderBy("__b", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry = (
+        lb_rows.withColumn("__p", F.lit(None).cast(bl_rows.schema["__p"].dataType))
+        .unionByName(bl_rows)
+        .select(on, "__b", "__side", F.last("__p", ignorenulls=True).over(bw).alias("__p"))
+        .where((F.col("__side") == 1) & F.col("__p").isNotNull())
+    )
+
+    # (3) main pass, windowed per (key, bucket)
+    l_tag = left.select(
+        F.col(on),
+        lb,
+        F.col(left_ts).cast("timestamp").alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(bl_rows.schema["__p"].dataType).alias("__p"),
+    )
+    r_tag = right.select(
+        F.col(on),
+        rb,
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
+        r_payload.alias("__p"),
+    )
+    c_tag = carry.select(
+        F.col(on),
+        "__b",
+        F.timestamp_seconds(F.col("__b") * w).alias("__ts"),  # bucket start: sorts first
+        F.lit(-1).alias("__side"),
+        F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
+        "__p",
+    )
+    mw = (
+        Window.partitionBy(on, "__b")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        l_tag.unionByName(r_tag)
+        .unionByName(c_tag)
+        .select(
+            on, "__b", "__ts", "__side", "__l",
+            F.last("__p", ignorenulls=True).over(mw).alias("__p"),
+        )
+        .where(F.col("__side") == 1)
+    )
+    stale = (
+        F.lit(False)
+        if tolerance_seconds is None
+        else (
+            F.col("__p").isNull()
+            | (
+                F.unix_timestamp("__ts") - F.unix_timestamp(F.col("__p.__rts"))
+                > tolerance_seconds
+            )
+        )
+    )
+    left_out = [F.col("__l")[c].alias(c) for c in left.columns]
+    matched = [
+        F.when(~stale, F.col(f"__p.__r_{c}")).alias(c) for c in right_cols
+    ]
+    return carried.select(*left_out, *matched)
 
 
 def range_bucket_join(

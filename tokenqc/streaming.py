@@ -113,13 +113,36 @@ def running_source_stats(
     against an old checkpoint. An explicitly-passed checkpoint_dir is
     the caller's to invalidate across such upgrades.
     """
+    updated = _stats_update_stream(spark, input_dir, bucket_width, n_buckets)
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        out_dir, f"_stats_checkpoint_v{STATE_SCHEMA_VERSION}"
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            os.path.join(out_dir, "source_stats")
+        )
+
+    return (
+        updated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _stats_update_stream(
+    spark: SparkSession, input_dir: str, bucket_width: int, n_buckets: int
+):
+    """The shared stateful core: per-source running (n_rows,
+    total_tokens, hist) maintained across micro-batches via
+    applyInPandasWithState — numpy bincount per Arrow batch, state is
+    the same fixed-width n_tok histogram the batch drift gate uses."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    checkpoint_dir = checkpoint_dir or os.path.join(
-        out_dir, f"_stats_checkpoint_v{STATE_SCHEMA_VERSION}"
-    )
     stream = (
         spark.readStream.schema(SEQUENCES)
         .parquet(input_dir)
@@ -150,7 +173,7 @@ def running_source_stats(
             }]
         )
 
-    updated = stream.groupBy("source").applyInPandasWithState(
+    return stream.groupBy("source").applyInPandasWithState(
         update,
         outputStructType="source string, n_rows long, total_tokens long, hist array<long>",
         stateStructType="n_rows long, total_tokens long, hist array<long>",
@@ -158,9 +181,63 @@ def running_source_stats(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
+
+def streaming_drift(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    baseline_hist: DataFrame,
+    checkpoint_dir: str | None = None,
+    bucket_width: int = 64,
+    n_buckets: int = 32,
+    js_max: float = 0.1,
+):
+    """The streaming half of the drift GATE (not just the profile):
+    every micro-batch folds into the same checkpointed per-source
+    running histogram as running_source_stats, and each updated source
+    is immediately graded against the static baseline with the batch
+    gate's exact JS-divergence formula (drift.js_from_histograms — one
+    shared implementation, so a stream that has seen rows X grades
+    identically to a batch run over X's histograms). Verdict rows
+    (source, n_rows, js_divergence, status, epoch) append under
+    out_dir/drift_stream.
+
+    Bucket-domain contract: the checkpointed state is a FIXED-width
+    histogram, so everything at or past bucket n_buckets-1 clamps into
+    that tail bucket. The baseline is clamped into the same domain here
+    (tail mass summed — the standard binned-tail treatment), making the
+    comparison apples-to-apples; a batch run over the same clamped
+    histograms grades identically (pinned by
+    tests/test_streaming.test_streaming_drift_matches_batch_gate).
+
+    Scale shape: state and output are sources × n_buckets-bounded; the
+    per-epoch grading explodes only the updated sources' histograms
+    (≤ sources × n_buckets rows) and joins the baseline — a metadata
+    join.
+    """
+    from tokenqc.checks import drift as drift_mod
+
+    updated = _stats_update_stream(spark, input_dir, bucket_width, n_buckets)
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        out_dir, f"_drift_checkpoint_v{STATE_SCHEMA_VERSION}"
+    )
+    clamped_base = (
+        baseline_hist.select(
+            "source",
+            F.least(F.col("bucket"), F.lit(n_buckets - 1)).alias("bucket"),
+            "p",
+        )
+        .groupBy("source", "bucket")
+        .agg(F.sum("p").alias("p"))
+    )
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
-            os.path.join(out_dir, "source_stats")
+        hist = batch_df.select(
+            "source", F.posexplode("hist").alias("bucket", "cnt")
+        ).where(F.col("cnt") > 0)
+        verdicts = drift_mod.js_from_histograms(hist, clamped_base, js_max)
+        verdicts.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            os.path.join(out_dir, "drift_stream")
         )
 
     return (
