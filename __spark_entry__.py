@@ -183,6 +183,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - seq_pack_epoch      — deterministic epoch-shuffle keys (md5)
     - seq_mixture_sample  — token-budget domain re-weighting sample
     - events_asof_bucketed — hot-key-safe as-of (per-bucket windows)
+    - seq_e2e_train_plan  — gates → dedup → mixture → packing, ONE oracle
     """
     hf = _hash_family_queries()
     return {
@@ -198,6 +199,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack_epoch": HT.q_seq_pack_epoch,
         "seq_mixture_sample": HT.q_seq_mixture_sample,
         "events_asof_bucketed": HT.q_events_asof_bucketed,
+        "seq_e2e_train_plan": HT.q_seq_e2e_train_plan,
     }
 
 
@@ -215,6 +217,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_pack_epoch": HT.oracle_seq_pack_epoch(),
         "seq_mixture_sample": HT.oracle_seq_mixture_sample(),
         "events_asof_bucketed": HT.oracle_events_asof(),
+        "seq_e2e_train_plan": HT.oracle_seq_e2e_train_plan(),
     }
 
 

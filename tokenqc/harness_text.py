@@ -446,6 +446,72 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value", F.round("snap_value", 6).alias("snap_value"))
 
 
+def q_seq_e2e_train_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data plan in one oracle-checked composition:
+    row-level QC gates (completeness + structural + format +
+    referential) → exact dedup (first occurrence per doc_id, no window:
+    min-rn semi-join) → token-budget mixture sampling → packing
+    assignment (distributed prefix sum). The DuckDB twin rebuilds every
+    stage closed-form, so a green row certifies the COMPOSITION — the
+    whole validate→mix→pack path a training pipeline runs — not just
+    each operator in isolation."""
+    from tokenqc.harness import derive_sequences
+    from tokenqc.textops import pack
+
+    seq = derive_sequences(spark, sf_dir)
+    clean = seq.where(
+        F.col("doc_id").isNotNull()
+        & F.col("tokens").isNotNull()
+        & (F.size("tokens") > 0)
+        & F.col("n_tok").isNotNull()
+        & (F.col("n_tok") == F.size("tokens"))
+        & F.col("doc_id").rlike("^doc-[0-9]{8}$")
+        & F.col("source").isin("web", "books", "code", "wiki")
+    ).select("rn", "doc_id", "source", "n_tok")
+    first = clean.groupBy("doc_id").agg(F.min("rn").alias("rn"))
+    deduped = clean.join(first, ["doc_id", "rn"], "left_semi")
+    plan = textqc.mixture_plan(deduped, _MIX_BUDGET, _MIX_WEIGHTS)
+    sampled = textqc.mixture_sample(deduped, plan, id_col="rn").select(
+        "rn", "source", "n_tok"
+    )
+    packed = pack.pack_assignment(sampled, cap=_PACK_CAP, order_cols=("rn",))
+    return packed.select("rn", "source", "n_tok", "offset", "pack_id", "pack_pos")
+
+
+def oracle_seq_e2e_train_plan() -> str:
+    from tokenqc.harness import SEQ_CTE
+
+    sw = sum(_MIX_WEIGHTS.values())
+    targets = ", ".join(
+        f"('{s}', {_MIX_BUDGET * w // sw})" for s, w in _MIX_WEIGHTS.items()
+    )
+    c = _PACK_CAP
+    return SEQ_CTE + f"""
+, clean AS (
+  SELECT rn, doc_id, source, n_tok FROM seq
+  WHERE doc_id IS NOT NULL AND sz IS NOT NULL AND sz > 0
+    AND n_tok IS NOT NULL AND n_tok = sz
+    AND regexp_matches(doc_id, '^doc-[0-9]{{8}}$')
+    AND source IN ('web','books','code','wiki')),
+ ded AS (
+  SELECT rn, source, n_tok FROM clean
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY rn) = 1),
+ tot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tok FROM ded GROUP BY 1),
+ plan AS (
+  SELECT source, least(1000000, (CAST(target_tok AS BIGINT) * 1000000) // total_tok) AS rate_ppm
+  FROM tot JOIN (VALUES {targets}) AS w(source, target_tok) USING (source)),
+ samp AS (
+  SELECT rn, source, n_tok FROM ded JOIN plan USING (source)
+  WHERE CAST(('0x' || substr(md5('mix-v1' || CAST(rn AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < rate_ppm),
+ off AS (
+  SELECT rn, source, n_tok,
+    CAST(coalesce(sum(n_tok) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+  FROM samp)
+SELECT rn, source, n_tok, "offset", "offset" // {c} AS pack_id, "offset" % {c} AS pack_pos
+FROM off
+"""
+
+
 def q_events_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hot-key-safe as-of formulation (window per (key, time
     bucket) + bucket-granularity carry) — must produce the identical
