@@ -170,6 +170,23 @@ def test_vocab_topk_partial_aggregates_and_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_enumerate_rows_skewsafe_no_key_window(spark):
+    """The skew-safe enumeration must contain NO window at all (the
+    straggler shape it replaces) and must join the dup-key dimension
+    BROADCAST — the table is never shuffled by the hot key."""
+    from tokenqc.checks import uniqueness
+    from tokenqc.checks.base import CheckConfig
+
+    df = spark.createDataFrame(
+        [(f"d{i % 30}", [i % 7, i % 5]) for i in range(200)],
+        "doc_id string, tokens array<int>",
+    )
+    plan = plan_of(uniqueness.enumerate_rows_skewsafe(df, CheckConfig()))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_unigram_logprob_model_is_broadcast(spark):
     """The vocab-bounded model must join back BROADCAST onto the exploded
     tokens (never a shuffle of the corpus by token id), and the per-doc
