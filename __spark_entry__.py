@@ -15,7 +15,10 @@ recover.
 
 The declared surface is EXACTLY 50 queries, every one oracle-paired
 (the driver records at most 50 rows; r03 declared 57 and lost the seven
-riskiest to the cap). Eight subsumed queries moved to
+riskiest to the cap). Round 5 rotated the five round-4 operators
+(seq_e2e_train_plan, seq_mixture_sample, seq_unigram_logprob,
+seq_pack_epoch, events_asof_bucketed) INTO the surface and moved five
+subsumed rows out. Thirteen subsumed queries live in
 ``extra_queries``/``extra_oracle_sql`` and keep identical oracle parity
 coverage under pytest (tests/test_entry.py) — including simhash_pairs,
 the one rows-only query (xxhash64 signatures, no SQL twin; its recall
@@ -108,10 +111,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": hf["ivf_ann_topk"],
         "embed_neardup_lsh": hf["embed_neardup_lsh"],
         "minhash_lsh_pairs": hf["minhash_lsh_pairs"],
+        # round-4 operators rotated INTO the hard artifact (r4 verdict #1):
+        # the e2e composition query + mixture/unigram/epoch + bucketed asof
+        "seq_e2e_train_plan": HT.q_seq_e2e_train_plan,
+        "seq_mixture_sample": HT.q_seq_mixture_sample,
+        "seq_unigram_logprob": HT.q_seq_unigram_logprob,
+        "seq_pack_epoch": HT.q_seq_pack_epoch,
+        "events_asof_bucketed": HT.q_events_asof_bucketed,
         # round-4: materialized packs; round-3: packing/repetition/PII
         "seq_pack_tokens": HT.q_seq_pack_tokens,
         "seq_pack_spans": HT.q_seq_pack_spans,
-        "seq_pack_by_source": HT.q_seq_pack_by_source,
         "doc_repetition": HT.q_doc_repetition,
         "doc_pii": HT.q_doc_pii,
         "doc_pii_scrub": HT.q_doc_pii_scrub,
@@ -129,17 +138,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_drift_js": H.q_seq_drift_js,
         "seq_vocab_by_source": H.q_seq_vocab_by_source,
         "seq_heavy_hitters": H.q_seq_heavy_hitters,
-        "seq_quantiles": HT.q_seq_quantiles,
         "seq_quantiles_approx": HT.q_seq_quantiles_approx,
         # dedup / similarity / text QC
         "doc_exact_dup": HT.q_doc_exact_dup,
         "doc_ngram_jaccard": HT.q_doc_ngram_jaccard,
         "ann_topk": HT.q_ann_topk,
         "ann_batch_topk": HT.q_ann_batch_topk,
-        "doc_token_count": HT.q_doc_token_count,
         "doc_quality": HT.q_doc_quality,
         "doc_langid": HT.q_doc_langid,
-        "doc_fingerprint": HT.q_doc_fingerprint,
         "doc_contamination": HT.q_doc_contamination,
         "dedup_clusters": HT.q_dedup_clusters,
         "doc_split": HT.q_doc_split,
@@ -153,7 +159,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outcome_counts": HT.q_outcome_counts,
         "content_flags": HT.q_content_flags,
         "events_sessions": HT.q_events_sessions,
-        "events_asof": HT.q_events_asof,
         "lineitem_range_join": HT.q_lineitem_range_join,
         "events_rollup": HT.q_events_rollup,
     }
@@ -177,13 +182,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - customer_format     ⊂ seq_format_violations
     - seq_vocab_topk      ⊂ seq_vocab_by_source
 
-    Plus round-4 operators that arrived AFTER the surface was frozen at
-    50 (oracle-verified here, same contract):
-    - seq_unigram_logprob — mean unigram log2-prob quality gate
-    - seq_pack_epoch      — deterministic epoch-shuffle keys (md5)
-    - seq_mixture_sample  — token-budget domain re-weighting sample
-    - events_asof_bucketed — hot-key-safe as-of (per-bucket windows)
-    - seq_e2e_train_plan  — gates → dedup → mixture → packing, ONE oracle
+    Round-5 rotation (r4 verdict #1): the five round-4 operators moved
+    INTO the 50-row driver surface; these five subsumed rows moved out
+    to keep the surface at exactly 50:
+    - doc_token_count     ⊂ doc_quality (same whitespace word math)
+    - seq_pack_by_source  ⊂ seq_pack_tokens (stream_col packing path)
+    - seq_quantiles       ⊂ seq_quantiles_approx (rank-bound oracle on
+                            the same exact percentile_disc twin)
+    - events_asof         — replaced by events_asof_bucketed (identical
+                            output; same oracle_events_asof twin)
+    - doc_fingerprint     ⊂ doc_exact_dup (same rolling-hash digest)
     """
     hf = _hash_family_queries()
     return {
@@ -195,11 +203,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_uniqueness": HT.q_lineitem_uniqueness,
         "customer_format": HT.q_customer_format,
         "seq_vocab_topk": H.q_seq_vocab_topk,
-        "seq_unigram_logprob": HT.q_seq_unigram_logprob,
-        "seq_pack_epoch": HT.q_seq_pack_epoch,
-        "seq_mixture_sample": HT.q_seq_mixture_sample,
-        "events_asof_bucketed": HT.q_events_asof_bucketed,
-        "seq_e2e_train_plan": HT.q_seq_e2e_train_plan,
+        "doc_token_count": HT.q_doc_token_count,
+        "seq_pack_by_source": HT.q_seq_pack_by_source,
+        "seq_quantiles": HT.q_seq_quantiles,
+        "events_asof": HT.q_events_asof,
+        "doc_fingerprint": HT.q_doc_fingerprint,
     }
 
 
@@ -213,11 +221,11 @@ def extra_oracle_sql() -> dict[str, str]:
         "lineitem_uniqueness": HT.oracle_lineitem_uniqueness(),
         "customer_format": HT.oracle_customer_format(),
         "seq_vocab_topk": H.oracle_seq_vocab_topk(),
-        "seq_unigram_logprob": HT.oracle_seq_unigram_logprob(),
-        "seq_pack_epoch": HT.oracle_seq_pack_epoch(),
-        "seq_mixture_sample": HT.oracle_seq_mixture_sample(),
-        "events_asof_bucketed": HT.oracle_events_asof(),
-        "seq_e2e_train_plan": HT.oracle_seq_e2e_train_plan(),
+        "doc_token_count": HT.oracle_doc_token_count(),
+        "seq_pack_by_source": HT.oracle_seq_pack_by_source(),
+        "seq_quantiles": HT.oracle_seq_quantiles(),
+        "events_asof": HT.oracle_events_asof(),
+        "doc_fingerprint": HT.oracle_doc_fingerprint(),
     }
 
 
@@ -232,9 +240,13 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": HT.oracle_ann_topk(),
         "embed_neardup_lsh": HT.oracle_embed_neardup_lsh(),
         "minhash_lsh_pairs": HT.oracle_doc_ngram_jaccard(),
+        "seq_e2e_train_plan": HT.oracle_seq_e2e_train_plan(),
+        "seq_mixture_sample": HT.oracle_seq_mixture_sample(),
+        "seq_unigram_logprob": HT.oracle_seq_unigram_logprob(),
+        "seq_pack_epoch": HT.oracle_seq_pack_epoch(),
+        "events_asof_bucketed": HT.oracle_events_asof(),
         "seq_pack_tokens": HT.oracle_seq_pack_tokens(),
         "seq_pack_spans": HT.oracle_seq_pack_spans(),
-        "seq_pack_by_source": HT.oracle_seq_pack_by_source(),
         "doc_repetition": HT.oracle_doc_repetition(),
         "doc_pii": HT.oracle_doc_pii(),
         "doc_pii_scrub": HT.oracle_doc_pii_scrub(),
@@ -251,16 +263,13 @@ def oracle_sql() -> dict[str, str]:
         "seq_drift_js": H.oracle_seq_drift_js(),
         "seq_vocab_by_source": H.oracle_seq_vocab_by_source(),
         "seq_heavy_hitters": H.oracle_seq_heavy_hitters(),
-        "seq_quantiles": HT.oracle_seq_quantiles(),
         "seq_quantiles_approx": HT.oracle_seq_quantiles_approx(),
         "doc_exact_dup": HT.oracle_doc_exact_dup(),
         "doc_ngram_jaccard": HT.oracle_doc_ngram_jaccard(),
         "ann_topk": HT.oracle_ann_topk(),
         "ann_batch_topk": HT.oracle_ann_batch_topk(),
-        "doc_token_count": HT.oracle_doc_token_count(),
         "doc_quality": HT.oracle_doc_quality(),
         "doc_langid": HT.oracle_doc_langid(),
-        "doc_fingerprint": HT.oracle_doc_fingerprint(),
         "doc_contamination": HT.oracle_doc_contamination(),
         "dedup_clusters": HT.oracle_dedup_clusters(),
         "doc_split": HT.oracle_doc_split(),
@@ -273,7 +282,6 @@ def oracle_sql() -> dict[str, str]:
         "outcome_counts": HT.oracle_outcome_counts(),
         "content_flags": HT.oracle_content_flags(),
         "events_sessions": HT.oracle_events_sessions(),
-        "events_asof": HT.oracle_events_asof(),
         "lineitem_range_join": HT.oracle_lineitem_range_join(),
         "events_rollup": HT.oracle_events_rollup(),
     }

@@ -102,6 +102,82 @@ def test_enumerate_rows_skewsafe_matches_window(spark, tables):
     assert plain == safe and plain["hotdoc"] == 49
 
 
+def test_enumerate_rows_skewsafe_chunked_explode(spark, monkeypatch):
+    """With the chunk size forced tiny, a large exact-duplicate group
+    (ONE (doc_id, sig) group — the r4-ADVICE OOM case) must still emit
+    exactly group-size-minus-one rows, spread over multiple chunks."""
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(uniqueness, "_EXPLODE_CHUNK", 7)
+    df = spark.createDataFrame(
+        [("hot", [1, 2, 3])] * 100 + [("cold", [i, i]) for i in range(5)],
+        "doc_id string, tokens array<int>",
+    )
+    out = (
+        uniqueness.enumerate_rows_skewsafe(df, CFG)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    assert {r.doc_id: r.c for r in out} == {"hot": 99, "cold": 4}
+
+
+def test_enumerate_counts_matches_enumeration(tables):
+    """sum(n_surplus) of the counts form == the enumerated row count,
+    per key (the aggregate-only consumer contract)."""
+    from pyspark.sql import functions as F
+
+    df = tables["sequences"]
+    counts = {
+        r.doc_id: r.s
+        for r in uniqueness.enumerate_counts(df, CFG)
+        .groupBy("doc_id")
+        .agg(F.sum("n_surplus").alias("s"))
+        .collect()
+    }
+    enum = {
+        r.doc_id: r.c
+        for r in uniqueness.enumerate_rows(df, CFG)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert counts == enum and counts  # non-empty: fixtures plant dups
+
+
+def test_enumerate_rows_auto_dispatch(spark, tables):
+    """The auto dispatcher must pick the window on balanced keys and
+    the skew-safe formulation past the hot-share threshold, and both
+    branches must return the same multiset as the window form."""
+    from pyspark.sql import functions as F
+
+    balanced = spark.createDataFrame(
+        [(f"d{i % 40}", [i]) for i in range(400)], "doc_id string, tokens array<int>"
+    )
+    hot = balanced.unionByName(
+        spark.createDataFrame([("hot", [9, 9])] * 600, "doc_id string, tokens array<int>")
+    )
+    # sample the whole frame so the probe is deterministic for the pin
+    cold_plan = uniqueness.enumerate_rows_auto(balanced, CFG, sample_fraction=1.0)
+    hot_plan = uniqueness.enumerate_rows_auto(hot, CFG, sample_fraction=1.0)
+    cold_str = cold_plan._jdf.queryExecution().optimizedPlan().toString()
+    hot_str = hot_plan._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in cold_str  # balanced → window formulation
+    assert "Window" not in hot_str  # hot → skew-safe formulation
+    want = {
+        r.doc_id: r.c
+        for r in uniqueness.enumerate_rows(hot, CFG)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    got = {
+        r.doc_id: r.c
+        for r in hot_plan.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == want and want["hot"] == 599
+
+
 def test_salted_distinct_count_exact_under_skew(spark):
     """salted_distinct_count must equal the plain countDistinct on a
     frame with one hot key carrying all-distinct values (the case that

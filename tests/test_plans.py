@@ -172,8 +172,10 @@ def test_vocab_topk_partial_aggregates_and_take_ordered(spark):
 
 def test_enumerate_rows_skewsafe_no_key_window(spark):
     """The skew-safe enumeration must contain NO window at all (the
-    straggler shape it replaces) and must join the dup-key dimension
-    BROADCAST — the table is never shuffled by the hot key."""
+    straggler shape it replaces). The dup-key dimension join carries no
+    static broadcast hint (its cardinality is data-dependent — r4
+    ADVICE), so broadcast is asserted on the FINAL adaptive plan: AQE
+    must upgrade the small dup dimension to a broadcast at runtime."""
     from tokenqc.checks import uniqueness
     from tokenqc.checks.base import CheckConfig
 
@@ -181,10 +183,15 @@ def test_enumerate_rows_skewsafe_no_key_window(spark):
         [(f"d{i % 30}", [i % 7, i % 5]) for i in range(200)],
         "doc_id string, tokens array<int>",
     )
-    plan = plan_of(uniqueness.enumerate_rows_skewsafe(df, CheckConfig()))
+    out = uniqueness.enumerate_rows_skewsafe(df, CheckConfig())
+    plan = plan_of(out)
     assert "Window" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    out.collect()  # finalize AQE so executedPlan shows runtime strategies
+    # executedPlan prints "== Final Plan ==" then "== Initial Plan ==";
+    # only the final (runtime) section is the pinned behavior
+    final = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
 
 
 def test_unigram_logprob_model_is_broadcast(spark):
