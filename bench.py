@@ -396,10 +396,19 @@ def _new_stage_stats(ui: str, seen: set) -> list[dict]:
         if sid in seen:
             continue
         seen.add(sid)
-        tasks = get(
-            f"/api/v1/applications/{app_id}/stages/{st['stageId']}/{st['attemptId']}"
-            f"/taskList?length=5000"
-        )
+        # paginate: a single ?length=N request silently truncates stages
+        # with more tasks, under-reporting the max/p50 the skew evidence
+        # is built on (r4 ADVICE) — loop offsets until a short page
+        tasks: list[dict] = []
+        page = 5000
+        while True:
+            batch = get(
+                f"/api/v1/applications/{app_id}/stages/{st['stageId']}/{st['attemptId']}"
+                f"/taskList?offset={len(tasks)}&length={page}"
+            )
+            tasks.extend(batch)
+            if len(batch) < page:
+                break
         durs = sorted(t.get("duration", 0) for t in tasks)
         if durs:
             out.append({
@@ -455,9 +464,12 @@ def skew_run(master: str, sf_dir: str, bench_sf: float | None = None,
     )
     cfg = CheckConfig(n_partitions=64)
     seq = spark.read.parquet(os.path.join(data_dir, "sequences"))
-    hot = F.when(
-        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(hot_denom)) == 0, F.lit("hotdoc")
-    ).otherwise(F.col("doc_id"))
+    if hot_denom > 0:
+        hot = F.when(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(hot_denom)) == 0, F.lit("hotdoc")
+        ).otherwise(F.col("doc_id"))
+    else:  # hot_denom<=0: the 0%-hot control row (no planted key)
+        hot = F.col("doc_id")
     skewed = seq.select(hot.alias("doc_id"), "tokens").persist()
     n_rows = skewed.count()  # materialize the cache outside timing
     sig = F.xxhash64("tokens")
@@ -475,6 +487,10 @@ def skew_run(master: str, sf_dir: str, bench_sf: float | None = None,
         ),
         "enum_window": lambda: uniqueness.enumerate_rows(skewed, cfg).count(),
         "enum_skewsafe": lambda: uniqueness.enumerate_rows_skewsafe(skewed, cfg).count(),
+        # the dispatcher: its wall INCLUDES the sampled skew probe — the
+        # evidence the r4 verdict asked for is that auto lands within
+        # noise of the better hand-picked variant at 0/10/50% hot
+        "enum_auto": lambda: uniqueness.enumerate_rows_auto(skewed, cfg).count(),
     }
     ui = spark.sparkContext.uiWebUrl
     seen: set = set()
@@ -504,11 +520,16 @@ def skew_run(master: str, sf_dir: str, bench_sf: float | None = None,
         }
     skewed.unpersist()
     ep, es = results["enum_window"], results["enum_skewsafe"]
+    ea = results["enum_auto"]
     return {
         "metric": "tokenqc_skew_bench",
         "sf": sf, "master": master, "n_rows": n_rows,
-        "hot_frac": round(1.0 / hot_denom, 3), "n_salt": n_salt,
+        "hot_frac": round(1.0 / hot_denom, 3) if hot_denom > 0 else 0.0,
+        "n_salt": n_salt,
         "variants": results,
+        "enum_auto_vs_best": round(
+            ea["wall_sec"] / min(ep["wall_sec"], es["wall_sec"]), 3
+        ),
         "enum_wall_speedup": round(ep["wall_sec"] / es["wall_sec"], 3),
         "enum_max_task_ratio": (
             round(ep["max_task_ms"] / es["max_task_ms"], 3)

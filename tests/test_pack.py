@@ -175,7 +175,7 @@ def test_stream_cardinality_guard(spark):
     df = spark.createDataFrame(rows, "rn long, src string, n_tok int")
     with pytest.raises(ValueError, match="max_streams"):
         pack.token_offsets(df, ("rn",), stream_col="src", max_streams=3)
-    # at/below the bound it runs (approx_count_distinct is exact at 10)
+    # at/below the bound it runs (the guard count is exact)
     assert pack.token_offsets(df, ("rn",), stream_col="src", max_streams=10).count() == 100
 
 

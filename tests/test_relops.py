@@ -41,6 +41,21 @@ def test_asof_backward_semantics(spark):
     assert out[("u2", 4)] is None   # no prior snapshot
 
 
+def test_asof_hot_key_guard(spark):
+    """asof_join must REFUSE a key whose combined history exceeds
+    max_key_rows (the one-task-sorts-everything shape), pointing at the
+    bucketed variant; max_key_rows=None skips the probe (r4 verdict #6,
+    the pack.token_offsets guard pattern)."""
+    import pytest
+
+    ev, sn = _events(spark), _snaps(spark)
+    with pytest.raises(ValueError, match="asof_join_bucketed"):
+        relops.asof_join(ev, sn, on="user_id", max_key_rows=2)
+    # at/above the hottest key's actual count it runs; None skips probe
+    assert relops.asof_join(ev, sn, on="user_id", max_key_rows=5).count() == 4
+    assert relops.asof_join(ev, sn, on="user_id", max_key_rows=None).count() == 4
+
+
 def test_asof_tolerance(spark):
     out = {
         (r.user_id, r.ev): r.snap

@@ -383,6 +383,22 @@ def test_mixture_plan_and_sample(spark):
         textqc.mixture_plan(df, budget_tokens=0, weights={"a": 1})
 
 
+def test_mixture_plan_zero_token_source(spark):
+    """A weights-listed source whose rows all have n_tok=0 must appear
+    in the plan with rate_ppm=0 (visible, sampled at 0) — not divide by
+    zero (ANSI) or silently null-drop from the sample (r4 ADVICE)."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "empty", 0), (3, "empty", 0)],
+        "rn long, source string, n_tok int",
+    )
+    plan = textqc.mixture_plan(df, budget_tokens=100, weights={"a": 1, "empty": 1})
+    p = {r.source: (r.total_tok, r.rate_ppm) for r in plan.collect()}
+    assert p["empty"] == (0, 0)
+    assert p["a"][1] > 0
+    kept = textqc.mixture_sample(df, plan, id_col="rn").collect()
+    assert all(r.source != "empty" for r in kept)
+
+
 def test_vocab_topk(spark):
     df = spark.createDataFrame(
         [("a", [1, 1, 2], "web"), ("b", [1, 3], "web"), ("c", [2, 3, 3, 3], "code"), ("d", None, "web")],

@@ -31,6 +31,7 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
+    max_key_rows: int | None = 10_000_000,
 ) -> DataFrame:
     """Backward as-of join: every `left` row gains the most recent
     `right` row with right_ts <= left_ts for the same `on` key (NULLs
@@ -46,13 +47,37 @@ def asof_join(
     Skew contract: the window partitions by `on`, so a single hot key
     (one key holding a large fraction of both sides) becomes one
     straggler task sorting that key's full history — the standard cost
-    of the union+window formulation. When a key's history is too large
-    for one task, use :func:`asof_join_bucketed` — identical semantics,
-    per-task sort bounded to one time bucket.
+    of the union+window formulation. The guard ENFORCES the bound the
+    docstring used to merely advertise (pack.token_offsets pattern):
+    one cheap partial-agg-bounded probe of per-key row counts over both
+    sides' key columns; past `max_key_rows` (default 10 M rows ≈ a
+    single task sorting ~hundreds of MB) it raises, pointing at
+    :func:`asof_join_bucketed` — identical semantics, per-task sort
+    bounded to one time bucket. Pass ``max_key_rows=None`` to skip the
+    probe when the key distribution is already known safe.
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    if max_key_rows is not None:
+        hot = (
+            left.select(F.col(on))
+            .unionByName(right.select(F.col(on)))
+            .groupBy(on)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("mx"))
+            .first()["mx"]
+            or 0
+        )
+        if hot > max_key_rows:
+            raise ValueError(
+                f"asof_join: hottest {on!r} key holds {hot} rows across both "
+                f"sides (> max_key_rows={max_key_rows}): the per-key window "
+                "would sort that key's entire history in ONE task. Use "
+                "asof_join_bucketed (identical semantics, per-task sort "
+                "bounded to one time bucket) or raise max_key_rows "
+                "deliberately."
+            )
     l_tag = left.select(
         F.col(on),
         F.col(left_ts).alias("__ts"),

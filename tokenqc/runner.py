@@ -375,9 +375,16 @@ class QCRunner:
 
         side_thread = threading.Thread(target=_materialize_side, daemon=True)
         side_thread.start()
+        # materialize the fused gate compute into the persisted cache FIRST
+        # so the sink mark times the sink, not the whole lazy plan (r4
+        # verdict #4: `violations_write` absorbed 58 s of a 59 s leg of
+        # gate compute; the write of ~33 k slim rows is actually ≪1 s)
+        viol.count()
+        _t = _mark("violations_compute", _t)
         qio.write_batch(viol, self.out_dir, "violations", run_id, batch)
-        side_thread.join()
         _t = _mark("violations_write", _t)
+        side_thread.join()
+        _t = _mark("side_jobs_join", _t)
 
         # --- verdict counts: persisted violations × cheap totals scan ----
         totals = side.get("totals", totals)

@@ -79,8 +79,8 @@ def token_offsets(
     P × distinct-streams total rows, which is metadata-sized for
     source/domain-like keys but quadratic pain for a high-cardinality
     stream key (a doc-level key would collect the whole table). The
-    guard measures `approx_count_distinct(stream_col)` on the already-
-    cached frame (one narrow job) and raises past `max_streams`
+    guard measures an EXACT `count_distinct(stream_col)` on the slim
+    stream-key projection (one narrow job) and raises past `max_streams`
     (default 100k ⇒ ≤ P×100k base rows); for genuinely high-cardinality
     streams, partition the input BY the stream key upstream and run the
     stream-less prefix per partition instead.
@@ -148,8 +148,12 @@ def token_offsets(
     local = parted.mapInPandas(local_scan, schema=out_schema)
 
     if stream_col is not None:
-        n_streams = parted.agg(
-            F.approx_count_distinct(stream_col).alias("c")
+        # EXACT distinct on the slim (stream_col) projection: the approx
+        # sketch (default rsd ~5%) could pass a key count slightly above
+        # the bound undetected (r4 ADVICE); the exact count shuffles one
+        # slim column, partial-agg-bounded per stream key
+        n_streams = parted.select(stream_col).agg(
+            F.count_distinct(stream_col).alias("c")
         ).first()["c"]
         if n_streams > max_streams:
             raise ValueError(

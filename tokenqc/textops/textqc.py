@@ -346,13 +346,19 @@ def mixture_plan(
         .groupBy(source_col)
         .agg(F.sum(n_col).cast("long").alias("total_tok"))
     )
+    # a weights-listed source whose rows carry zero tokens cannot meet any
+    # target: emit it VISIBLY with rate_ppm=0 instead of dividing by zero
+    # (ANSI `div` throws; non-ANSI silently nulls the rate and the source
+    # vanished from the sample without error — r4 ADVICE)
+    rate = F.when(
+        F.col("total_tok") > 0,
+        F.least(F.lit(1000000), F.expr("(target_tok * 1000000) div total_tok")),
+    ).otherwise(F.lit(0))
     return tot.join(F.broadcast(wdf), source_col).select(
         source_col,
         "total_tok",
         "target_tok",
-        F.least(F.lit(1000000), F.expr("(target_tok * 1000000) div total_tok"))
-        .cast("int")
-        .alias("rate_ppm"),
+        rate.cast("int").alias("rate_ppm"),
     )
 
 
