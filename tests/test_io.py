@@ -213,6 +213,18 @@ def test_html_report_artifact(spark, tmp_path, tables):
     assert tqc[0]["n_flagged"] == 1 and tqc[1]["n_flagged"] == 1  # planted
     # every pack except possibly the final partial one tiles to cap
     assert ps["n_packs"] > 0 and ps["n_full_packs"] >= ps["n_packs"] - 1
+    # the run artifact carries the repo's measured scale story (r4
+    # verdict #8): scaling-efficiency summary + planted-skew table,
+    # sourced from BENCH/scaling_result.json + skew_result.json
+    ev = report.load_scale_evidence()
+    assert ev and "scaling" in ev and "skew" in ev  # repo ships both
+    assert "Scale evidence (measured)" in html
+    assert "median efficiency" in html
+    assert "enum_skewsafe" in html and "hot_frac" in html
+    # and the section degrades to absent when the artifacts are missing
+    assert report.load_scale_evidence(str(tmp_path / "nope")) is None
+    bare = report.render_html("x", None, None, None, scale_evidence=None)
+    assert "Scale evidence" not in bare
     assert runner.write_report("never-ran") is None
 
 

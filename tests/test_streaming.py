@@ -195,6 +195,93 @@ def test_streaming_drift_matches_batch_gate(spark, tmp_path):
     assert all(v[2] == "UNKNOWN" for s, v in got.items() if s not in ("web", "books"))
 
 
+def test_streaming_drift_restart_under_domain_growth(spark, tmp_path):
+    """Verdict stability when the live data GROWS out of the fixed
+    bucket domain across a restart (r4 verdict #7): wave 1 is
+    in-domain; after the query terminates, wave 2 lands with n_tok far
+    past bucket n_buckets-1 (raw buckets ≥ 40 → tail-clamped to 31)
+    and the query restarts on the same checkpoint. The final-epoch
+    verdicts must STILL equal the batch formula over the clamped full
+    histograms — the state clamp and the baseline tail-sum clamp keep
+    grading identical to a batch run, restart or not — including a
+    baseline whose own domain (buckets 0..99) exceeds the state's."""
+    import pyarrow as pa
+    import pyspark.sql.functions as F
+
+    from tokenqc.checks import drift
+
+    def tbl(rows):  # (doc_id, n_tok, source)
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.string()),
+                "tokens": pa.array([[1, 2] for _ in rows], pa.list_(pa.int32())),
+                "n_tok": pa.array([r[1] for r in rows], pa.int32()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+
+    inp = tmp_path / "grow_in"
+    inp.mkdir()
+    out = str(tmp_path / "grow_out")
+    # wave 1: in-domain (buckets 0..7); wave 2: half the web rows jump
+    # to raw buckets 40..47 — outside the 32-bucket state domain
+    wave1 = [(f"w{i}", 10 + 64 * (i % 8), "web") for i in range(300)] + [
+        (f"b{i}", 10 + 64 * (i % 4), "books") for i in range(200)
+    ]
+    wave2 = [
+        (f"W{i}", (64 * (40 + i % 8)) + 5 if i % 2 == 0 else 10 + 64 * (i % 8), "web")
+        for i in range(300)
+    ] + [(f"B{i}", 10 + 64 * (i % 4), "books") for i in range(200)]
+    pq.write_table(tbl(wave1), str(inp / "f1.parquet"))
+
+    full = spark.createDataFrame(tbl(wave1 + wave2).to_pandas())
+    # raw domain really grows: max raw bucket far past the state's 31
+    assert full.agg(F.max(F.floor(F.col("n_tok") / 64))).first()[0] > 39
+    clamped_hist = (
+        full.select(
+            "source",
+            F.least(F.floor(F.col("n_tok") / 64), F.lit(31)).cast("int").alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # baseline: web = the clamped full shape (PASS); books = flat over
+    # 0..99, a domain the state cannot represent (tail-sum clamped, FAIL)
+    web_n = clamped_hist.where("source = 'web'").agg(F.sum("cnt")).first()[0]
+    base = clamped_hist.where("source = 'web'").select(
+        "source", "bucket", (F.col("cnt") / F.lit(float(web_n))).alias("p")
+    ).unionByName(
+        spark.createDataFrame(
+            [("books", b, 1.0 / 100) for b in range(100)],
+            "source string, bucket int, p double",
+        )
+    )
+
+    q1 = streaming.streaming_drift(spark, str(inp), out, base, js_max=0.02)
+    q1.awaitTermination(120)
+    pq.write_table(tbl(wave2), str(inp / "f2.parquet"))
+    q2 = streaming.streaming_drift(spark, str(inp), out, base, js_max=0.02)  # restart
+    q2.awaitTermination(120)
+
+    got_df = spark.read.parquet(f"{out}/drift_stream")
+    last = got_df.agg(F.max("epoch")).first()[0]
+    got = {
+        r.source: (r.n_rows, round(r.js_divergence, 9), r.status)
+        for r in got_df.where(F.col("epoch") == last).collect()
+    }
+    clamped_base = (
+        base.select("source", F.least(F.col("bucket"), F.lit(31)).alias("bucket"), "p")
+        .groupBy("source", "bucket")
+        .agg(F.sum("p").alias("p"))
+    )
+    want = {
+        r.source: (r.n_rows, round(r.js_divergence, 9), r.status)
+        for r in drift.js_from_histograms(clamped_hist, clamped_base, js_max=0.02).collect()
+    }
+    assert got == want
+    assert got["web"][2] == "PASS" and got["books"][2] == "FAIL"
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     import pyspark.sql.functions as F
 

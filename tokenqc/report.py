@@ -12,6 +12,7 @@ violation examples per check — never raw violations.
 from __future__ import annotations
 
 import html as _html
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -107,6 +108,56 @@ def pack_stats_row(spans: DataFrame, cap: int) -> dict:
     }
 
 
+def load_scale_evidence(bench_dir: str | None = None) -> dict | None:
+    """Summarize the repo's measured scale evidence
+    (BENCH/scaling_result.json + BENCH/skew_result.json) into rows for
+    the HTML report, so the run artifact carries its own scale story
+    (r4 verdict #8). Returns None when neither file exists (e.g. a
+    --py-files deployment without the bench artifacts)."""
+    import json as _json
+
+    bench_dir = bench_dir or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"
+    )
+    out: dict = {}
+    try:
+        with open(os.path.join(bench_dir, "scaling_result.json")) as f:
+            scal = _json.load(f)
+        pairs = scal.get("pairs", [])
+        effs = sorted(p["efficiency"] for p in pairs if p.get("efficiency"))
+        if effs:
+            out["scaling"] = {
+                "unit": scal.get("unit", ""),
+                "sf": scal.get("sf"),
+                "n_pairs": len(effs),
+                "median_efficiency": effs[len(effs) // 2],
+                "min_efficiency": effs[0],
+                "pairs_ge_080": sum(1 for e in effs if e >= 0.8),
+            }
+    except (OSError, ValueError, KeyError):
+        pass
+    try:
+        with open(os.path.join(bench_dir, "skew_result.json")) as f:
+            skew = _json.load(f)
+        rows = []
+        for run in skew.get("runs", []):
+            for name, v in run.get("variants", {}).items():
+                if not name.startswith("enum"):
+                    continue
+                rows.append({
+                    "hot_frac": run.get("hot_frac"),
+                    "variant": name,
+                    "wall_sec": v.get("wall_sec"),
+                    "max_task_ms": v.get("max_task_ms"),
+                    "p50_task_ms": v.get("p50_task_ms"),
+                })
+        if rows:
+            out["skew"] = rows
+    except (OSError, ValueError, KeyError):
+        pass
+    return out or None
+
+
 def render_html(
     run_id: str,
     report: DataFrame | None,
@@ -115,12 +166,14 @@ def render_html(
     js_drift: DataFrame | None = None,
     text_qc: list[dict] | None = None,
     pack_stats: dict | None = None,
+    scale_evidence: dict | None = None,
 ) -> str:
     """Assemble the report page from the run's result frames.
 
     Optional round-3/4 operator sections: `js_drift` (a
     drift.js_divergence output — sources rows), `text_qc`
-    (text_qc_rows summary), `pack_stats` (pack_stats_row footer)."""
+    (text_qc_rows summary), `pack_stats` (pack_stats_row footer),
+    `scale_evidence` (load_scale_evidence summary)."""
     parts = [
         "<html><head><title>tokenqc run report</title>",
         f"<style>{_STYLE}</style></head><body>",
@@ -170,6 +223,28 @@ def render_html(
     if pack_stats:
         parts.append("<h2>Packing summary</h2>")
         parts.append(_table([pack_stats], ["cap", "n_packs", "n_full_packs", "n_tokens"]))
+    if scale_evidence:
+        parts.append("<h2>Scale evidence (measured)</h2>")
+        scaling = scale_evidence.get("scaling")
+        if scaling:
+            parts.append(
+                f"<p>Throughput scaling ({_html.escape(str(scaling['unit']))}, "
+                f"sf={scaling['sf']}): median efficiency "
+                f'<span class="score">{scaling["median_efficiency"]:.3f}</span> '
+                f"over {scaling['n_pairs']} pairs "
+                f"(min {scaling['min_efficiency']:.3f}; "
+                f"{scaling['pairs_ge_080']}/{scaling['n_pairs']} ≥ 0.80, "
+                "the north-rule bar).</p>"
+            )
+        skew_rows = scale_evidence.get("skew")
+        if skew_rows:
+            parts.append(
+                "<p>Planted-skew dup-enumeration (hot key holding the given "
+                "row fraction; max/p50 task time is the cluster predictor):</p>"
+            )
+            parts.append(
+                _table(skew_rows, ["hot_frac", "variant", "wall_sec", "max_task_ms", "p50_task_ms"])
+            )
     parts.append("</body></html>")
     return "\n".join(parts)
 

@@ -554,6 +554,7 @@ class QCRunner:
         html = qreport.render_html(
             run_id, rep, verd, viol,
             js_drift=js_drift, text_qc=text_qc, pack_stats=pack_stats,
+            scale_evidence=qreport.load_scale_evidence(),
         )
         path = os.path.join(self.out_dir, "reports", f"run_id={run_id}", "report.html")
         return qreport.write_text(self.spark, path, html)
