@@ -37,6 +37,35 @@ def test_cli_end_to_end(spark, synth_dir, tmp_path, capsys):
     assert out["errors"] == {}
 
 
+def test_cli_enumerate_dups(spark, synth_dir, tmp_path, capsys):
+    """--enumerate-dups writes the row-level duplicate listing through
+    the adaptive dispatcher (uniqueness.enumerate_rows_auto) and its
+    count matches sum(count-1) over the duplicated keys — the engine,
+    not the caller, picks the skew formulation (r4 verdict #1/'wrong')."""
+    import pyspark.sql.functions as F
+
+    rc = cli.main(
+        [
+            "--input", f"{synth_dir}/sequences.parquet",
+            "--out", str(tmp_path / "out"),
+            "--run-id", "dup-test",
+            "--partitions", "8",
+            "--enumerate-dups",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    seq = spark.read.parquet(f"{synth_dir}/sequences.parquet")
+    want = (
+        seq.where("doc_id is not null").groupBy("doc_id").count()
+        .where("count > 1").agg(F.sum(F.col("count") - 1)).first()[0]
+    )
+    assert out["dup_rows"] == want and want > 0
+    listed = spark.read.parquet(str(tmp_path / "out" / "dup_rows"))
+    assert listed.count() == want
+    assert {"partition_id", "doc_id"} <= set(listed.columns)
+
+
 def test_pyfiles_zip(tmp_path):
     import subprocess
     import sys

@@ -47,6 +47,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="also render the human-readable HTML report artifact",
     )
     ap.add_argument(
+        "--enumerate-dups", action="store_true",
+        help="also write the row-level duplicate listing (out/dup_rows). "
+        "Dispatches window vs skew-safe formulation from a sampled "
+        "hot-key probe (uniqueness.enumerate_rows_auto)",
+    )
+    ap.add_argument(
         "--diff-against", default=None, metavar="RUN_ID",
         help="after the run, diff this run's verdicts against a previous "
         "run's (REGRESSED/IMPROVED/NEW/GONE) and include the counts + "
@@ -95,12 +101,21 @@ def main(argv: list[str] | None = None) -> int:
         run_id=args.run_id,
     )
     report_path = runner.write_report(res.run_id) if args.report else None
+    dup_rows = None
+    if args.enumerate_dups:
+        from tokenqc import io as qio
+        from tokenqc.checks import uniqueness
+
+        dups = uniqueness.enumerate_rows_auto(seq, cfg)
+        qio.write_batch(dups, args.out, "dup_rows", res.run_id, 0)
+        dup_rows = dups.count()
     summary = {
         "run_id": res.run_id,
         **({"report": report_path} if report_path else {}),
         "skipped_partitions": len(res.skipped_partitions),
         "verdicts": res.verdicts.count(),
         "violations": res.violations.count(),
+        **({"dup_rows": dup_rows} if dup_rows is not None else {}),
         "failed_partitions": res.state.where("status = 'FAIL'").count(),
         "errors": res.errors,
     }
