@@ -156,7 +156,11 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     # 2-6x within one process), so a single trial caught in a throttled
     # epoch masquerades as a 5-14x regression (VERDICT r2 #2 — exactly
     # what BENCH_r02's side queries showed). min reflects engine capability.
-    side_trials = int(os.environ.get("TOKENQC_SIDE_TRIALS", "3"))
+    # N=6 (was 3): the r3→r4 q_invariant '+12% regression' was min-of-3
+    # under-sampling — 8 consecutive warm trials of the identical plan
+    # spanned 1.94–4.35 s in one process, and min-of-3 has only ~50%
+    # chance of drawing a sub-2.1 s trial from that distribution
+    side_trials = int(os.environ.get("TOKENQC_SIDE_TRIALS", "6"))
 
     def timed(name, fn, trials: int = 1):
         out = None
