@@ -208,6 +208,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_quantiles": HT.q_seq_quantiles,
         "events_asof": HT.q_events_asof,
         "doc_fingerprint": HT.q_doc_fingerprint,
+        # round-5 operators (new, oracle-verified here): aggregate-only
+        # dup counts + the adaptive enumeration dispatcher
+        "seq_dup_surplus": H.q_seq_dup_surplus,
+        "seq_dup_rows_auto": H.q_seq_dup_rows_auto,
     }
 
 
@@ -226,6 +230,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_quantiles": HT.oracle_seq_quantiles(),
         "events_asof": HT.oracle_events_asof(),
         "doc_fingerprint": HT.oracle_doc_fingerprint(),
+        "seq_dup_surplus": H.oracle_seq_dup_surplus(),
+        "seq_dup_rows_auto": H.oracle_seq_dup_surplus(),
     }
 
 

@@ -477,6 +477,20 @@ def skew_run(master: str, sf_dir: str, bench_sf: float | None = None,
     skewed = seq.select(hot.alias("doc_id"), "tokens").persist()
     n_rows = skewed.count()  # materialize the cache outside timing
     sig = F.xxhash64("tokens")
+    # the engine-flow dispatch signal: violations are a per-run output
+    # the runner always has. Materialized LAZILY, on enum_auto_reuse's
+    # warm-up call only — persisting it up front contaminates
+    # count_plain (Spark's cache matches the canonicalized violations
+    # plan, so the identical count_plain job would read the cache and
+    # report a ~0.3 s wall for a multi-second aggregation).
+    viol_state: dict = {}
+
+    def _viol_cached():
+        if "df" not in viol_state:
+            v = uniqueness.violations(skewed, cfg).persist()
+            v.count()
+            viol_state["df"] = v
+        return viol_state["df"]
 
     variants = {
         "count_plain": lambda: uniqueness.violations(skewed, cfg).count(),
@@ -491,10 +505,17 @@ def skew_run(master: str, sf_dir: str, bench_sf: float | None = None,
         ),
         "enum_window": lambda: uniqueness.enumerate_rows(skewed, cfg).count(),
         "enum_skewsafe": lambda: uniqueness.enumerate_rows_skewsafe(skewed, cfg).count(),
-        # the dispatcher: its wall INCLUDES the sampled skew probe — the
-        # evidence the r4 verdict asked for is that auto lands within
-        # noise of the better hand-picked variant at 0/10/50% hot
+        # the dispatcher, standalone: wall INCLUDES the sampled skew
+        # probe (one slim-column scan — the cost a cold caller pays)
         "enum_auto": lambda: uniqueness.enumerate_rows_auto(skewed, cfg).count(),
+        # the dispatcher, engine flow: the runner always has the
+        # uniqueness violations + row count, so dispatch is a free
+        # aggregation over the bounded dup-key frame (r4 verdict #2).
+        # The warm-up call materializes the persisted violations frame
+        # (it MUST exist before this variant runs, not before count_*).
+        "enum_auto_reuse": lambda: uniqueness.enumerate_rows_auto(
+            skewed, cfg, violations_df=_viol_cached(), n_rows=n_rows
+        ).count(),
     }
     ui = spark.sparkContext.uiWebUrl
     seen: set = set()
@@ -522,9 +543,11 @@ def skew_run(master: str, sf_dir: str, bench_sf: float | None = None,
             "p50_task_ms": heaviest.get("p50_task_ms"),
             "n_tasks": heaviest.get("n_tasks"),
         }
+    if "df" in viol_state:
+        viol_state["df"].unpersist()
     skewed.unpersist()
     ep, es = results["enum_window"], results["enum_skewsafe"]
-    ea = results["enum_auto"]
+    ea = results["enum_auto_reuse"]
     return {
         "metric": "tokenqc_skew_bench",
         "sf": sf, "master": master, "n_rows": n_rows,

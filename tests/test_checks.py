@@ -147,8 +147,9 @@ def test_enumerate_counts_matches_enumeration(tables):
 
 def test_enumerate_rows_auto_dispatch(spark, tables):
     """The auto dispatcher must pick the window on balanced keys and
-    the skew-safe formulation past the hot-share threshold, and both
-    branches must return the same multiset as the window form."""
+    the skew-safe formulation past the hot-share threshold — via BOTH
+    signals (the free violations-derived share and the sampled probe) —
+    and the chosen branch must return the window form's exact multiset."""
     from pyspark.sql import functions as F
 
     balanced = spark.createDataFrame(
@@ -157,13 +158,25 @@ def test_enumerate_rows_auto_dispatch(spark, tables):
     hot = balanced.unionByName(
         spark.createDataFrame([("hot", [9, 9])] * 600, "doc_id string, tokens array<int>")
     )
-    # sample the whole frame so the probe is deterministic for the pin
-    cold_plan = uniqueness.enumerate_rows_auto(balanced, CFG, sample_fraction=1.0)
-    hot_plan = uniqueness.enumerate_rows_auto(hot, CFG, sample_fraction=1.0)
+    # engine flow: dispatch from the run's own violations output
+    cold_v, hot_v = uniqueness.violations(balanced, CFG), uniqueness.violations(hot, CFG)
+    assert uniqueness.hot_share_from_violations(cold_v, 400) <= 10 / 400
+    assert uniqueness.hot_share_from_violations(hot_v, 1000) == 0.6
+    cold_plan = uniqueness.enumerate_rows_auto(balanced, CFG, violations_df=cold_v, n_rows=400)
+    hot_plan = uniqueness.enumerate_rows_auto(hot, CFG, violations_df=hot_v, n_rows=1000)
     cold_str = cold_plan._jdf.queryExecution().optimizedPlan().toString()
     hot_str = hot_plan._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" in cold_str  # balanced → window formulation
     assert "Window" not in hot_str  # hot → skew-safe formulation
+    # standalone flow: the sampled probe on a frame large enough that a
+    # 2% sample is stable (6000 rows → ~120 sampled)
+    big_hot = spark.createDataFrame(
+        [(f"d{i}", [i]) for i in range(3000)] + [("hot", [7])] * 3000,
+        "doc_id string, tokens array<int>",
+    )
+    assert uniqueness.probe_hot_share(big_hot) > 0.2
+    hot_probe_plan = uniqueness.enumerate_rows_auto(big_hot, CFG)
+    assert "Window" not in hot_probe_plan._jdf.queryExecution().optimizedPlan().toString()
     want = {
         r.doc_id: r.c
         for r in uniqueness.enumerate_rows(hot, CFG)

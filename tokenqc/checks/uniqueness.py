@@ -78,7 +78,9 @@ def enumerate_rows(df: DataFrame, cfg: CheckConfig) -> DataFrame:
 _EXPLODE_CHUNK = 1 << 20
 
 
-def _surplus_counts(df: DataFrame, cfg: CheckConfig) -> DataFrame:
+def _surplus_counts(
+    df: DataFrame, cfg: CheckConfig, broadcast_dups: bool = False
+) -> DataFrame:
     """(partition_id, doc_id, n_surplus) per duplicate group, computed
     without ever shuffling the table BY KEY.
 
@@ -86,10 +88,13 @@ def _surplus_counts(df: DataFrame, cfg: CheckConfig) -> DataFrame:
     a hot key's rows evenly across reducers — then per-key totals +
     representative (min sig), both partial-agg-bounded; the dup-key
     dimension (keys with total > 1) joins back onto the per-sig counts.
-    The join carries NO broadcast hint: the dup-key cardinality is
-    data-dependent (a corpus where most doc_ids are duplicated would
-    blow an unconditional 8 GB broadcast); AQE upgrades the exchange to
-    a broadcast at runtime when the actual size is small.
+    By default the join carries NO broadcast hint: the dup-key
+    cardinality is data-dependent (a corpus where most doc_ids are
+    duplicated would blow an unconditional 8 GB broadcast); AQE upgrades
+    the exchange to a broadcast at runtime when the actual size is
+    small. A caller that has MEASURED the dup-key count (the auto
+    dispatcher reads it off the bounded violations frame) may pass
+    ``broadcast_dups=True`` to skip the fact-side shuffle entirely.
     """
     sig = F.xxhash64("tokens")
     keyed = df.where(F.col("doc_id").isNotNull()).select(
@@ -100,6 +105,8 @@ def _surplus_counts(df: DataFrame, cfg: CheckConfig) -> DataFrame:
         F.min("__sig").alias("__rep"), F.sum("c").alias("total")
     )
     dups = reps.where(F.col("total") > 1).select("doc_id", "__rep")
+    if broadcast_dups:
+        dups = F.broadcast(dups)
     return (
         per_sig.join(dups, "doc_id")
         .withColumn(
@@ -122,7 +129,9 @@ def enumerate_counts(df: DataFrame, cfg: CheckConfig) -> DataFrame:
     return _surplus_counts(df, cfg)
 
 
-def enumerate_rows_skewsafe(df: DataFrame, cfg: CheckConfig) -> DataFrame:
+def enumerate_rows_skewsafe(
+    df: DataFrame, cfg: CheckConfig, broadcast_dups: bool = False
+) -> DataFrame:
     """Surplus-row enumeration WITHOUT the per-key window — the
     formulation that survives a hot key at 10^12 rows.
 
@@ -136,20 +145,24 @@ def enumerate_rows_skewsafe(df: DataFrame, cfg: CheckConfig) -> DataFrame:
     exact-duplicate hot key (ONE (doc_id, sig) group holding ~all rows)
     never materializes an O(group-size) array in a single row; the
     single-level `sequence(1, n_surplus)` allocated multi-GB arrays and
-    hard-fails past 2^31 elements. Chunk rows are round-robin
-    repartitioned between the levels (a shuffle of ~n_dup_keys slim
-    rows, NOT the data) so the row-generation work of a huge group is
-    spread across the cluster instead of pipelined in one task.
+    hard-fails past 2^31 elements. Bounded for n_surplus ≤ 2^40, past
+    the 10^12-row target. No exchange is added: for normal groups the
+    outer sequence is a single element and both explodes pipeline in
+    the join stage; a pathological huge group STREAMS its rows out of
+    one task (bounded memory, serial generation) — a consumer that
+    must spread the downstream work can `.repartition()` the output,
+    and aggregate-only consumers should take :func:`enumerate_counts`
+    instead.
     """
     K = _EXPLODE_CHUNK
-    surplus = _surplus_counts(df, cfg)
+    surplus = _surplus_counts(df, cfg, broadcast_dups)
     n_chunks_minus_1 = F.floor((F.col("n_surplus") - F.lit(1)) / F.lit(K)).cast("long")
     chunked = surplus.select(
         "partition_id",
         "doc_id",
         "n_surplus",
         F.explode(F.sequence(F.lit(0), n_chunks_minus_1)).alias("__chunk"),
-    ).repartition(cfg.n_partitions)
+    )
     chunk_len = F.least(
         F.lit(K).cast("long"), F.col("n_surplus") - F.col("__chunk") * F.lit(K)
     )
@@ -160,16 +173,69 @@ def enumerate_rows_skewsafe(df: DataFrame, cfg: CheckConfig) -> DataFrame:
     ).drop("__i")
 
 
+def probe_hot_share(
+    df: DataFrame,
+    key: str = "doc_id",
+    sample_fraction: float = 0.02,
+    seed: int = 7,
+) -> float:
+    """Estimate the hottest key's row share with ONE sampled slim-column
+    scan + partial-agg-robust groupBy (the count shape measured safe
+    under the hot key itself — count_plain in BENCH/skew_result.json).
+    Costs a pass over the key column (~1–2 s on 6 M local rows); at the
+    10^12-row target this scan-only job is amortized against the
+    enumeration's own scan + shuffle + sort. When per-key counts already
+    exist (the runner always computes uniqueness.violations), prefer
+    :func:`hot_share_from_violations` — zero extra scan."""
+    probe = (
+        df.where(F.col(key).isNotNull())
+        .select(F.col(key))
+        .sample(fraction=sample_fraction, seed=seed)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        .first()
+    )
+    tot = probe["tot"] or 0
+    return (probe["mx"] / tot) if tot else 0.0
+
+
+def hot_share_from_violations(violations: DataFrame, n_rows: int) -> float:
+    """Hot-key share derived from an ALREADY-COMPUTED
+    :func:`violations` output — the engine's free dispatch signal (the
+    runner materializes uniqueness violations on every run, and their
+    `observed` column carries each duplicate group's exact count as
+    'count=N'). One aggregation over the bounded dup-key frame; no scan
+    of the data at all."""
+    if n_rows <= 0:
+        return 0.0
+    mx = (
+        violations.where(F.col("check_name") == CHECK)
+        .select(
+            F.split(F.col("observed"), "=").getItem(1).cast("long").alias("c")
+        )
+        .agg(F.max("c").alias("mx"))
+        .first()["mx"]
+    )
+    return (mx or 0) / n_rows
+
+
 def enumerate_rows_auto(
     df: DataFrame,
     cfg: CheckConfig,
     hot_share_threshold: float = 0.2,
-    sample_fraction: float = 0.02,
-    seed: int = 7,
+    violations_df: DataFrame | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """Probe key skew on a small sample, then dispatch: the per-key
-    window (:func:`enumerate_rows`, fastest on balanced keys) vs the
+    """Dispatch on measured key skew: the per-key window
+    (:func:`enumerate_rows`, fastest on balanced keys) vs the
     no-key-shuffle formulation (:func:`enumerate_rows_skewsafe`).
+
+    Dispatch signal, cheapest available first:
+    - ``violations_df`` + ``n_rows`` (the engine flow — the runner has
+      both on every run): :func:`hot_share_from_violations`, zero extra
+      scan of the data;
+    - else :func:`probe_hot_share`, one sampled slim-column scan.
 
     Calibration (BENCH/skew_result.json, 6 M rows, local[32]): at 10%
     hot mass the window wins wall (2.87 s vs 5.64 s) with bounded
@@ -178,21 +244,17 @@ def enumerate_rows_auto(
     skewsafe bounds it at ≤4.7×. The 0.2 threshold sits between the
     two measured points; max-task ratio, not local wall, is the
     cluster predictor.
-
-    The probe is ONE cheap job on a ~2% sample; its `groupBy.count` is
-    itself partial-agg-robust under the hot key (measured: count_plain
-    in the same bench), so probing skewed input is safe.
     """
-    keyed = df.where(F.col("doc_id").isNotNull()).select("doc_id")
-    probe = (
-        keyed.sample(fraction=sample_fraction, seed=seed)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
-        .first()
-    )
-    tot = probe["tot"] or 0
-    hot_share = (probe["mx"] / tot) if tot else 0.0
+    broadcast_dups = False
+    if violations_df is not None and n_rows is not None:
+        hot_share = hot_share_from_violations(violations_df, n_rows)
+        # the violations frame IS the dup-key dimension: its measured
+        # cardinality decides whether the skewsafe join-back can skip
+        # the fact-side shuffle (~50 B/key ⇒ 1M keys ≈ 50 MB broadcast)
+        n_dup_keys = violations_df.where(F.col("check_name") == CHECK).count()
+        broadcast_dups = n_dup_keys <= 1_000_000
+    else:
+        hot_share = probe_hot_share(df, "doc_id")
     if hot_share >= hot_share_threshold:
-        return enumerate_rows_skewsafe(df, cfg)
+        return enumerate_rows_skewsafe(df, cfg, broadcast_dups=broadcast_dups)
     return enumerate_rows(df, cfg)

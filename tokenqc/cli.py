@@ -106,7 +106,11 @@ def main(argv: list[str] | None = None) -> int:
         from tokenqc import io as qio
         from tokenqc.checks import uniqueness
 
-        dups = uniqueness.enumerate_rows_auto(seq, cfg)
+        # engine flow: dispatch on the run's own uniqueness violations
+        # (per-dup-key counts) — zero extra scan of the input
+        dups = uniqueness.enumerate_rows_auto(
+            seq, cfg, violations_df=res.violations, n_rows=seq.count()
+        )
         qio.write_batch(dups, args.out, "dup_rows", res.run_id, 0)
         dup_rows = dups.count()
     summary = {

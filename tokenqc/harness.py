@@ -241,6 +241,43 @@ def oracle_seq_uniqueness() -> str:
     )
 
 
+def q_seq_dup_surplus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-only duplicate consumer form (uniqueness.enumerate_counts,
+    r5): per dup key the exact surplus-row total, computed without ever
+    shuffling the table by key — at 10^12 rows the enumerated listing is
+    itself terabytes; this is the bounded contract reports join against."""
+    from tokenqc.checks import uniqueness
+
+    seq = derive_sequences(spark, sf_dir)
+    return (
+        uniqueness.enumerate_counts(seq, CFG)
+        .groupBy("doc_id")
+        .agg(F.sum("n_surplus").cast("long").alias("n_surplus"))
+    )
+
+
+def q_seq_dup_rows_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level dup listing through the adaptive dispatcher
+    (uniqueness.enumerate_rows_auto, r5): the sampled probe picks the
+    formulation, and the emitted multiset must match the window form's
+    exactly — verified per key against the closed-form surplus count."""
+    from tokenqc.checks import uniqueness
+
+    seq = derive_sequences(spark, sf_dir)
+    return (
+        uniqueness.enumerate_rows_auto(seq, CFG)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_surplus"))
+    )
+
+
+def oracle_seq_dup_surplus() -> str:
+    return SEQ_CTE + (
+        "SELECT doc_id, count(*) - 1 AS n_surplus "
+        "FROM seq WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING count(*) > 1"
+    )
+
+
 def q_seq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rogue-source rows via broadcast left-anti semantics, per partition."""
     seq = derive_sequences(spark, sf_dir)
