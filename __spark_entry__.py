@@ -122,7 +122,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack_tokens": HT.q_seq_pack_tokens,
         "seq_pack_spans": HT.q_seq_pack_spans,
         "doc_repetition": HT.q_doc_repetition,
-        "doc_pii": HT.q_doc_pii,
+        # round-5 operator: token-array lints (id domain / special-token
+        # layout / degenerate runs), rotated in for doc_pii (⊂
+        # doc_pii_scrub — the scrub oracle is generated from the same
+        # PII_PATTERNS counts, so byte-exact scrub parity subsumes the
+        # detection flags)
+        "seq_token_lints": H.q_seq_token_lints,
         "doc_pii_scrub": HT.q_doc_pii_scrub,
         # engine gates on the derived sequences table
         "seq_violation_counts": H.q_seq_violation_counts,
@@ -192,6 +197,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - events_asof         — replaced by events_asof_bucketed (identical
                             output; same oracle_events_asof twin)
     - doc_fingerprint     ⊂ doc_exact_dup (same rolling-hash digest)
+
+    Round-5 mid-round rotation: seq_token_lints (new tokens check) moved
+    into the driver surface for
+    - doc_pii             ⊂ doc_pii_scrub (scrub oracle is generated
+                            from the same PII_PATTERNS counts; byte-exact
+                            scrub parity subsumes the detection flags)
     """
     hf = _hash_family_queries()
     return {
@@ -212,6 +223,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dup counts + the adaptive enumeration dispatcher
         "seq_dup_surplus": H.q_seq_dup_surplus,
         "seq_dup_rows_auto": H.q_seq_dup_rows_auto,
+        "doc_pii": HT.q_doc_pii,
     }
 
 
@@ -232,6 +244,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_fingerprint": HT.oracle_doc_fingerprint(),
         "seq_dup_surplus": H.oracle_seq_dup_surplus(),
         "seq_dup_rows_auto": H.oracle_seq_dup_surplus(),
+        "doc_pii": HT.oracle_doc_pii(),
     }
 
 
@@ -254,7 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack_tokens": HT.oracle_seq_pack_tokens(),
         "seq_pack_spans": HT.oracle_seq_pack_spans(),
         "doc_repetition": HT.oracle_doc_repetition(),
-        "doc_pii": HT.oracle_doc_pii(),
+        "seq_token_lints": H.oracle_seq_token_lints(),
         "doc_pii_scrub": HT.oracle_doc_pii_scrub(),
         "seq_violation_counts": H.oracle_seq_violation_counts(),
         "seq_format_violations": H.oracle_seq_format_violations(),

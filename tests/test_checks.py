@@ -245,3 +245,69 @@ def test_assemble_violations_long_format(tables, expected):
         + len(expected.null_ntok)
         + len(expected.null_source)
     )
+
+
+# ---------------------------------------------------------------------------
+# token-array lints (checks/tokens.py)
+# ---------------------------------------------------------------------------
+def test_token_lint_config_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        cb.CheckConfig(vocab_size=0)
+    with pytest.raises(ValueError):
+        cb.CheckConfig(max_token_run=1)
+    # all-None (the default) is valid and yields zero facets
+    from tokenqc.checks import tokens as token_lints
+
+    assert token_lints.facets(cb.CheckConfig()) == []
+
+
+def test_max_run_col(spark):
+    from tokenqc.checks.tokens import max_run_col
+
+    rows = [
+        ("empty", []),
+        ("one", [5]),
+        ("tail3", [1, 1, 2, 2, 2]),
+        ("nulls_break", [None, None, 3]),
+        ("null_gap", [4, 4, None, 4, 4]),
+        ("allnull", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {
+        r.doc_id: r.mr
+        for r in df.select("doc_id", max_run_col(F.col("tokens")).alias("mr")).collect()
+    }
+    assert got == {
+        "empty": 0, "one": 1, "tail3": 3, "nulls_break": 1, "null_gap": 2, "allnull": 0,
+    }
+
+
+def test_token_lint_facets_exact(spark):
+    """Planted fixture per facet; legal BOS-at-head / EOS-at-tail must NOT
+    flag, and observed values carry the bounded evidence exactly."""
+    from tokenqc.checks import tokens as token_lints
+
+    cfg = cb.CheckConfig(n_partitions=4, vocab_size=100, bos_id=1, eos_id=2, max_token_run=3)
+    rows = [
+        ("ok", [1, 5, 6, 7, 2]),          # legal layout — clean
+        ("oob", [1, 5, 100, -1, 107, 2]),  # three out-of-domain ids
+        ("bos_mid", [1, 5, 1, 7, 2]),      # bos at absolute position 3
+        ("eos_mid", [1, 2, 6, 7, 2]),      # eos at absolute position 2
+        ("run", [5, 9, 9, 9, 2]),          # 3-run of 9s
+        ("empty", []),
+        ("nulltok", None),
+    ]
+    df = (
+        spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+        .withColumn("partition_id", F.lit(0))
+    )
+    viol = cb.assemble_violations(df, token_lints.facets(cfg))
+    got = {(r.doc_id, r.observed) for r in viol.collect()}
+    assert got == {
+        ("oob", "oob_token: 3@100,-1,107"),
+        ("bos_mid", "bos_interior: 3"),
+        ("eos_mid", "eos_interior: 2"),
+        ("run", "long_run: 3"),
+    }

@@ -107,3 +107,32 @@ def test_cli_diff_against(spark, synth_dir, tmp_path, capsys):
     assert cli.main(base + ["--run-id", "runC", "--diff-against", "nope"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "no verdicts" in out["diff"]["error"]
+
+
+def test_cli_token_lints(spark, synth_dir, tmp_path, capsys):
+    """Token-lint flags drive the facets end-to-end through the runner;
+    the summary's violation count equals an independent per-facet count
+    computed directly on the input (a row flagged by N facets yields N
+    long-format violation rows)."""
+    rc = cli.main(
+        [
+            "--input", f"{synth_dir}/sequences.parquet",
+            "--out", str(tmp_path / "out"),
+            "--run-id", "tok-lint",
+            "--partitions", "8",
+            "--checks", "tokens",
+            "--vocab-size", "1000",
+            "--max-token-run", "2",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    seq = spark.read.parquet(f"{synth_dir}/sequences.parquet")
+    n_oob = seq.where(
+        "exists(tokens, t -> t IS NULL OR t < 0 OR t >= 1000)"
+    ).count()
+    n_run = seq.where(
+        "exists(transform(tokens, (t, i) -> i > 0 AND t = tokens[i-1]), b -> b)"
+    ).count()
+    assert n_oob > 0  # synth ids are uniform over [0, 50257) — must fire
+    assert out["violations"] == n_oob + n_run

@@ -34,6 +34,12 @@ class CheckConfig:
     drift_alpha: float = 0.001
     drift_out_frac_max: float = 0.01
     min_drift_rows: int = 200
+    # token-array lints (checks/tokens.py) — tokenizer-specific, so each
+    # facet is opt-in: None disables it even when "tokens" is listed
+    vocab_size: int | None = None
+    bos_id: int | None = None
+    eos_id: int | None = None
+    max_token_run: int | None = None
     checks: tuple[str, ...] = (
         "completeness",
         "structural",
@@ -60,7 +66,14 @@ class CheckConfig:
             "referential",
             "invariant",
             "drift",
+            "tokens",
         }
+        if self.vocab_size is not None and self.vocab_size <= 0:
+            raise ValueError(f"vocab_size must be positive, got {self.vocab_size}")
+        if self.max_token_run is not None and self.max_token_run < 2:
+            raise ValueError(
+                f"max_token_run must be >= 2 (a run needs 2 elements), got {self.max_token_run}"
+            )
         bad = set(self.checks) - known
         if bad:
             raise ValueError(f"unknown check(s): {sorted(bad)}")

@@ -53,6 +53,22 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "hot-key probe (uniqueness.enumerate_rows_auto)",
     )
     ap.add_argument(
+        "--vocab-size", type=int, default=None,
+        help="enable the tokens.oob_token lint: every id must be in [0, V)",
+    )
+    ap.add_argument(
+        "--bos-id", type=int, default=None,
+        help="enable tokens.bos_interior: this id may appear only at position 0",
+    )
+    ap.add_argument(
+        "--eos-id", type=int, default=None,
+        help="enable tokens.eos_interior: this id may appear only last",
+    )
+    ap.add_argument(
+        "--max-token-run", type=int, default=None,
+        help="enable tokens.long_run: flag rows with >= K identical consecutive ids",
+    )
+    ap.add_argument(
         "--diff-against", default=None, metavar="RUN_ID",
         help="after the run, diff this run's verdicts against a previous "
         "run's (REGRESSED/IMPROVED/NEW/GONE) and include the counts + "
@@ -75,6 +91,17 @@ def main(argv: list[str] | None = None) -> int:
     kw = {}
     if args.checks:
         kw["checks"] = tuple(args.checks.split(","))
+    token_kw = {
+        "vocab_size": args.vocab_size,
+        "bos_id": args.bos_id,
+        "eos_id": args.eos_id,
+        "max_token_run": args.max_token_run,
+    }
+    if any(v is not None for v in token_kw.values()):
+        kw.update(token_kw)
+        # the lint flags imply the check unless --checks explicitly set
+        if "checks" not in kw:
+            kw["checks"] = CheckConfig().checks + ("tokens",)
     cfg = CheckConfig(
         n_partitions=args.partitions, default_threshold=args.threshold, **kw
     )

@@ -712,3 +712,147 @@ def oracle_seq_drift_js() -> str:
         "     THEN 'FAIL' ELSE 'PASS' END AS status "
         "FROM j GROUP BY source"
     )
+
+
+# ---------------------------------------------------------------------------
+# token-array lints (checks/tokens.py) — planted anomalies + oracle
+# ---------------------------------------------------------------------------
+# Lint parameters for the oracle query. The planting rules below are part
+# of the determinism contract: both engines compute the FINAL per-position
+# token value with the same priority-ordered CASE, so the oracle is an
+# exact independent simulation (it re-derives max-run with gaps-and-islands
+# SQL, not the engine's fold).
+TOKEN_VOCAB = 50000   # < generator modulus 50257 so planted ids are OOB
+TOKEN_BOS = 17
+TOKEN_EOS = 29
+TOKEN_MAX_RUN = 5
+
+# planting rules (rn-modular, like every other rule in this module):
+#   rn % 89 = 17 and sz >= 6 : positions 2..6 := (rn+62) % 50257  (5-run)
+#   rn % 101 = 47 and sz >= 2: position 2 := 50000 + rn % 257     (OOB)
+#   rn % 73 = 21 and sz >= 4 : position 3 := BOS                  (interior)
+#   rn % 79 = 23 and sz >= 5 : position 4 := EOS                  (interior)
+#   rn % 71 = 3              : position 1 := BOS      (LEGAL — must not flag)
+#   rn % 83 = 2              : position sz := EOS     (LEGAL — must not flag)
+
+
+def plant_token_anomalies(df: DataFrame) -> DataFrame:
+    """Apply the module-contract planting rules to the tokens array.
+
+    One JVM-side ``transform`` over the existing array — no shuffle, no
+    Python. Natural values can't trigger the lints at small rn (ids are
+    (x*31+rn) % 50257, so OOB/BOS/EOS hits need rn ≳ 19k and identical
+    neighbours never occur: consecutive ids differ by 31 mod 50257), so
+    planting is what makes the facets non-vacuous at test scale.
+
+    sz is recomputed from rn in closed form (the module contract) rather
+    than via ``F.size("tokens")``: the derived tokens column is an
+    expression, and Catalyst inlines it at every use site — a size() call
+    INSIDE the per-element lambda would rebuild the whole array per
+    element (O(n²) per row; measured minutes at sf0.001).
+    """
+    rn = F.col("rn")
+    sz = (
+        F.when(rn % 233 == 5, F.lit(None).cast("int"))
+        .when(rn % 239 == 6, F.lit(0))
+        .otherwise(((rn * 7919) % 997 + 1).cast("int"))
+    )
+    mod = F.lit(50257)
+
+    def val(t, i):
+        x = i + F.lit(1)  # 1-indexed position
+        return (
+            F.when((rn % 89 == 17) & (sz >= 6) & (x >= 2) & (x <= 6), (rn + 62) % mod)
+            .when((rn % 101 == 47) & (sz >= 2) & (x == 2), F.lit(TOKEN_VOCAB) + rn % 257)
+            .when((rn % 73 == 21) & (sz >= 4) & (x == 3), F.lit(TOKEN_BOS))
+            .when((rn % 79 == 23) & (sz >= 5) & (x == 4), F.lit(TOKEN_EOS))
+            .when((x == 1) & (rn % 71 == 3), F.lit(TOKEN_BOS))
+            .when((x == sz) & (rn % 83 == 2), F.lit(TOKEN_EOS))
+            .otherwise(t)
+            .cast("int")
+        )
+
+    return df.withColumn("tokens", F.transform("tokens", val))
+
+
+def q_seq_token_lints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-array lint violations (checks/tokens.py): id domain, special-
+    token layout, degenerate runs — the payload-domain gates the reference
+    applies to each tool's fields (/root/reference/bin/check_tool.py:24-52)
+    re-expressed over a pre-tokenized corpus. All four facets ride the
+    single narrow scan (higher-order array functions, zero Python)."""
+    from tokenqc.checks import tokens as token_lints
+
+    seq = plant_token_anomalies(derive_sequences(spark, sf_dir))
+    cfg = cb.CheckConfig(
+        n_partitions=N_PART,
+        vocab_size=TOKEN_VOCAB,
+        bos_id=TOKEN_BOS,
+        eos_id=TOKEN_EOS,
+        max_token_run=TOKEN_MAX_RUN,
+    )
+    return cb.assemble_violations(seq, token_lints.facets(cfg))
+
+
+def oracle_seq_token_lints() -> str:
+    """Independent DuckDB simulation: per-position values via
+    generate_series + the contract CASE, max-run via gaps-and-islands."""
+    return SEQ_CTE + """
+, pos AS (
+  SELECT rn, partition_id, doc_id, sz,
+    unnest(generate_series(1, CAST(sz AS BIGINT))) AS x
+  FROM seq WHERE sz IS NOT NULL AND sz >= 1
+), toks AS (
+  SELECT rn, partition_id, doc_id, sz, x,
+    CAST(CASE
+      WHEN rn % 89 = 17 AND sz >= 6 AND x BETWEEN 2 AND 6 THEN (rn + 62) % 50257
+      WHEN rn % 101 = 47 AND sz >= 2 AND x = 2 THEN 50000 + rn % 257
+      WHEN rn % 73 = 21 AND sz >= 4 AND x = 3 THEN 17
+      WHEN rn % 79 = 23 AND sz >= 5 AND x = 4 THEN 29
+      WHEN x = 1 AND rn % 71 = 3 THEN 17
+      WHEN x = sz AND rn % 83 = 2 THEN 29
+      ELSE (x * 31 + rn) % 50257
+    END AS INTEGER) AS v
+  FROM pos
+), oob_bad AS (
+  SELECT rn, partition_id, doc_id, x, v,
+    row_number() OVER (PARTITION BY rn ORDER BY x) AS r,
+    count(*) OVER (PARTITION BY rn) AS n_bad
+  FROM toks WHERE v >= 50000
+), oob AS (
+  SELECT partition_id, doc_id,
+    'oob_token: ' || CAST(max(n_bad) AS VARCHAR) || '@' ||
+      string_agg(CAST(v AS VARCHAR), ',' ORDER BY x) AS observed,
+    'all tokens in [0, 50000)' AS expected
+  FROM oob_bad WHERE r <= 3 GROUP BY rn, partition_id, doc_id
+), bos AS (
+  SELECT partition_id, doc_id,
+    'bos_interior: ' || CAST(min(x) AS VARCHAR) AS observed,
+    'bos id 17 only at position 0' AS expected
+  FROM toks WHERE x >= 2 AND v = 17 GROUP BY rn, partition_id, doc_id
+), eos AS (
+  SELECT partition_id, doc_id,
+    'eos_interior: ' || CAST(min(x) AS VARCHAR) AS observed,
+    'eos id 29 only at final position' AS expected
+  FROM toks WHERE x <= sz - 1 AND v = 29 GROUP BY rn, partition_id, doc_id
+), islands AS (
+  SELECT rn, partition_id, doc_id, v,
+    x - row_number() OVER (PARTITION BY rn, v ORDER BY x) AS island
+  FROM toks
+), runlen AS (
+  SELECT rn, partition_id, doc_id, count(*) AS len
+  FROM islands GROUP BY rn, partition_id, doc_id, v, island
+), runmax AS (
+  SELECT rn, partition_id, doc_id, max(len) AS mr
+  FROM runlen GROUP BY rn, partition_id, doc_id
+), runs AS (
+  SELECT partition_id, doc_id,
+    'long_run: ' || CAST(mr AS VARCHAR) AS observed,
+    'max identical-token run < 5' AS expected
+  FROM runmax WHERE mr >= 5
+)
+SELECT partition_id, doc_id, 'tokens' AS check_name, observed, expected FROM oob
+UNION ALL SELECT partition_id, doc_id, 'tokens', observed, expected FROM bos
+UNION ALL SELECT partition_id, doc_id, 'tokens', observed, expected FROM eos
+UNION ALL SELECT partition_id, doc_id, 'tokens', observed, expected FROM runs
+"""

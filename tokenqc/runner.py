@@ -125,6 +125,10 @@ def _row_level_facets(cfg: cb.CheckConfig, with_referential: bool) -> list[cb.Fa
         fs += format_check.facets(cfg)
     if "referential" in cfg.checks and with_referential:
         fs += referential.facets(cfg)
+    if "tokens" in cfg.checks:
+        from tokenqc.checks import tokens as token_lints
+
+        fs += token_lints.facets(cfg)
     return fs
 
 
