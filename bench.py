@@ -267,6 +267,20 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
         completeness.facets(cfg) + structural.facets(cfg) + fmt.facets(cfg) + referential.facets(cfg)
     )
     timed("q_row_gates", lambda: cb.assemble_violations(attached, facets).count(), side_trials)
+    # same fused pass + the four token-array lints (r5): the delta vs
+    # q_row_gates is the lints' marginal cost — they ride the same single
+    # scan (pinned in test_plans), so it should be array-fold compute only
+    from tokenqc.checks import tokens as token_lints
+
+    tok_cfg = CheckConfig(
+        n_partitions=64, vocab_size=50257, bos_id=1, eos_id=2, max_token_run=8
+    )
+    tok_facets = facets + token_lints.facets(tok_cfg)
+    timed(
+        "q_row_gates_tokens",
+        lambda: cb.assemble_violations(attached, tok_facets).count(),
+        side_trials,
+    )
     timed("q_uniqueness", lambda: uniqueness.violations(seq, cfg).count(), side_trials)
     timed("q_uniqueness_salted", lambda: uniqueness.violations(seq, cfg, salt=16).count(), side_trials)
     timed("q_invariant", lambda: invariant.violations(seq, ref, cfg).count(), side_trials)

@@ -226,3 +226,28 @@ def test_heavy_hitters_merge_input_is_bounded(spark):
     assert "FlatMapGroupsInPandas" in plan
     # no explode: tokens reach Python as whole arrays, counts leave as rows
     assert "Generate explode" not in plan
+
+
+def test_token_lints_fuse_into_single_scan(spark, seq_parquet):
+    """The four token lints (incl. the max-run aggregate fold) must ride
+    the same single parquet scan as the other row gates — zero extra
+    scans, zero exchanges: at 10^12 rows they are free riders on the
+    fused row-gate pass."""
+    import re
+
+    from tokenqc.checks import tokens as token_lints
+
+    cfg = cb.CheckConfig(
+        n_partitions=8, vocab_size=50257, bos_id=1, eos_id=2, max_token_run=8
+    )
+    df = seq_parquet.withColumn("partition_id", cb.partition_id_col(cfg))
+    facets = (
+        completeness.facets(cfg)
+        + structural.facets(cfg)
+        + fmt.facets(cfg)
+        + token_lints.facets(cfg)
+    )
+    plan = plan_of(cb.assemble_violations(df, facets))
+    scans = re.findall(r"^\(\d+\) Scan \w+", plan, re.M)
+    assert len(scans) == 1, scans
+    assert "Exchange" not in plan
