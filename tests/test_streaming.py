@@ -316,3 +316,83 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2
     assert {r.doc_id for r in got.collect()} == {"a", "b"}
+
+
+def test_streaming_token_lints_match_batch(spark, tmp_path):
+    """Token-array lints ride the streaming row-gate pass (opt-in via the
+    same CheckConfig contract as the batch runner) and produce EXACTLY
+    the batch formula's violation rows across micro-batches."""
+    import pyarrow as pa
+    import pyspark.sql.functions as F
+
+    from tokenqc.checks import base as cb
+    from tokenqc.checks import referential
+
+    inp = tmp_path / "tok_in"
+    inp.mkdir()
+    rows = [
+        ("good", [1, 10, 11, 2]),          # clean: BOS first, EOS last
+        ("oob", [1, 99999, 10, 2]),        # id outside [0, vocab)
+        ("bos_mid", [1, 10, 1, 2]),        # interior BOS
+        ("eos_mid", [1, 2, 10, 2]),        # interior EOS
+        ("runny", [1, 7, 7, 7, 7, 2]),     # identical run >= max_token_run
+        ("short", [5]),                    # 1-element: no layout slots flagged
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": [r[0] for r in rows],
+            "tokens": pa.array([r[1] for r in rows], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in rows], pa.int32()),
+            "source": ["web"] * len(rows),
+        }
+    )
+    # two files -> the lints must be correct per micro-batch, not just on
+    # the union
+    pq.write_table(tbl.slice(0, 3), str(inp / "f1.parquet"))
+    pq.write_table(tbl.slice(3, 3), str(inp / "f2.parquet"))
+    out = str(tmp_path / "tok_out")
+
+    cfg = CheckConfig(
+        n_partitions=4,
+        vocab_size=50257,
+        bos_id=1,
+        eos_id=2,
+        max_token_run=4,
+        checks=CheckConfig().checks + ("tokens",),
+    )
+    allowed = spark.createDataFrame([("web", True)], "source string, active boolean")
+    q = streaming.qc_stream(spark, str(inp), out, allowed, cfg, run_id="tok")
+    q.awaitTermination(120)
+
+    def norm(df):
+        # violation rows are (partition_id, doc_id, check_name,
+        # observed="facet: value", expected)
+        return sorted(
+            (r.doc_id, r.check_name, r.observed, r.expected)
+            for r in df.where(F.col("check_name") == "tokens").collect()
+        )
+
+    got = norm(spark.read.parquet(f"{out}/violations_stream"))
+    # batch formula over the same static input, same cfg
+    static = spark.createDataFrame(tbl.to_pandas(), schema=streaming.SEQUENCES)
+    batch = cb.assemble_violations(
+        referential.attach(
+            static.withColumn("partition_id", cb.partition_id_col(cfg)), allowed
+        ),
+        streaming._row_facets(cfg),
+    )
+    want = norm(batch)
+    assert got == want
+    assert {(d, o.split(":")[0]) for d, _, o, _ in got} == {
+        ("oob", "oob_token"),
+        ("bos_mid", "bos_interior"),
+        ("eos_mid", "eos_interior"),
+        ("runny", "long_run"),
+    }
+    # unconfigured lints stay out of the stream: with every token id
+    # None, facets() contributes nothing even when "tokens" is listed
+    assert len(
+        streaming._row_facets(
+            CheckConfig(n_partitions=4, checks=CheckConfig().checks + ("tokens",))
+        )
+    ) == len(streaming._row_facets(CheckConfig(n_partitions=4)))

@@ -8,7 +8,8 @@ on Spark's streaming checkpoint (file-source offsets), composing with —
 not replacing — the batch qc_state story.
 
 Only row-level gates run per micro-batch (completeness, structural,
-format, referential): they are embarrassingly incremental. Global gates
+format, referential, and the opt-in token-array lints): they are
+embarrassingly incremental. Global gates
 (uniqueness, drift) need cross-batch state and stay in the batch runner;
 a watermarked streaming-dedup variant is expressible with
 ``dropDuplicatesWithinWatermark`` when an event-time column exists.
@@ -23,6 +24,7 @@ from pyspark.sql import functions as F
 
 from tokenqc.checks import base as cb
 from tokenqc.checks import completeness, format as format_check, referential, structural
+from tokenqc.checks import tokens as token_lints
 from tokenqc.schema import SEQUENCES
 
 # Version suffix for the default stateful-operator checkpoint dir.
@@ -38,12 +40,18 @@ STATE_SCHEMA_VERSION = 2
 
 
 def _row_facets(cfg: cb.CheckConfig) -> list[cb.Facet]:
-    return (
+    fs = (
         completeness.facets(cfg)
         + structural.facets(cfg)
         + format_check.facets(cfg)
         + referential.facets(cfg)
     )
+    # token-array lints are row-level and stateless, so they stream for
+    # free; same opt-in contract as the batch runner ("tokens" listed in
+    # cfg.checks AND at least one lint configured non-None)
+    if "tokens" in cfg.checks:
+        fs += token_lints.facets(cfg)
+    return fs
 
 
 def qc_stream(
