@@ -224,6 +224,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_dup_surplus": H.q_seq_dup_surplus,
         "seq_dup_rows_auto": H.q_seq_dup_rows_auto,
         "doc_pii": HT.q_doc_pii,
+        # token-unigram drift: JS over token-id residue histograms vs a
+        # web baseline (planted parity-degenerate spam9 FAILs, withheld
+        # code grades UNKNOWN)
+        "seq_token_drift": H.q_seq_token_drift,
     }
 
 
@@ -245,6 +249,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_dup_surplus": H.oracle_seq_dup_surplus(),
         "seq_dup_rows_auto": H.oracle_seq_dup_surplus(),
         "doc_pii": HT.oracle_doc_pii(),
+        "seq_token_drift": H.oracle_seq_token_drift(),
     }
 
 

@@ -285,6 +285,27 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     timed("q_uniqueness_salted", lambda: uniqueness.violations(seq, cfg, salt=16).count(), side_trials)
     timed("q_invariant", lambda: invariant.violations(seq, ref, cfg).count(), side_trials)
     timed("q_drift", lambda: drift.verdicts(seq, baseline, cfg).count(), side_trials)
+    # token-unigram drift (r5): one full pass over the token payload —
+    # explode + map-side partial count to sources x 256 buckets, then the
+    # JVM-side JS gate; the heaviest per-token side query by design
+    tok_base = (
+        drift.token_histogram(seq, n_buckets=256)
+        .groupBy("bucket").agg(F.sum("cnt").alias("c"))
+    )
+    tok_tot = tok_base.agg(F.sum("c").alias("t"))
+    tok_base = (
+        seq.select("source").where("source is not null").distinct()
+        .crossJoin(tok_base.crossJoin(tok_tot).select(
+            "bucket", (F.col("c") / F.col("t")).alias("p")))
+        .cache()
+    )
+    tok_base.count()  # baseline materialized outside the timed window
+    timed(
+        "q_token_drift",
+        lambda: drift.token_js_divergence(seq, tok_base, n_buckets=256).count(),
+        side_trials,
+    )
+    tok_base.unpersist()
     timed("q_stats_profile", lambda: stats.profile(seq, cfg).count(), side_trials)
 
     # text/embedding headliners on the driver testdata

@@ -145,3 +145,62 @@ def test_js_divergence_hand_computed(spark):
         qi * math.log2(2 * qi / (pi + qi)) for qi, pi in zip(q, p)
     ) + 0.5 * sum(pi * math.log2(2 * pi / (pi + qi)) for qi, pi in zip(q, p))
     assert got == round(want, 6)
+
+
+def test_token_histogram_residues(spark):
+    """Residue-bucket counts by hand: tokens hash to pmod(id, n_buckets);
+    null/empty arrays and null sources are excluded."""
+    from tokenqc.checks import drift
+
+    df = spark.createDataFrame(
+        [
+            ("web", [0, 4, 8, 1]),     # residues mod 4: 0,0,0,1
+            ("web", [5, 2]),           # 1, 2
+            ("web", None),             # excluded
+            ("web", []),               # excluded
+            (None, [3]),               # excluded
+        ],
+        "source string, tokens array<int>",
+    )
+    got = {
+        (r.source, r.bucket): r.cnt
+        for r in drift.token_histogram(df, n_buckets=4).collect()
+    }
+    assert got == {("web", 0): 3, ("web", 1): 2, ("web", 2): 1}
+
+
+def test_token_js_divergence_planted_skew(spark):
+    """A source whose unigram stream collapses onto half the residues
+    must FAIL against a uniform baseline; a matching source PASSes; a
+    source absent from the baseline grades UNKNOWN. n_rows counts
+    tokens."""
+    from tokenqc.checks import drift
+
+    rows = (
+        # ok: one token in each residue class mod 4, 3x over
+        [("ok", list(range(12)))]
+        # collapsed: every token ≡ 0 (mod 4)
+        + [("collapsed", [0, 4, 8, 12, 16, 20])]
+        # nobase: uniform too, but not in the baseline
+        + [("nobase", list(range(8)))]
+    )
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    base = spark.createDataFrame(
+        [(s, b, 0.25) for s in ("ok", "collapsed") for b in range(4)],
+        "source string, bucket int, p double",
+    )
+    got = {
+        r.source: (r.n_rows, r.js_divergence, r.status)
+        for r in drift.token_js_divergence(df, base, js_max=0.1, n_buckets=4).collect()
+    }
+    assert got["ok"] == (12, 0.0, "PASS")
+    assert got["nobase"][2] == "UNKNOWN"
+    n, js, status = got["collapsed"]
+    assert n == 6 and status == "FAIL"
+    # hand value: q=(1,0,0,0), p=uniform(4):
+    # JS = 0.5*[1*log2(2/ (0.25+1))] + 0.5*[0.25*log2(0.5/1.25)
+    #      + 3*0.25*log2(2)] = 0.5*log2(1.6) + 0.5*(0.25*log2(0.4)+0.75)
+    import math
+
+    want = 0.5 * math.log2(1.6) + 0.5 * (0.25 * math.log2(0.4) + 0.75)
+    assert abs(js - round(want, 6)) < 1e-9

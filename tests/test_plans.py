@@ -251,3 +251,23 @@ def test_token_lints_fuse_into_single_scan(spark, seq_parquet):
     scans = re.findall(r"^\(\d+\) Scan \w+", plan, re.M)
     assert len(scans) == 1, scans
     assert "Exchange" not in plan
+
+
+def test_token_histogram_partial_aggregates_before_shuffle(seq_parquet):
+    """Token-unigram drift's explode is narrow and its counts combine
+    map-side: the scan reads only (source, tokens), and the only
+    exchange hashes on (source, bucket) AFTER a partial HashAggregate —
+    token arrays never cross a shuffle."""
+    plan = plan_of(drift.token_histogram(seq_parquet, n_buckets=64))
+    read = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "source" in read and "tokens" in read
+    assert "doc_id" not in read and "n_tok" not in read
+    # exactly one exchange, keyed on (source, <bucket groupingexpression>)
+    assert plan.count("+- Exchange") == 1, plan
+    ex = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert len(ex) == 1, plan
+    assert "source" in ex[0] and "tokens" not in ex[0]
+    # counts combine map-side BEFORE the exchange
+    assert "partial_count" in plan
+    # the null/empty filters reach the parquet scan
+    assert "PushedFilters: [IsNotNull(source), IsNotNull(tokens)]" in plan

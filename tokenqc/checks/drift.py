@@ -260,3 +260,56 @@ def js_from_histograms(
         .otherwise(F.lit("PASS"))
         .alias("status"),
     )
+
+
+def token_histogram(
+    df: DataFrame,
+    n_buckets: int = 256,
+    tokens_col: str = "tokens",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source histogram over token-id residue buckets — the raw
+    material of the TOKEN-unigram drift gate (drift over what the
+    sequences contain, where `observed_histogram` drifts over how long
+    they are).
+
+    Bucket = ``pmod(token, n_buckets)``: a systematic hash, so any shift
+    in the unigram distribution (tokenizer change, template corruption,
+    degenerate repetition flooding one id) moves bucket mass. Scale
+    shape: the explode is narrow (source + one int — the token arrays
+    never shuffle), and the groupBy partial-aggregates map-side, so at
+    10^12 rows × ~1k tokens the shuffle moves at most
+    tasks × sources × n_buckets count rows, same argument as
+    textqc.unigram_logprob's vocab-bounded model. Output:
+    (source, bucket, cnt) — directly consumable by js_from_histograms.
+    """
+    return (
+        df.where(
+            F.col(source_col).isNotNull()
+            & F.col(tokens_col).isNotNull()
+            & (F.size(tokens_col) > 0)
+        )
+        .select(F.col(source_col).alias("source"), F.explode(tokens_col).alias("__tok"))
+        .groupBy("source", F.pmod("__tok", F.lit(n_buckets)).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def token_js_divergence(
+    df: DataFrame,
+    baseline_hist: DataFrame,
+    js_max: float = 0.1,
+    n_buckets: int = 256,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Token-unigram drift verdicts: JS divergence per source between the
+    observed token-residue histogram and a baseline snapshot of bucket
+    probabilities (source, bucket, p). Reuses js_from_histograms — the
+    exact math (and UNKNOWN-without-baseline semantics) of the n_tok JS
+    gate, applied to the content distribution. Note n_rows in the output
+    counts TOKENS per source, not sequences (the histogram's unit)."""
+    return js_from_histograms(
+        token_histogram(df, n_buckets=n_buckets, tokens_col=tokens_col),
+        baseline_hist,
+        js_max,
+    )

@@ -714,6 +714,71 @@ def oracle_seq_drift_js() -> str:
     )
 
 
+def q_seq_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-unigram drift gate (drift.token_histogram +
+    js_from_histograms): JS divergence per source between token-id
+    residue distributions and a web-derived baseline — drift over what
+    the sequences CONTAIN, where seq_drift_js drifts over how long they
+    are. spam9's token stream is planted parity-degenerate (every id
+    forced even, a collapsed-decoder artifact), so its residue histogram
+    puts zero mass on odd buckets and must FAIL; books/wiki track web's
+    residue shape and PASS; code is withheld from the baseline and must
+    grade UNKNOWN. n_rows counts tokens (the histogram's unit)."""
+    from tokenqc.checks import drift
+
+    seq = derive_sequences(spark, sf_dir)
+    planted = seq.withColumn(
+        "tokens",
+        F.when(
+            F.col("source") == "spam9",
+            F.transform(F.col("tokens"), lambda t: t - F.pmod(t, F.lit(2))),
+        ).otherwise(F.col("tokens")),
+    )
+    hist = drift.token_histogram(planted, n_buckets=64)
+    web = hist.where(F.col("source") == "web").select("bucket", "cnt")
+    wtot = web.agg(F.sum("cnt").alias("bt"))
+    base = (
+        hist.select("source").distinct()
+        .where(F.col("source") != "code")
+        .crossJoin(
+            web.crossJoin(wtot).select(
+                "bucket", (F.col("cnt") / F.col("bt")).alias("p")
+            )
+        )
+    )
+    return drift.js_from_histograms(hist, base, js_max=0.01)
+
+
+def oracle_seq_token_drift() -> str:
+    return SEQ_CTE + (
+        ", tk AS (SELECT source, CAST((u * 31 + rn) % 50257 AS INTEGER) AS tok0 "
+        "  FROM (SELECT rn, source, unnest(range(1, CAST(sz AS BIGINT) + 1)) AS u "
+        "        FROM seq WHERE source IS NOT NULL AND sz IS NOT NULL AND sz > 0)), "
+        "tok AS (SELECT source, "
+        "  CASE WHEN source = 'spam9' THEN tok0 - (tok0 % 2) ELSE tok0 END AS tok FROM tk), "
+        "hist AS (SELECT source, CAST(tok % 64 AS INTEGER) AS bucket, count(*) AS cnt "
+        "  FROM tok GROUP BY 1, 2), "
+        "wt AS (SELECT sum(cnt) AS bt FROM hist WHERE source = 'web'), "
+        "jsbase AS (SELECT s.source, h.bucket, h.cnt * 1.0 / (SELECT bt FROM wt) AS p "
+        "  FROM (SELECT DISTINCT source FROM hist WHERE source <> 'code') s, "
+        "       (SELECT bucket, cnt FROM hist WHERE source = 'web') h), "
+        "tot AS (SELECT source, sum(cnt) AS n FROM hist GROUP BY source), "
+        "obs AS (SELECT h.source, h.bucket, h.cnt * 1.0 / t.n AS q, t.n AS n "
+        "  FROM hist h JOIN tot t USING (source)), "
+        "j AS (SELECT coalesce(o.source, b.source) AS source, coalesce(o.q, 0) AS q, "
+        "             b.p AS pn, coalesce(b.p, 0) AS p, o.n AS n "
+        "  FROM obs o FULL OUTER JOIN jsbase b ON o.source = b.source AND o.bucket = b.bucket) "
+        "SELECT source, CAST(coalesce(max(n), 0) AS BIGINT) AS n_rows, "
+        "round(0.5*sum(CASE WHEN q > 0 THEN q*log2(2*q/(p+q)) ELSE 0 END) "
+        "    + 0.5*sum(CASE WHEN p > 0 THEN p*log2(2*p/(p+q)) ELSE 0 END), 6) AS js_divergence, "
+        "CASE WHEN max(CASE WHEN pn IS NOT NULL THEN 1 ELSE 0 END) = 0 THEN 'UNKNOWN' "
+        "     WHEN round(0.5*sum(CASE WHEN q > 0 THEN q*log2(2*q/(p+q)) ELSE 0 END) "
+        "    + 0.5*sum(CASE WHEN p > 0 THEN p*log2(2*p/(p+q)) ELSE 0 END), 6) > 0.01 "
+        "     THEN 'FAIL' ELSE 'PASS' END AS status "
+        "FROM j GROUP BY source"
+    )
+
+
 # ---------------------------------------------------------------------------
 # token-array lints (checks/tokens.py) — planted anomalies + oracle
 # ---------------------------------------------------------------------------
