@@ -32,7 +32,13 @@ def expected():
 def tables(spark, synth_dir):
     return {
         name: spark.read.parquet(f"{synth_dir}/{name}.parquet")
-        for name in ["sequences", "reference_tokens", "allowed_sources", "baseline_hist"]
+        for name in [
+            "sequences",
+            "reference_tokens",
+            "allowed_sources",
+            "baseline_hist",
+            "token_baseline",
+        ]
     }
 
 

@@ -136,3 +136,30 @@ def test_cli_token_lints(spark, synth_dir, tmp_path, capsys):
     ).count()
     assert n_oob > 0  # synth ids are uniform over [0, 50257) — must fire
     assert out["violations"] == n_oob + n_run
+
+
+def test_cli_token_drift(spark, synth_dir, tmp_path, capsys):
+    """--token-baseline turns on the token-unigram drift gate: per-source
+    token_drift:<source> verdict rows land in the run output, graded by
+    --token-js-max."""
+    rc = cli.main(
+        [
+            "--input", f"{synth_dir}/sequences.parquet",
+            "--out", str(tmp_path / "out_td"),
+            "--token-baseline", f"{synth_dir}/token_baseline.parquet",
+            "--token-js-max", "0.05",
+            "--run-id", "cli-td",
+            "--partitions", "8",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["errors"] == {}
+    verd = spark.read.parquet(str(tmp_path / "out_td" / "verdicts"))
+    rows = {
+        r.check_name: r.status
+        for r in verd.where("check_name like 'token_drift:%'").collect()
+    }
+    assert rows["token_drift:code"] == "FAIL"
+    assert rows["token_drift:web"] == "PASS"
+    assert rows["token_drift:spam9"] == "UNKNOWN"

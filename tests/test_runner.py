@@ -275,3 +275,45 @@ def test_uniqueness_planned_once_per_run(spark, tables, tmp_path, monkeypatch):
     runner = QCRunner(spark, CheckConfig(n_partitions=16), out_dir=str(tmp_path / "qu"), n_batches=4)
     runner.run(tables["sequences"], allowed_sources=tables["allowed_sources"], run_id="u1")
     assert len(calls) == 1
+
+
+def test_token_drift_verdicts(spark, tables, tmp_path):
+    """Token-unigram drift as a first-class runner check: source-level
+    token_drift:<source> verdict rows at partition -1 — the planted
+    even-residue baseline FAILs code, uniform sources PASS, the rogue
+    source (absent from the baseline) is UNKNOWN; details carries the
+    JS value."""
+    import json
+
+    cfg = CheckConfig(
+        n_partitions=4, checks=("completeness", "token_drift"), token_js_max=0.05
+    )
+    runner = QCRunner(spark, cfg, out_dir=str(tmp_path / "qtd"))
+    res = runner.run(
+        tables["sequences"],
+        run_id="td1",
+        token_baseline_hist=tables["token_baseline"],
+    )
+    assert res.errors == {}
+    rows = {
+        r.check_name: r
+        for r in res.verdicts.where(
+            "partition_id = -1 and check_name like 'token_drift:%'"
+        ).collect()
+    }
+    assert rows["token_drift:code"].status == "FAIL"
+    for s in ("web", "books", "wiki"):
+        assert rows[f"token_drift:{s}"].status == "PASS"
+    assert rows["token_drift:spam9"].status == "UNKNOWN"
+    # n_rows counts tokens, details carries the JS divergence
+    assert rows["token_drift:web"].n_rows > 0
+    js = json.loads(rows["token_drift:code"].details)["js_divergence"]
+    assert js > 0.05
+
+
+def test_token_drift_missing_baseline_is_unknown(spark, tables, tmp_path):
+    cfg = CheckConfig(n_partitions=4, checks=("token_drift",))
+    runner = QCRunner(spark, cfg, out_dir=str(tmp_path / "qtd2"))
+    res = runner.run(tables["sequences"], run_id="td2")
+    row = res.verdicts.where("check_name = 'token_drift'").first()
+    assert row.status == "UNKNOWN" and row.partition_id == -1

@@ -40,6 +40,10 @@ class CheckConfig:
     bos_id: int | None = None
     eos_id: int | None = None
     max_token_run: int | None = None
+    # token-unigram drift (drift.token_js_divergence) — opt-in like the
+    # lints: list "token_drift" in checks and provide a baseline table
+    token_drift_buckets: int = 256
+    token_js_max: float = 0.1
     checks: tuple[str, ...] = (
         "completeness",
         "structural",
@@ -67,6 +71,7 @@ class CheckConfig:
             "invariant",
             "drift",
             "tokens",
+            "token_drift",
         }
         if self.vocab_size is not None and self.vocab_size <= 0:
             raise ValueError(f"vocab_size must be positive, got {self.vocab_size}")
@@ -74,6 +79,12 @@ class CheckConfig:
             raise ValueError(
                 f"max_token_run must be >= 2 (a run needs 2 elements), got {self.max_token_run}"
             )
+        if self.token_drift_buckets <= 1:
+            raise ValueError(
+                f"token_drift_buckets must be > 1, got {self.token_drift_buckets}"
+            )
+        if self.token_js_max < 0.0:
+            raise ValueError(f"token_js_max must be >= 0, got {self.token_js_max}")
         bad = set(self.checks) - known
         if bad:
             raise ValueError(f"unknown check(s): {sorted(bad)}")

@@ -69,6 +69,21 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="enable tokens.long_run: flag rows with >= K identical consecutive ids",
     )
     ap.add_argument(
+        "--token-baseline", default=None, metavar="PATH",
+        help="enable the token-unigram drift gate: parquet of expected "
+        "(source, bucket, p) token-id residue probabilities; per-source "
+        "JS verdicts land as token_drift:<source> rows",
+    )
+    ap.add_argument(
+        "--token-drift-buckets", type=int, default=256,
+        help="residue bucket count for --token-baseline (must match how "
+        "the baseline was built)",
+    )
+    ap.add_argument(
+        "--token-js-max", type=float, default=0.1,
+        help="FAIL threshold on the token-unigram JS divergence",
+    )
+    ap.add_argument(
         "--diff-against", default=None, metavar="RUN_ID",
         help="after the run, diff this run's verdicts against a previous "
         "run's (REGRESSED/IMPROVED/NEW/GONE) and include the counts + "
@@ -102,6 +117,13 @@ def main(argv: list[str] | None = None) -> int:
         # the lint flags imply the check unless --checks explicitly set
         if "checks" not in kw:
             kw["checks"] = CheckConfig().checks + ("tokens",)
+    if args.token_baseline is not None:
+        kw["token_drift_buckets"] = args.token_drift_buckets
+        kw["token_js_max"] = args.token_js_max
+        if "checks" not in kw:
+            kw["checks"] = CheckConfig().checks
+        if "token_drift" not in kw["checks"]:
+            kw["checks"] = tuple(kw["checks"]) + ("token_drift",)
     cfg = CheckConfig(
         n_partitions=args.partitions, default_threshold=args.threshold, **kw
     )
@@ -126,6 +148,7 @@ def main(argv: list[str] | None = None) -> int:
         baseline_hist=read(args.baseline_hist),
         reference_tokens=read(args.reference_tokens),
         run_id=args.run_id,
+        token_baseline_hist=read(args.token_baseline),
     )
     report_path = runner.write_report(res.run_id) if args.report else None
     dup_rows = None

@@ -155,6 +155,7 @@ class QCRunner:
         baseline_hist: DataFrame | None = None,
         reference_tokens: DataFrame | None = None,
         run_id: str | None = None,
+        token_baseline_hist: DataFrame | None = None,
     ) -> RunResult:
         cfg = self.cfg
         run_id = run_id or uuid.uuid4().hex[:12]
@@ -181,6 +182,8 @@ class QCRunner:
             missing.append(("invariant", "no reference_tokens provided"))
         if "drift" in cfg.checks and baseline_hist is None:
             missing.append(("drift", "no baseline_hist provided"))
+        if "token_drift" in cfg.checks and token_baseline_hist is None:
+            missing.append(("token_drift", "no token_baseline_hist provided"))
 
         timings: dict[str, float] = {}
         batches = self._plan_batches(pending)
@@ -200,6 +203,17 @@ class QCRunner:
                 drift_plan = drift.verdicts(df, baseline_hist, cfg)
             except Exception as e:
                 errors["drift"] = repr(e)
+        token_drift_plan: DataFrame | None = None
+        if "token_drift" in cfg.checks and token_baseline_hist is not None and batches:
+            try:
+                token_drift_plan = drift.token_js_divergence(
+                    df,
+                    token_baseline_hist,
+                    js_max=cfg.token_js_max,
+                    n_buckets=cfg.token_drift_buckets,
+                )
+            except Exception as e:
+                errors["token_drift"] = repr(e)
 
         for i, parts in enumerate(batches):
             self._run_batch(
@@ -209,6 +223,7 @@ class QCRunner:
                 uniq=uniq,
                 prefailed=prefailed,
                 drift_plan=drift_plan if i == 0 else None,
+                token_drift_plan=token_drift_plan if i == 0 else None,
                 missing=missing if i == 0 else [],
                 timings=timings,
             )
@@ -275,6 +290,7 @@ class QCRunner:
         drift_plan: DataFrame | None,
         missing: list[tuple[str, str]],
         timings: dict[str, float] | None = None,
+        token_drift_plan: DataFrame | None = None,
     ) -> None:
         timings = timings if timings is not None else {}
 
@@ -374,6 +390,10 @@ class QCRunner:
                     dv = drift_plan.persist()
                     dv.count()
                     side["drift"] = dv
+                if token_drift_plan is not None:
+                    tv = token_drift_plan.persist()
+                    tv.count()
+                    side["token_drift"] = tv
             except Exception as e:  # errorStrategy 'ignore'
                 errors["side_jobs"] = repr(e)
 
@@ -395,7 +415,7 @@ class QCRunner:
         counts = viol.groupBy("partition_id", "check_name").agg(
             F.count(F.lit(1)).alias("n_viol")
         )
-        active = [c for c in cfg.checks if c != "drift"]
+        active = [c for c in cfg.checks if c not in ("drift", "token_drift")]
         if "invariant" in active and reference is None:
             active.remove("invariant")
         if "referential" in active and not has_ref_dim:
@@ -461,6 +481,25 @@ class QCRunner:
                 verdicts = verdicts.unionByName(drift_verd)
             except Exception as e:
                 errors["drift"] = repr(e)
+
+        # --- token-unigram drift: same source-level shape; n_rows counts
+        # TOKENS (the residue histogram's unit), details carries the JS
+        if token_drift_plan is not None:
+            try:
+                tv = side.get("token_drift")
+                if tv is None:
+                    tv = token_drift_plan
+                tok_verd = tv.select(
+                    F.lit(-1).alias("partition_id"),
+                    F.concat(F.lit("token_drift:"), F.col("source")).alias("check_name"),
+                    F.col("status"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.lit(0).cast("long").alias("n_viol"),
+                    F.to_json(F.struct("js_divergence")).alias("details"),
+                )
+                verdicts = verdicts.unionByName(tok_verd)
+            except Exception as e:
+                errors["token_drift"] = repr(e)
 
         _t = _mark("verdicts_plan", _t)
         # materialize the verdict frame ONCE, driver-side: it is bounded by

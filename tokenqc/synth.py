@@ -271,6 +271,39 @@ def generate_baseline_hist(
     )
 
 
+def generate_token_baseline(
+    n_buckets: int = 256, drift_source: str | None = "code"
+) -> pa.Table:
+    """Expected TOKEN-ID residue probabilities per source, for the
+    token-unigram drift gate (drift.token_js_divergence).
+
+    The generator draws token ids uniformly over [0, VOCAB), so the true
+    residue distribution is uniform for every source: all sources except
+    ``drift_source`` get the uniform baseline (PASS), while
+    ``drift_source`` gets a baseline concentrated on EVEN residues — the
+    live uniform stream then shows mass where the baseline has none, so
+    the gate must FAIL exactly that source. spam9 (the rogue source) is
+    absent on purpose: it must grade UNKNOWN.
+    """
+    rows_s, rows_b, rows_p = [], [], []
+    for s in SOURCES:
+        if s == drift_source:
+            probs = [2.0 / n_buckets if b % 2 == 0 else 0.0 for b in range(n_buckets)]
+        else:
+            probs = [1.0 / n_buckets] * n_buckets
+        for b in range(n_buckets):
+            rows_s.append(s)
+            rows_b.append(b)
+            rows_p.append(probs[b])
+    return pa.table(
+        {
+            "source": pa.array(rows_s, type=pa.string()),
+            "bucket": pa.array(rows_b, type=pa.int32()),
+            "p": pa.array(rows_p, type=pa.float64()),
+        }
+    )
+
+
 def write_bench_dataset(
     out_dir: str, n: int, seed: int = 42, n_files: int = 64
 ) -> dict[str, str]:
@@ -307,6 +340,7 @@ def write_bench_dataset(
     for name, gen in [
         ("allowed_sources", generate_allowed_sources()),
         ("baseline_hist", generate_baseline_hist(seed)),
+        ("token_baseline", generate_token_baseline()),
     ]:
         p = os.path.join(out_dir, f"{name}.parquet")
         pq.write_table(gen, p)
@@ -427,6 +461,7 @@ def write_dataset(out_dir: str, n: int, seed: int = 42) -> dict[str, str]:
         ("reference_tokens", generate_reference_tokens(seq, seed)),
         ("allowed_sources", generate_allowed_sources()),
         ("baseline_hist", generate_baseline_hist(seed)),
+        ("token_baseline", generate_token_baseline()),
     ]:
         p = os.path.join(out_dir, f"{name}.parquet")
         pq.write_table(tbl, p)
