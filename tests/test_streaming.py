@@ -396,3 +396,51 @@ def test_streaming_token_lints_match_batch(spark, tmp_path):
             CheckConfig(n_partitions=4, checks=CheckConfig().checks + ("tokens",))
         )
     ) == len(streaming._row_facets(CheckConfig(n_partitions=4)))
+
+
+def test_streaming_token_drift_matches_batch_and_restarts(spark, tmp_path):
+    """The streaming token-unigram gate must grade EXACTLY like the batch
+    gate over the rows consumed so far (shared js_from_histograms), and
+    its running residue histograms must survive a query restart: after a
+    second wave lands and a fresh query resumes from the checkpoint, the
+    final-epoch verdicts equal drift.token_js_divergence over BOTH waves
+    — js values, statuses, and token counts."""
+    import pyspark.sql.functions as F
+
+    from tokenqc import synth as synth_mod
+    from tokenqc.checks import drift
+
+    inp = tmp_path / "td_in"
+    inp.mkdir()
+    out = str(tmp_path / "td_out")
+    seq = synth.generate_sequences(1200, seed=5)
+    pq.write_table(seq.slice(0, 600), str(inp / "f1.parquet"))
+
+    base_pa = synth_mod.generate_token_baseline()
+    base = spark.createDataFrame(base_pa.to_pandas())
+
+    q = streaming.streaming_token_drift(spark, str(inp), out, base, js_max=0.05)
+    q.awaitTermination(120)
+
+    # wave 2 + restart: state must resume, not recount wave 1
+    pq.write_table(seq.slice(600, 600), str(inp / "f2.parquet"))
+    q2 = streaming.streaming_token_drift(spark, str(inp), out, base, js_max=0.05)
+    q2.awaitTermination(120)
+
+    got_df = spark.read.parquet(f"{out}/token_drift_stream")
+    last = got_df.agg(F.max("epoch")).first()[0]
+    got = {
+        r.source: (r.n_rows, r.js_divergence, r.status)
+        for r in got_df.where(F.col("epoch") == last).collect()
+    }
+    static = spark.createDataFrame(seq.to_pandas(), schema=streaming.SEQUENCES)
+    want = {
+        r.source: (r.n_rows, r.js_divergence, r.status)
+        for r in drift.token_js_divergence(static, base, js_max=0.05, n_buckets=256).collect()
+    }
+    assert got == want
+    # the planted baseline grades: code FAIL (even-only residues),
+    # uniform sources PASS, rogue source UNKNOWN
+    assert got["code"][2] == "FAIL"
+    assert got["web"][2] == "PASS"
+    assert got["spam9"][2] == "UNKNOWN"

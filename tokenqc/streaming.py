@@ -257,6 +257,91 @@ def streaming_drift(
     )
 
 
+def streaming_token_drift(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    token_baseline: DataFrame,
+    checkpoint_dir: str | None = None,
+    n_buckets: int = 256,
+    js_max: float = 0.1,
+):
+    """Streaming twin of the batch token-unigram drift gate
+    (drift.token_js_divergence): per-source RUNNING token-id residue
+    histograms maintained across micro-batches via
+    applyInPandasWithState, each update graded against the static
+    baseline with the same js_from_histograms formula — a stream that
+    has consumed rows X grades identically to a batch run over X.
+    Verdict rows (source, n_rows, js_divergence, status, epoch) append
+    under out_dir/token_drift_stream; n_rows counts TOKENS.
+
+    `n_buckets` must match how the baseline was built (residues are
+    pmod(token, n_buckets) on both sides; numpy's % is floor-mod like
+    Spark's pmod, so negative ids agree too). State and output are
+    sources × n_buckets-bounded; per-batch Python work is one
+    concatenate + bincount over the Arrow batch's token arrays.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from tokenqc.checks import drift as drift_mod
+
+    stream = (
+        spark.readStream.schema(SEQUENCES)
+        .parquet(input_dir)
+        .where(F.col("source").isNotNull() & F.col("tokens").isNotNull() & (F.size("tokens") > 0))
+        .select("source", "tokens")
+    )
+
+    def update(key: tuple, pdfs, state: GroupState):
+        if state.exists:
+            (n_tokens, hist) = state.get
+            hist = np.asarray(hist, dtype=np.int64)
+        else:
+            n_tokens = 0
+            hist = np.zeros(n_buckets, dtype=np.int64)
+        for pdf in pdfs:
+            arrs = [np.asarray(t, dtype=np.int64) for t in pdf["tokens"] if t is not None and len(t)]
+            if not arrs:
+                continue
+            flat = np.concatenate(arrs)
+            n_tokens += int(flat.size)
+            hist += np.bincount(flat % n_buckets, minlength=n_buckets).astype(np.int64)
+        state.update((n_tokens, [int(x) for x in hist]))
+        yield pd.DataFrame(
+            [{"source": key[0], "n_tokens": n_tokens, "hist": [int(x) for x in hist]}]
+        )
+
+    updated = stream.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType="source string, n_tokens long, hist array<long>",
+        stateStructType="n_tokens long, hist array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        out_dir, f"_token_drift_checkpoint_v{STATE_SCHEMA_VERSION}"
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        hist = batch_df.select(
+            "source", F.posexplode("hist").alias("bucket", "cnt")
+        ).where(F.col("cnt") > 0)
+        verdicts = drift_mod.js_from_histograms(hist, token_baseline, js_max)
+        verdicts.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            os.path.join(out_dir, "token_drift_stream")
+        )
+
+    return (
+        updated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_dedup(df: DataFrame, ts_col: str = "ts", key: str = "doc_id", watermark: str = "10 minutes") -> DataFrame:
     """Watermarked streaming dedup: keep the first row per key within the
     watermark horizon (`dropDuplicatesWithinWatermark`) — late duplicates
