@@ -255,6 +255,13 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     shutil.rmtree(qc_out, ignore_errors=True)
     extras["throughput_rows_per_sec"] = round(n_rows / timings["q_full_qc_run"], 1)
 
+    # scaling legs only need the headline run (the efficiency metric is
+    # q_full_qc_run throughput); the side sweep at sf>=1.0 would add
+    # tens of minutes per leg (q_token_drift alone explodes ~3G tokens)
+    # and pollute the page cache between the pinned legs
+    if os.environ.get("TOKENQC_SKIP_SIDE") == "1":
+        return timings, extras
+
     # individual gates (count() forces execution; outputs not written)
     from tokenqc.checks import base as cb
     from tokenqc.checks import completeness, drift, format as fmt, invariant, referential, stats, structural, uniqueness
@@ -388,6 +395,7 @@ def scaling_run(sf_dir: str, low: int = 4, high: int = 16, bench_sf: float | Non
         # alone constrains task slots, not the JVM's availableProcessors
         cmd = [sys.executable, os.path.abspath(__file__), "--master", f"local[{n}]",
                "--sf-dir", sf_dir, "--bench-sf", str(bench_sf)]
+        os.environ["TOKENQC_SKIP_SIDE"] = "1"  # legs: headline only
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
