@@ -161,6 +161,11 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     # spanned 1.94–4.35 s in one process, and min-of-3 has only ~50%
     # chance of drawing a sub-2.1 s trial from that distribution
     side_trials = int(os.environ.get("TOKENQC_SIDE_TRIALS", "6"))
+    if os.environ.get("TOKENQC_SKIP_SIDE") != "1":
+        # non-scaling artifacts keep the detailed compute/write split
+        # (the attribution pass is measurement overhead, excluded from
+        # the pinned scaling legs which time the production sink path)
+        os.environ.setdefault("TOKENQC_PHASE_DETAIL", "1")
 
     def timed(name, fn, trials: int = 1):
         out = None
@@ -396,6 +401,7 @@ def scaling_run(sf_dir: str, low: int = 4, high: int = 16, bench_sf: float | Non
         cmd = [sys.executable, os.path.abspath(__file__), "--master", f"local[{n}]",
                "--sf-dir", sf_dir, "--bench-sf", str(bench_sf)]
         os.environ["TOKENQC_SKIP_SIDE"] = "1"  # legs: headline only
+        os.environ.pop("TOKENQC_PHASE_DETAIL", None)  # legs: production sink path
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)

@@ -317,3 +317,27 @@ def test_token_drift_missing_baseline_is_unknown(spark, tables, tmp_path):
     res = runner.run(tables["sequences"], run_id="td2")
     row = res.verdicts.where("check_name = 'token_drift'").first()
     assert row.status == "UNKNOWN" and row.partition_id == -1
+
+
+def test_phase_detail_modes_equivalent(spark, tables, tmp_path, monkeypatch):
+    """TOKENQC_PHASE_DETAIL only changes when the violations frame is
+    materialized (attribution vs single fused compute+write pass) —
+    outputs are identical; each mode stamps its own timing mark."""
+    import os
+
+    cfg = CheckConfig(n_partitions=4, checks=("completeness",))
+    monkeypatch.setenv("TOKENQC_PHASE_DETAIL", "1")
+    r1 = QCRunner(spark, cfg, out_dir=str(tmp_path / "pd1")).run(
+        tables["sequences"], run_id="pd1"
+    )
+    monkeypatch.delenv("TOKENQC_PHASE_DETAIL")
+    r2 = QCRunner(spark, cfg, out_dir=str(tmp_path / "pd2")).run(
+        tables["sequences"], run_id="pd2"
+    )
+    assert r1.violations.count() == r2.violations.count()
+    assert sorted(
+        (r.partition_id, r.check_name, r.status) for r in r1.verdicts.collect()
+    ) == sorted((r.partition_id, r.check_name, r.status) for r in r2.verdicts.collect())
+    assert "violations_compute" in r1.timings and "violations_write" in r1.timings
+    assert "violations_compute_write" in r2.timings
+    assert "violations_compute" not in r2.timings

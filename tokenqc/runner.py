@@ -43,6 +43,7 @@ Execution shape (scale-first):
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 import uuid
@@ -399,14 +400,22 @@ class QCRunner:
 
         side_thread = threading.Thread(target=_materialize_side, daemon=True)
         side_thread.start()
-        # materialize the fused gate compute into the persisted cache FIRST
-        # so the sink mark times the sink, not the whole lazy plan (r4
-        # verdict #4: `violations_write` absorbed 58 s of a 59 s leg of
-        # gate compute; the write of ~33 k slim rows is actually ≪1 s)
-        viol.count()
-        _t = _mark("violations_compute", _t)
-        qio.write_batch(viol, self.out_dir, "violations", run_id, batch)
-        _t = _mark("violations_write", _t)
+        # Phase attribution (r4 verdict #4) is OPT-IN: materializing the
+        # fused gate compute into the persisted cache before the sink
+        # splits compute from commit credibly (`violations_write`
+        # otherwise absorbs the whole lazy plan), but the split costs an
+        # extra cache-read pass (~0.7 s at sf1.0 local[16] — measurable
+        # against the N->4N efficiency target), so the production default
+        # is the single fused compute+write pass with an honestly-named
+        # combined mark.
+        if os.environ.get("TOKENQC_PHASE_DETAIL") == "1":
+            viol.count()
+            _t = _mark("violations_compute", _t)
+            qio.write_batch(viol, self.out_dir, "violations", run_id, batch)
+            _t = _mark("violations_write", _t)
+        else:
+            qio.write_batch(viol, self.out_dir, "violations", run_id, batch)
+            _t = _mark("violations_compute_write", _t)
         side_thread.join()
         _t = _mark("side_jobs_join", _t)
 
