@@ -228,6 +228,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # web baseline (planted parity-degenerate spam9 FAILs, withheld
         # code grades UNKNOWN)
         "seq_token_drift": H.q_seq_token_drift,
+        # token-shingle benchmark contamination (closed-form oracle:
+        # a k-shingle of this generator is determined by its first value)
+        "seq_token_contamination": H.q_seq_token_contamination,
     }
 
 
@@ -250,6 +253,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_dup_rows_auto": H.oracle_seq_dup_surplus(),
         "doc_pii": HT.oracle_doc_pii(),
         "seq_token_drift": H.oracle_seq_token_drift(),
+        "seq_token_contamination": H.oracle_seq_token_contamination(),
     }
 
 

@@ -609,3 +609,42 @@ def test_repetition_stats_plan_is_shuffle_free(spark):
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = textqc.repetition_stats(df)._jdf.queryExecution().explainString(mode)
     assert "Exchange" not in plan, plan
+
+
+def test_token_contamination_flags(spark):
+    """Hand-built token corpora: a train row sharing a k-token window
+    with the benchmark is flagged with the exact hit count; rows shorter
+    than k are excluded (no shingles to match)."""
+    from tokenqc.textops import textqc
+
+    k = 3
+    bench = spark.createDataFrame(
+        [("b1", [1, 2, 3, 4])],            # shingles: (1,2,3), (2,3,4)
+        "doc_id string, tokens array<int>",
+    )
+    train = spark.createDataFrame(
+        [
+            ("hit2", [0, 1, 2, 3, 4]),     # windows (1,2,3) and (2,3,4) hit
+            ("hit1", [9, 2, 3, 4, 9]),     # (2,3,4) hits
+            ("clean", [5, 6, 7, 8]),       # no shared window
+            ("short", [1, 2]),             # < k tokens: excluded
+            ("null", None),                # excluded
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.contaminated)
+        for r in textqc.token_contamination_flags(train, bench, k=k).collect()
+    }
+    assert got == {
+        "hit2": (3, 2, True),
+        "hit1": (3, 1, True),
+        "clean": (2, 0, False),
+    }
+    # order matters: a PERMUTED window must not match (slice equality,
+    # not bag equality)
+    perm = spark.createDataFrame(
+        [("p", [3, 2, 1])], "doc_id string, tokens array<int>"
+    )
+    got_p = textqc.token_contamination_flags(perm, bench, k=k).collect()[0]
+    assert got_p.contaminated is False

@@ -779,6 +779,43 @@ def oracle_seq_token_drift() -> str:
     )
 
 
+def q_seq_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-shingle contamination gate
+    (textqc.token_contamination_flags, k=8): training rows (rn % 509
+    != 0) are flagged when they share an 8-token shingle with the
+    held-out "benchmark" subset (rn % 509 == 0). The generator's
+    structure gives the oracle a closed form: tokens are
+    (u*31 + rn) mod 50257, so consecutive values differ by the constant
+    31 and a k-shingle is fully determined by its FIRST value — shingle
+    equality is first-value equality, and DuckDB re-derives the exact
+    hit counts with a plain integer semi-join (no hashing needed).
+    Keyed by rn (the unique row key)."""
+    from tokenqc.textops import textqc
+
+    seq = derive_sequences(spark, sf_dir).where(
+        F.col("tokens").isNotNull() & (F.size("tokens") >= 8)
+    )
+    bench = seq.where(F.col("rn") % 509 == 0)
+    train = seq.where(F.col("rn") % 509 != 0)
+    return textqc.token_contamination_flags(train, bench, k=8, id_col="rn")
+
+
+def oracle_seq_token_contamination() -> str:
+    return SEQ_CTE + (
+        ", valid AS (SELECT rn, sz FROM seq WHERE sz IS NOT NULL AND sz >= 8), "
+        "bench AS (SELECT DISTINCT (u * 31 + rn) % 50257 AS v "
+        "  FROM (SELECT rn, unnest(range(1, CAST(sz AS BIGINT) - 6)) AS u "
+        "        FROM valid WHERE rn % 509 = 0)), "
+        "train AS (SELECT rn, (u * 31 + rn) % 50257 AS v "
+        "  FROM (SELECT rn, unnest(range(1, CAST(sz AS BIGINT) - 6)) AS u "
+        "        FROM valid WHERE rn % 509 <> 0)) "
+        "SELECT t.rn, CAST(count(*) AS INTEGER) AS n_shingles, "
+        "CAST(sum(CASE WHEN b.v IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_contaminated, "
+        "sum(CASE WHEN b.v IS NOT NULL THEN 1 ELSE 0 END) >= 1 AS contaminated "
+        "FROM train t LEFT JOIN bench b ON t.v = b.v GROUP BY t.rn"
+    )
+
+
 # ---------------------------------------------------------------------------
 # token-array lints (checks/tokens.py) — planted anomalies + oracle
 # ---------------------------------------------------------------------------

@@ -247,6 +247,62 @@ def unigram_logprob(
     )
 
 
+def token_contamination_flags(
+    df: DataFrame, benchmark: DataFrame, k: int = 8,
+    id_col: str = "doc_id", tokens_col: str = "tokens", min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination gate over TOKEN arrays: flag training
+    sequences sharing k-token shingles with a held-out benchmark corpus
+    — `contamination_flags`' twin for pre-tokenized data (the form the
+    gate actually runs in at train time, where raw text may be gone).
+
+    Shingles are compared as xxhash64 of the k-slice (JVM-side, no
+    string materialization; two equal slices always hash equal, and at
+    64 bits spurious collisions are ~n²/2⁶⁵). Scale shape mirrors the
+    text gate: the benchmark shingle-hash set is DISTINCTed and
+    broadcast (eval corpora are small), the training side explodes to
+    (id, hash) — one narrow long per position, the token arrays never
+    shuffle — and per-id hit counts partial-aggregate map-side. Rows
+    with fewer than k tokens have no shingles and are excluded (they
+    cannot be contaminated at this k).
+    Output: (id, n_shingles, n_contaminated, contaminated).
+    """
+    toks = F.col(tokens_col)
+
+    def shingle_hashes(frame: DataFrame, *cols: str) -> DataFrame:
+        n_sh = F.size(toks) - (k - 1)
+        # sequence(1, 0) counts DOWN — only rows with >= 1 shingle enter
+        return (
+            frame.where(toks.isNotNull() & (F.size(toks) >= k))
+            .select(
+                *cols,
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), n_sh),
+                        lambda i: F.xxhash64(F.slice(toks, i, k)),
+                    )
+                ).alias("__h"),
+            )
+        )
+
+    bench_sh = F.broadcast(shingle_hashes(benchmark).select("__h").distinct())
+    hits = (
+        shingle_hashes(df, id_col)
+        .join(bench_sh.withColumn("__hit", F.lit(1)), on="__h", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("int").alias("n_contaminated"),
+        )
+    )
+    return hits.select(
+        id_col,
+        "n_shingles",
+        "n_contaminated",
+        (F.col("n_contaminated") >= min_hits).alias("contaminated"),
+    )
+
+
 def contamination_flags(
     docs: DataFrame, benchmark: DataFrame, n: int = 3,
     id_col: str = "doc_id", text_col: str = "text", min_hits: int = 1,
