@@ -231,6 +231,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token-shingle benchmark contamination (closed-form oracle:
         # a k-shingle of this generator is determined by its first value)
         "seq_token_contamination": H.q_seq_token_contamination,
+        # dedup curation: per-cluster keep-best argmax (closure + quality
+        # + window-argmax oracle) and delta dedup against corpus digests
+        "dedup_keep_best": HT.q_dedup_keep_best,
+        "doc_incremental_dedup": HT.q_doc_incremental_dedup,
+        # multimodal planning half (pure SQL over map metadata): frame
+        # sampling + audio chunk windows — the decode stub stays unit-level
+        "media_frame_plan": HT.q_media_frame_plan,
+        "media_audio_chunks": HT.q_media_audio_chunks,
     }
 
 
@@ -254,6 +262,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_pii": HT.oracle_doc_pii(),
         "seq_token_drift": H.oracle_seq_token_drift(),
         "seq_token_contamination": H.oracle_seq_token_contamination(),
+        "dedup_keep_best": HT.oracle_dedup_keep_best(),
+        "doc_incremental_dedup": HT.oracle_doc_incremental_dedup(),
+        "media_frame_plan": HT.oracle_media_frame_plan(),
+        "media_audio_chunks": HT.oracle_media_audio_chunks(),
     }
 
 

@@ -271,3 +271,21 @@ def test_token_histogram_partial_aggregates_before_shuffle(seq_parquet):
     assert "partial_count" in plan
     # the null/empty filters reach the parquet scan
     assert "PushedFilters: [IsNotNull(source), IsNotNull(tokens)]" in plan
+
+
+def test_cluster_representatives_aggregates_without_window(spark):
+    """The per-cluster argmax must be a partial-aggregating struct-min —
+    NO per-cluster window (a degenerate 10^9-member boilerplate cluster
+    would sort inside one task) — and must partial-aggregate before its
+    exchange."""
+    from tokenqc.textops import dedup
+
+    labels = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, component long"
+    )
+    scores = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(30)], "id long, quality_score double"
+    )
+    plan = plan_of(dedup.cluster_representatives(labels, scores))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan

@@ -648,3 +648,35 @@ def test_token_contamination_flags(spark):
     )
     got_p = textqc.token_contamination_flags(perm, bench, k=k).collect()[0]
     assert got_p.contaminated is False
+
+
+def test_cluster_representatives(spark):
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        "id long, component long",
+    )
+    scores = spark.createDataFrame(
+        # cluster 1: 2 wins on score; cluster 10: tie -> min id (10);
+        # cluster 20: its only member has NO score row -> cluster drops
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.7), (11, 0.7)],
+        "id long, quality_score double",
+    )
+    got = {
+        r.component: (r.rep_id, r.rep_score, r.n_members)
+        for r in dedup.cluster_representatives(labels, scores).collect()
+    }
+    assert got == {1: (2, 0.9, 3), 10: (10, 0.7, 2)}
+
+
+def test_incremental_new_docs(spark):
+    batch = spark.createDataFrame(
+        [(5, "aa"), (3, "aa"), (7, "bb"), (9, "cc")],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame([("cc",)], "text string").select(
+        F.md5("text").alias("text_hash")
+    )
+    out = dedup.incremental_new_docs(batch, seen).collect()
+    # "cc" already seen -> rejected; "aa" duplicated in-batch -> min id 3
+    assert {r.doc_id for r in out} == {3, 7}
+    assert all(len(r.text_hash) == 32 for r in out)

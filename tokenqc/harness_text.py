@@ -220,10 +220,17 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_doc_quality() -> str:
+    return _quality_sql("documents")
+
+
+def _quality_sql(src: str) -> str:
+    """quality_score's DuckDB twin over any (doc_id, text) relation
+    `src` — shared by oracle_doc_quality and the cluster-representative
+    oracle (which scores the derived corpus, not documents)."""
     all_stop = sorted({s for v in textqc.LANG_STOPWORDS.values() for s in v})
     return (
         "WITH f AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w, "
-        "  CAST(length(text) AS DOUBLE) AS n_chars FROM documents), "
+        f"  CAST(length(text) AS DOUBLE) AS n_chars FROM {src}), "
         "g AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS n_words, n_chars, "
         f"  CAST(len(list_filter(w, x -> x IN ({_stoplist_sql(all_stop)}))) AS DOUBLE) AS n_stop, "
         "  CAST(len(list_distinct(w)) AS DOUBLE) AS n_distinct FROM f) "
@@ -1391,3 +1398,165 @@ SELECT rn, source, n_tok, "offset",
        "offset" // {_PACK_CAP} AS pack_id, "offset" % {_PACK_CAP} AS pack_pos
 FROM off
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup curation: cluster representatives + incremental (delta) dedup
+# ---------------------------------------------------------------------------
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best curation over duplicate clusters: connected components
+    of the exact near-dup graph, each cluster resolved to its
+    highest-quality member (tie-break min doc_id) via the map-side
+    aggregation argmax — the decision step after dedup_clusters. Oracle
+    = recursive-CTE closure + the quality formula over the derived
+    corpus + a window argmax, fully independent of the engine path."""
+    corpus = derive_corpus(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.6)
+    labels = dedup.connected_components(pairs)
+    scores = textqc.quality_score(corpus).select(
+        F.col("doc_id").alias("id"), "quality_score"
+    )
+    return dedup.cluster_representatives(labels, scores, id_col="id")
+
+
+def oracle_dedup_keep_best() -> str:
+    # closure identical to oracle_dedup_clusters, then score the corpus
+    # (nested WITH in a subquery so the quality twin stays shared) and
+    # pick per-component argmax with an explicit (score DESC, id ASC)
+    # window — a formulation disjoint from the engine's struct-min agg
+    return CORPUS_CTE + _SHINGLE_CTE + (
+        ", sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+        "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS (SELECT id_a, id_b FROM inter "
+        "  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "  WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.6), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "  UNION SELECT id_b, id_a FROM pairs), "
+        "walk AS (WITH RECURSIVE w(src, reach) AS ("
+        "    SELECT src, src FROM edges "
+        "    UNION "
+        "    SELECT w.src, e.dst FROM w JOIN edges e ON e.src = w.reach) "
+        "  SELECT * FROM w), "
+        "labels AS (SELECT src AS id, min(reach) AS component FROM walk GROUP BY src), "
+        "qual AS (SELECT doc_id, quality_score FROM (" + _quality_sql("corpus") + ")), "
+        "ranked AS (SELECT l.component, l.id, q.quality_score, "
+        "  row_number() OVER (PARTITION BY l.component "
+        "    ORDER BY q.quality_score DESC, l.id ASC) AS rk, "
+        "  count(*) OVER (PARTITION BY l.component) AS n_members "
+        "  FROM labels l JOIN qual q ON q.doc_id = l.id) "
+        "SELECT component, id AS rep_id, quality_score AS rep_score, "
+        "n_members FROM ranked WHERE rk = 1"
+    )
+
+
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta dedup: an incoming batch (the derived near/exact copies
+    plus every 7th original re-submitted) admitted against the digests
+    of the existing documents corpus — exact-copy and re-submitted rows
+    must be rejected, padded near-dups admitted once per digest."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = derive_corpus(spark, sf_dir).where(F.col("doc_id") >= 100000).unionByName(
+        docs.where(F.col("doc_id") % 7 == 0)
+    )
+    seen = docs.select(F.md5("text").alias("text_hash"))
+    return dedup.incremental_new_docs(batch, seen)
+
+
+def oracle_doc_incremental_dedup() -> str:
+    return (
+        "WITH batch AS ("
+        "  SELECT doc_id + 100000 AS doc_id, text || ' pad pad pad' AS text "
+        "  FROM documents WHERE doc_id % 20 = 0 "
+        "  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0 "
+        "  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0), "
+        "seen AS (SELECT DISTINCT md5(text) AS h FROM documents) "
+        "SELECT min(b.doc_id) AS doc_id, md5(b.text) AS text_hash FROM batch b "
+        "WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = md5(b.text)) "
+        "GROUP BY md5(b.text)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing: oracle rows for the pure-SQL plan half
+# ---------------------------------------------------------------------------
+def derive_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table from `documents`: typed metadata in the
+    MEDIA_SCHEMA map (n_frames / sample_rate / n_samples in closed form
+    from doc_id, sample_rate withheld for every 5th row to exercise the
+    coalesce default), NULL payloads — the decode stub stays unit-level,
+    the planning half becomes oracle-checkable."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "video")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("image")
+    )
+    sr = F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string")).otherwise(
+        F.lit("22050")
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        kind.alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.create_map(
+            F.lit("n_frames"), (F.col("doc_id") % 977).cast("string"),
+            F.lit("sample_rate"), sr,
+            F.lit("n_samples"),
+            ((F.col("doc_id") % 89) * 16000 + F.col("doc_id") % 997).cast("string"),
+        ).alias("meta"),
+    )
+
+
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (multimodal.frame_sample_plan): per-row
+    frame index lists from map metadata, JVM-side sequence arithmetic
+    only — the decision half a decode UDF consumes. Arrays compared as
+    joined strings (the oracle harness stringifies object columns)."""
+    from tokenqc.textops import multimodal
+
+    plan = multimodal.frame_sample_plan(
+        derive_media(spark, sf_dir).where(F.col("kind") == "video")
+    )
+    return plan.select(
+        "media_id", "n_frames", F.array_join("frame_indices", ",").alias("frames")
+    )
+
+
+def oracle_media_frame_plan() -> str:
+    # every_n=30, max_frames=8; n_frames = doc_id % 977 on video rows
+    return (
+        "WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+        "  CAST(doc_id % 977 AS INTEGER) AS n_frames FROM documents WHERE doc_id % 3 = 0) "
+        "SELECT media_id, n_frames, array_to_string(list_slice("
+        "  list_transform(generate_series(0, greatest(n_frames - 1, 0), 30), x -> CAST(x AS INTEGER)), "
+        "  1, 8), ',') AS frames FROM m"
+    )
+
+
+def q_media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plan (multimodal.audio_chunk_plan): per-file
+    (start, end) sample windows from map metadata, exploded to one row
+    per chunk so downstream feature UDFs parallelize across chunks —
+    a 10-hour file becomes independent tasks, not one straggler."""
+    from tokenqc.textops import multimodal
+
+    return multimodal.audio_chunk_plan(derive_media(spark, sf_dir))
+
+
+def oracle_media_audio_chunks() -> str:
+    # chunk_seconds=30, overlap=1: step = sr*29; sr defaults to 16000
+    # when withheld (doc_id % 5 = 0); n_samples = (doc_id%89)*16000 + doc_id%997
+    return (
+        "WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+        "  CASE WHEN doc_id % 5 = 0 THEN 16000 ELSE 22050 END AS sr, "
+        "  CAST((doc_id % 89) * 16000 + doc_id % 997 AS BIGINT) AS n "
+        "  FROM documents WHERE doc_id % 3 = 1), "
+        "s AS (SELECT media_id, sr, n, unnest(generate_series(0, greatest(n - 1, 0), "
+        "  CAST(sr * 29.0 AS BIGINT))) AS start_sample FROM m), "
+        "f AS (SELECT media_id, sr, n, start_sample, "
+        "  row_number() OVER (PARTITION BY media_id ORDER BY start_sample) - 1 AS chunk_idx "
+        "  FROM s WHERE start_sample < n OR start_sample = 0) "
+        "SELECT media_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, start_sample, "
+        "least(start_sample + CAST(sr * 30.0 AS BIGINT), n) AS end_sample FROM f"
+    )

@@ -421,3 +421,76 @@ def connected_components(
             "a large-star/small-star formulation for long-chain graphs"
         )
     return labels
+
+
+def cluster_representatives(
+    labels: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """One representative per duplicate cluster: the member with the
+    highest score, ties broken by the smallest id — the curation step
+    that turns `connected_components` labels plus a quality signal into
+    keep/drop decisions (keep the representative, drop the rest).
+
+    Scale shape: argmax is an ordinary aggregation — `min` over the
+    orderable struct (-score, id), which Spark partial-aggregates
+    map-side — NOT a per-cluster window. A degenerate corpus where one
+    boilerplate page yields a 10^9-member cluster collapses to one
+    struct per map task here, where row_number() would sort the whole
+    cluster inside a single task. `scores` joins on `id_col` (an inner
+    join: unscored members can never be chosen, and n_members counts
+    scored members).
+
+    Output: (component, rep_id, rep_score, n_members).
+    """
+    j = labels.join(scores.select(id_col, score_col), on=id_col)
+    return (
+        j.groupBy("component")
+        .agg(
+            # lexicographic struct min == (max score, then min id)
+            F.min(
+                F.struct(
+                    (-F.col(score_col)).alias("ns"), F.col(id_col).alias("i")
+                )
+            ).alias("b"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "component",
+            F.col("b.i").alias("rep_id"),
+            (-F.col("b.ns")).alias("rep_score"),
+            "n_members",
+        )
+    )
+
+
+def incremental_new_docs(
+    batch: DataFrame,
+    seen_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digest_col: str = "text_hash",
+) -> DataFrame:
+    """Delta dedup for an append-only corpus: admit only the batch docs
+    whose content digest is (a) absent from the existing corpus and
+    (b) unique within the batch itself (smallest id wins) — the
+    incremental twin of `exact_duplicates` for the ingest path, where
+    re-running global dedup per batch would rescan the whole corpus.
+
+    Scale shape: both sides reduce to 16-byte digests before any
+    exchange (text never shuffles); the anti-join sort-merges on the
+    digest — correct when `seen_digests` is itself corpus-sized
+    (billions of rows: broadcasting is impossible and unnecessary) —
+    and the within-batch min(id) partial-aggregates map-side.
+
+    Output: (doc_id, text_hash) — the rows to append, one per new digest.
+    """
+    d = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias(digest_col))
+    fresh = d.join(seen_digests.select(digest_col), on=digest_col, how="left_anti")
+    return (
+        fresh.groupBy(digest_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, digest_col)
+    )
