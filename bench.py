@@ -141,7 +141,7 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
 
     from tokenqc.checks.base import CheckConfig
     from tokenqc.runner import QCRunner
-    from tokenqc.textops import dedup, simsearch
+    from tokenqc.textops import dedup, simsearch, textqc
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -318,6 +318,20 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
         side_trials,
     )
     tok_base.unpersist()
+    # token contamination (r5): the other full-payload pass — shingle
+    # hashing is a vectorized Arrow stage, hit-counting against the
+    # driver-broadcast benchmark set, zero shuffles (plan-pinned); each
+    # trial includes the benchmark collect job the gate runs eagerly
+    contam_src = seq.where(F.col("tokens").isNotNull() & (F.size("tokens") >= 8))
+    contam_bench = contam_src.where(F.pmod(F.xxhash64("doc_id"), F.lit(509)) == 0)
+    contam_train = contam_src.where(F.pmod(F.xxhash64("doc_id"), F.lit(509)) != 0)
+    timed(
+        "q_token_contamination",
+        lambda: textqc.token_contamination_flags(
+            contam_train, contam_bench, k=8
+        ).count(),
+        side_trials,
+    )
     timed("q_stats_profile", lambda: stats.profile(seq, cfg).count(), side_trials)
 
     # text/embedding headliners on the driver testdata

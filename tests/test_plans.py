@@ -289,3 +289,22 @@ def test_cluster_representatives_aggregates_without_window(spark):
     plan = plan_of(dedup.cluster_representatives(labels, scores))
     assert "Window" not in plan, plan
     assert "partial_min" in plan or "partial min" in plan.lower(), plan
+
+
+def test_token_contamination_is_shuffle_free(spark):
+    """The contamination gate must read the train corpus exactly once
+    with NO exchange anywhere: hashing + hit-count happen in one Arrow
+    stage against the driver-broadcast benchmark set, and the output is
+    already per-doc (the join-based formulation moved every (id, hash)
+    row back through Arrow AND a shuffle)."""
+    from tokenqc.textops import textqc
+
+    train = spark.createDataFrame(
+        [(f"d{i}", [i, i + 1, i + 2, i + 3]) for i in range(50)],
+        "doc_id string, tokens array<int>",
+    )
+    bench = spark.createDataFrame([("b", [1, 2, 3])], "doc_id string, tokens array<int>")
+    out = textqc.token_contamination_flags(train, bench, k=3)
+    plan = plan_of(out)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan

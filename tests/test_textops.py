@@ -641,6 +641,17 @@ def test_token_contamination_flags(spark):
         "hit1": (3, 1, True),
         "clean": (2, 0, False),
     }
+    # duplicate ids grade independently: one output row per input row
+    dup = spark.createDataFrame(
+        [("d", [1, 2, 3]), ("d", [5, 6, 7])], "doc_id string, tokens array<int>"
+    )
+    rows = textqc.token_contamination_flags(dup, bench, k=k).collect()
+    assert sorted((r.doc_id, r.contaminated) for r in rows) == [
+        ("d", False), ("d", True)
+    ]
+    # benchmark-size guard raises instead of collecting unbounded state
+    with pytest.raises(ValueError, match="max_bench_shingles"):
+        textqc.token_contamination_flags(train, bench, k=k, max_bench_shingles=1)
     # order matters: a PERMUTED window must not match (slice equality,
     # not bag equality)
     perm = spark.createDataFrame(

@@ -247,55 +247,137 @@ def unigram_logprob(
     )
 
 
+def _shingle_powers(k: int):
+    """Power vector for the 64-bit polynomial window hash: B odd =>
+    multiplication is invertible mod 2^64, so the hash keeps full
+    positional sensitivity (a permuted window hashes differently)."""
+    import numpy as np
+
+    b = 0x9E3779B97F4A7C15
+    pw, acc = [1], 1
+    for _ in range(k - 1):
+        acc = (acc * b) & 0xFFFFFFFFFFFFFFFF  # mod 2^64
+        pw.append(acc)
+    return np.array(pw[::-1], dtype=np.uint64)
+
+
+def _batch_window_hashes(arrs, k: int, powers):
+    """All k-window hashes of a batch of token arrays in ONE vectorized
+    pass: concatenate, slide once over the flat array, drop the k-1
+    window starts that straddle a row boundary. Returns (h_all int64,
+    n_sh per row, flat shingle index per row start) — no per-row Python
+    loop (measured ~2x over row-at-a-time hashing)."""
+    import numpy as np
+
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    flat = np.concatenate(arrs).astype(np.uint64, copy=False)
+    h_flat = (
+        np.lib.stride_tricks.sliding_window_view(flat, k) * powers
+    ).sum(axis=1, dtype=np.uint64).view(np.int64)
+    n_sh = lens - (k - 1)  # >= 1: short rows filtered upstream
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    sh_offs = np.cumsum(n_sh) - n_sh
+    row_of = np.repeat(np.arange(len(arrs)), n_sh)
+    pos = np.arange(int(n_sh.sum())) - sh_offs[row_of]
+    return h_flat[offs[row_of] + pos], n_sh, sh_offs
+
+
 def token_contamination_flags(
     df: DataFrame, benchmark: DataFrame, k: int = 8,
     id_col: str = "doc_id", tokens_col: str = "tokens", min_hits: int = 1,
+    max_bench_shingles: int = 10_000_000,
 ) -> DataFrame:
     """Benchmark-contamination gate over TOKEN arrays: flag training
     sequences sharing k-token shingles with a held-out benchmark corpus
     — `contamination_flags`' twin for pre-tokenized data (the form the
     gate actually runs in at train time, where raw text may be gone).
 
-    Shingles are compared as xxhash64 of the k-slice (JVM-side, no
-    string materialization; two equal slices always hash equal, and at
-    64 bits spurious collisions are ~n²/2⁶⁵). Scale shape mirrors the
-    text gate: the benchmark shingle-hash set is DISTINCTed and
-    broadcast (eval corpora are small), the training side explodes to
-    (id, hash) — one narrow long per position, the token arrays never
-    shuffle — and per-id hit counts partial-aggregate map-side. Rows
-    with fewer than k tokens have no shingles and are excluded (they
-    cannot be contaminated at this k).
+    Shingles are compared as a 64-bit polynomial window hash (equal
+    windows always hash equal, permuted ones don't, spurious collisions
+    ~n²/2⁶⁴), computed in a vectorized Arrow stage — numpy
+    sliding_window_view · power-vector per batch — NOT a JVM
+    higher-order function: `transform(sequence(1,n), i ->
+    xxhash64(slice(toks,i,k)))` is CodegenFallback-interpreted with a
+    per-element slice allocation, measured 15–22 s over 30 M tokens at
+    sf0.01 vs ~1.5 s for this plan.
+
+    Scale shape: eval corpora are small BY DESIGN (they are what you
+    can afford to grade), so the distinct benchmark hash set collects
+    driver-side — guard-bounded by `max_bench_shingles` (default 10M =
+    80 MB; raises rather than silently OOMing the driver, the
+    pack.token_offsets guard pattern) — and ships to the train-side
+    Arrow stage as a sorted array searched with np.searchsorted. Each
+    train partition then emits ONE row per doc: no exploded (id, hash)
+    rows re-entering the JVM (an earlier join-based cut moved ~30 M
+    such rows through Arrow and a shuffle — measured 1.6–35 s/trial
+    with wild GC variance vs a stable ~1 s for this plan), no join, no
+    shuffle anywhere: the train corpus is read exactly once and the
+    output is already per-doc. Rows with fewer than k tokens have no
+    shingles and are excluded (they cannot be contaminated at this k).
+
+    Semantics notes: (a) output is one row per input ROW — duplicate
+    ids grade independently, they are not merged (the join-based cut
+    grouped by id; per-row is the row-gate contract everywhere else in
+    the engine); (b) calling this function runs one eager job (the
+    benchmark collect + guard) before the returned frame is acted on,
+    like the pack.token_offsets guard.
     Output: (id, n_shingles, n_contaminated, contaminated).
     """
+    import numpy as np
+    import pandas as pd
+
     toks = F.col(tokens_col)
+    powers = _shingle_powers(k)
 
-    def shingle_hashes(frame: DataFrame, *cols: str) -> DataFrame:
-        n_sh = F.size(toks) - (k - 1)
-        # sequence(1, 0) counts DOWN — only rows with >= 1 shingle enter
-        return (
-            frame.where(toks.isNotNull() & (F.size(toks) >= k))
-            .select(
-                *cols,
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), n_sh),
-                        lambda i: F.xxhash64(F.slice(toks, i, k)),
-                    )
-                ).alias("__h"),
+    def bench_op(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            h, _, _ = _batch_window_hashes(list(pdf[tokens_col]), k, powers)
+            yield pd.DataFrame({"__h": np.unique(h)})
+
+    valid = lambda frame: frame.where(toks.isNotNull() & (F.size(toks) >= k))  # noqa: E731
+    bench_h = valid(benchmark).select(tokens_col).mapInPandas(
+        bench_op, schema="__h long"
+    ).distinct()
+    rows = bench_h.limit(max_bench_shingles + 1).collect()
+    if len(rows) > max_bench_shingles:
+        raise ValueError(
+            f"benchmark corpus has more than max_bench_shingles="
+            f"{max_bench_shingles} distinct {k}-token shingles; "
+            "raise the bound (driver memory permitting) or split the "
+            "benchmark into batches"
+        )
+    bench_arr = np.sort(np.array([r["__h"] for r in rows], dtype=np.int64))
+    bcast = df.sparkSession.sparkContext.broadcast(bench_arr)
+
+    def train_op(it):
+        ba = bcast.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            h, n_sh, sh_offs = _batch_window_hashes(list(pdf[tokens_col]), k, powers)
+            if ba.size:
+                pos = np.searchsorted(ba, h).clip(max=ba.size - 1)
+                hit = ba[pos] == h
+            else:
+                hit = np.zeros(h.shape[0], dtype=bool)
+            n_cont = np.add.reduceat(hit, sh_offs)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_shingles": n_sh.astype(np.int32),
+                    "n_contaminated": n_cont.astype(np.int32),
+                }
             )
-        )
 
-    bench_sh = F.broadcast(shingle_hashes(benchmark).select("__h").distinct())
-    hits = (
-        shingle_hashes(df, id_col)
-        .join(bench_sh.withColumn("__hit", F.lit(1)), on="__h", how="left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_shingles"),
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("int").alias("n_contaminated"),
-        )
+    id_type = next(
+        f.dataType.simpleString() for f in df.schema.fields if f.name == id_col
     )
-    return hits.select(
+    out = valid(df).select(id_col, tokens_col).mapInPandas(
+        train_op, schema=f"{id_col} {id_type}, n_shingles int, n_contaminated int"
+    )
+    return out.select(
         id_col,
         "n_shingles",
         "n_contaminated",
