@@ -122,24 +122,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack_tokens": HT.q_seq_pack_tokens,
         "seq_pack_spans": HT.q_seq_pack_spans,
         "doc_repetition": HT.q_doc_repetition,
-        # round-5 operator: token-array lints (id domain / special-token
+        # round-5 operators: token-array lints (id domain / special-token
         # layout / degenerate runs), rotated in for doc_pii (⊂
         # doc_pii_scrub — the scrub oracle is generated from the same
         # PII_PATTERNS counts, so byte-exact scrub parity subsumes the
-        # detection flags)
+        # detection flags); then the three riskiest late-r5 operators —
+        # shuffle-free token-shingle contamination (Arrow window-hash
+        # stage + driver-broadcast benchmark set), keep-best cluster
+        # curation (iterative CC + struct-min argmax), delta dedup —
+        # rotated in for three subsumed rows (see extra_queries)
         "seq_token_lints": H.q_seq_token_lints,
+        "seq_token_contamination": H.q_seq_token_contamination,
+        "dedup_keep_best": HT.q_dedup_keep_best,
+        "doc_incremental_dedup": HT.q_doc_incremental_dedup,
         "doc_pii_scrub": HT.q_doc_pii_scrub,
         # engine gates on the derived sequences table
-        "seq_violation_counts": H.q_seq_violation_counts,
         "seq_format_violations": H.q_seq_format_violations,
         "seq_uniqueness": H.q_seq_uniqueness,
         "seq_referential": H.q_seq_referential,
         "seq_verdicts": H.q_seq_verdicts,
         "seq_invariant": H.q_seq_invariant,
-        "seq_histogram": H.q_seq_histogram,
         "seq_stats": H.q_seq_stats,
         "seq_scores": H.q_seq_scores,
-        "seq_drift_stats": H.q_seq_drift_stats,
         "seq_drift_js": H.q_seq_drift_js,
         "seq_vocab_by_source": H.q_seq_vocab_by_source,
         "seq_heavy_hitters": H.q_seq_heavy_hitters,
@@ -203,6 +207,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - doc_pii             ⊂ doc_pii_scrub (scrub oracle is generated
                             from the same PII_PATTERNS counts; byte-exact
                             scrub parity subsumes the detection flags)
+
+    Round-5 late rotation: seq_token_contamination, dedup_keep_best,
+    doc_incremental_dedup (the three riskiest late-r5 operators) moved
+    into the driver surface for three subsumed rows:
+    - seq_violation_counts ⊂ seq_verdicts (the verdict query aggregates
+                            the SAME per-(partition, check) violation
+                            counts one join further)
+    - seq_histogram        ⊂ seq_stats (same stats.py bucket keys inside
+                            the fused profile) + events_histogram (the
+                            histogram shape on the JSON-derived table)
+    - seq_drift_stats      ⊂ drift_verdicts_full (the full U1 gate
+                            consumes exactly these aggregates)
     """
     hf = _hash_family_queries()
     return {
@@ -228,17 +244,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # web baseline (planted parity-degenerate spam9 FAILs, withheld
         # code grades UNKNOWN)
         "seq_token_drift": H.q_seq_token_drift,
-        # token-shingle benchmark contamination (closed-form oracle:
-        # a k-shingle of this generator is determined by its first value)
-        "seq_token_contamination": H.q_seq_token_contamination,
-        # dedup curation: per-cluster keep-best argmax (closure + quality
-        # + window-argmax oracle) and delta dedup against corpus digests
-        "dedup_keep_best": HT.q_dedup_keep_best,
-        "doc_incremental_dedup": HT.q_doc_incremental_dedup,
         # multimodal planning half (pure SQL over map metadata): frame
         # sampling + audio chunk windows — the decode stub stays unit-level
         "media_frame_plan": HT.q_media_frame_plan,
         "media_audio_chunks": HT.q_media_audio_chunks,
+        # late-r5 rotation swap-outs (each subsumed, see queries())
+        "seq_violation_counts": H.q_seq_violation_counts,
+        "seq_histogram": H.q_seq_histogram,
+        "seq_drift_stats": H.q_seq_drift_stats,
     }
 
 
@@ -261,11 +274,11 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_dup_rows_auto": H.oracle_seq_dup_surplus(),
         "doc_pii": HT.oracle_doc_pii(),
         "seq_token_drift": H.oracle_seq_token_drift(),
-        "seq_token_contamination": H.oracle_seq_token_contamination(),
-        "dedup_keep_best": HT.oracle_dedup_keep_best(),
-        "doc_incremental_dedup": HT.oracle_doc_incremental_dedup(),
         "media_frame_plan": HT.oracle_media_frame_plan(),
         "media_audio_chunks": HT.oracle_media_audio_chunks(),
+        "seq_violation_counts": H.oracle_seq_violation_counts(),
+        "seq_histogram": H.oracle_seq_histogram(),
+        "seq_drift_stats": H.oracle_seq_drift_stats(),
     }
 
 
@@ -289,17 +302,17 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack_spans": HT.oracle_seq_pack_spans(),
         "doc_repetition": HT.oracle_doc_repetition(),
         "seq_token_lints": H.oracle_seq_token_lints(),
+        "seq_token_contamination": H.oracle_seq_token_contamination(),
+        "dedup_keep_best": HT.oracle_dedup_keep_best(),
+        "doc_incremental_dedup": HT.oracle_doc_incremental_dedup(),
         "doc_pii_scrub": HT.oracle_doc_pii_scrub(),
-        "seq_violation_counts": H.oracle_seq_violation_counts(),
         "seq_format_violations": H.oracle_seq_format_violations(),
         "seq_uniqueness": H.oracle_seq_uniqueness(),
         "seq_referential": H.oracle_seq_referential(),
         "seq_verdicts": H.oracle_seq_verdicts(),
         "seq_invariant": H.oracle_seq_invariant(),
-        "seq_histogram": H.oracle_seq_histogram(),
         "seq_stats": H.oracle_seq_stats(),
         "seq_scores": H.oracle_seq_scores(),
-        "seq_drift_stats": H.oracle_seq_drift_stats(),
         "seq_drift_js": H.oracle_seq_drift_js(),
         "seq_vocab_by_source": H.oracle_seq_vocab_by_source(),
         "seq_heavy_hitters": H.oracle_seq_heavy_hitters(),

@@ -444,3 +444,60 @@ def test_streaming_token_drift_matches_batch_and_restarts(spark, tmp_path):
     assert got["code"][2] == "FAIL"
     assert got["web"][2] == "PASS"
     assert got["spam9"][2] == "UNKNOWN"
+
+
+def test_streaming_token_contamination_matches_batch(spark, tmp_path):
+    """Every micro-batch is flagged against the same pre-collected
+    benchmark shingle set and the union of stream output rows equals the
+    batch gate's rows exactly (same hash, same counts, same flags)."""
+    import pyarrow as pa
+    import pyspark.sql.functions as F
+
+    from tokenqc.textops import textqc
+
+    inp = tmp_path / "contam_in"
+    inp.mkdir()
+    k = 3
+    rows = [
+        ("hit_a", [1, 2, 3, 4]),     # shares (1,2,3),(2,3,4) with bench
+        ("clean_a", [7, 8, 9, 10]),
+        ("hit_b", [9, 2, 3, 4]),     # shares (2,3,4)
+        ("clean_b", [5, 5, 6, 6]),
+        ("short", [1, 2]),           # < k: excluded everywhere
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": [r[0] for r in rows],
+            "tokens": pa.array([r[1] for r in rows], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in rows], pa.int32()),
+            "source": ["web"] * len(rows),
+        }
+    )
+    # two files -> flagging must be correct per micro-batch
+    pq.write_table(tbl.slice(0, 2), str(inp / "f1.parquet"))
+    pq.write_table(tbl.slice(2, 3), str(inp / "f2.parquet"))
+    out = str(tmp_path / "contam_out")
+
+    bench = spark.createDataFrame(
+        [("b1", [1, 2, 3, 4])], "doc_id string, tokens array<int>"
+    )
+    q = streaming.streaming_token_contamination(
+        spark, str(inp), out, benchmark=bench, k=k, run_id="c1"
+    )
+    q.awaitTermination(120)
+
+    def norm(df):
+        return sorted(
+            (r.doc_id, r.n_shingles, r.n_contaminated, r.contaminated)
+            for r in df.collect()
+        )
+
+    got = norm(
+        spark.read.parquet(f"{out}/contamination_stream").drop("run_id", "epoch")
+    )
+    batch_input = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "doc_id string, tokens array<int>"
+    )
+    want = norm(textqc.token_contamination_flags(batch_input, bench, k=k))
+    assert got == want
+    assert ("hit_a", 2, 2, True) in got and ("clean_a", 2, 0, False) in got

@@ -348,3 +348,57 @@ def streaming_dedup(df: DataFrame, ts_col: str = "ts", key: str = "doc_id", wate
     beyond the horizon age out of state instead of growing it forever.
     Input must be a streaming DataFrame with an event-time column."""
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
+
+
+def streaming_token_contamination(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    benchmark: DataFrame | None = None,
+    bench_arr=None,
+    k: int = 8,
+    min_hits: int = 1,
+    run_id: str = "stream",
+    checkpoint_dir: str | None = None,
+):
+    """Streaming twin of `textqc.token_contamination_flags`: every
+    micro-batch is flagged against the SAME pre-collected benchmark
+    shingle set and appended to out_dir/contamination_stream — the
+    decontamination gate for an ingest pipeline, where waiting for a
+    batch re-scan means contaminated rows are already downstream.
+
+    The benchmark set is static by definition (a held-out eval corpus),
+    so it is collected ONCE here (or passed pre-collected via
+    `bench_arr`) and broadcast ONCE — each micro-batch then runs the
+    identical zero-shuffle Arrow flagging stage the batch gate uses
+    (`textqc.flag_against_shingles`), so batch/stream verdicts cannot
+    drift apart (same hash, same counts; pinned in
+    test_streaming_token_contamination_matches_batch).
+    """
+    from tokenqc.textops import textqc
+
+    if bench_arr is None:
+        if benchmark is None:
+            raise ValueError("pass either `benchmark` (a DataFrame) or `bench_arr`")
+        bench_arr = textqc.collect_benchmark_shingles(benchmark, k=k)
+    bcast = spark.sparkContext.broadcast(bench_arr)
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_contam_checkpoint")
+    stream = spark.readStream.schema(SEQUENCES).parquet(input_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        flagged = textqc.flag_against_shingles(
+            batch_df, bcast, k=k, min_hits=min_hits
+        )
+        (
+            flagged.withColumn("run_id", F.lit(run_id))
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(os.path.join(out_dir, "contamination_stream"))
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

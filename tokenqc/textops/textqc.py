@@ -282,6 +282,107 @@ def _batch_window_hashes(arrs, k: int, powers):
     return h_flat[offs[row_of] + pos], n_sh, sh_offs
 
 
+def collect_benchmark_shingles(
+    benchmark: DataFrame, k: int = 8, tokens_col: str = "tokens",
+    max_bench_shingles: int = 10_000_000,
+):
+    """Distinct k-window hashes of the benchmark corpus as a SORTED
+    int64 numpy array (driver-side, guard-bounded): the reusable half of
+    `token_contamination_flags` — collect once, flag many (batch gates,
+    every micro-batch of the streaming gate) without re-running the
+    benchmark job."""
+    import numpy as np
+    import pandas as pd
+
+    powers = _shingle_powers(k)
+    toks = F.col(tokens_col)
+
+    def bench_op(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            h, _, _ = _batch_window_hashes(list(pdf[tokens_col]), k, powers)
+            yield pd.DataFrame({"__h": np.unique(h)})
+
+    bench_h = (
+        benchmark.where(toks.isNotNull() & (F.size(toks) >= k))
+        .select(tokens_col)
+        .mapInPandas(bench_op, schema="__h long")
+        .distinct()
+    )
+    rows = bench_h.limit(max_bench_shingles + 1).collect()
+    if len(rows) > max_bench_shingles:
+        raise ValueError(
+            f"benchmark corpus has more than max_bench_shingles="
+            f"{max_bench_shingles} distinct {k}-token shingles; "
+            "raise the bound (driver memory permitting) or split the "
+            "benchmark into batches"
+        )
+    return np.sort(np.array([r["__h"] for r in rows], dtype=np.int64))
+
+
+def flag_against_shingles(
+    df: DataFrame, bench_arr, k: int = 8,
+    id_col: str = "doc_id", tokens_col: str = "tokens", min_hits: int = 1,
+) -> DataFrame:
+    """Flag `df` rows against a pre-collected sorted benchmark
+    shingle-hash array (from `collect_benchmark_shingles`): one
+    vectorized Arrow stage, one output row per input row, zero
+    shuffles. The flagging half of `token_contamination_flags`.
+
+    `bench_arr` may also be an existing pyspark Broadcast of such an
+    array — long-running callers (the streaming gate flags every
+    micro-batch) broadcast once and reuse instead of re-shipping the
+    set per batch."""
+    import numpy as np
+    import pandas as pd
+
+    powers = _shingle_powers(k)
+    toks = F.col(tokens_col)
+    bcast = (
+        bench_arr
+        if hasattr(bench_arr, "value")
+        else df.sparkSession.sparkContext.broadcast(bench_arr)
+    )
+
+    def train_op(it):
+        ba = bcast.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            h, n_sh, sh_offs = _batch_window_hashes(list(pdf[tokens_col]), k, powers)
+            if ba.size:
+                pos = np.searchsorted(ba, h).clip(max=ba.size - 1)
+                hit = ba[pos] == h
+            else:
+                hit = np.zeros(h.shape[0], dtype=bool)
+            n_cont = np.add.reduceat(hit, sh_offs)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_shingles": n_sh.astype(np.int32),
+                    "n_contaminated": n_cont.astype(np.int32),
+                }
+            )
+
+    id_type = next(
+        f.dataType.simpleString() for f in df.schema.fields if f.name == id_col
+    )
+    out = (
+        df.where(toks.isNotNull() & (F.size(toks) >= k))
+        .select(id_col, tokens_col)
+        .mapInPandas(
+            train_op, schema=f"{id_col} {id_type}, n_shingles int, n_contaminated int"
+        )
+    )
+    return out.select(
+        id_col,
+        "n_shingles",
+        "n_contaminated",
+        (F.col("n_contaminated") >= min_hits).alias("contaminated"),
+    )
+
+
 def token_contamination_flags(
     df: DataFrame, benchmark: DataFrame, k: int = 8,
     id_col: str = "doc_id", tokens_col: str = "tokens", min_hits: int = 1,
@@ -323,65 +424,13 @@ def token_contamination_flags(
     like the pack.token_offsets guard.
     Output: (id, n_shingles, n_contaminated, contaminated).
     """
-    import numpy as np
-    import pandas as pd
-
-    toks = F.col(tokens_col)
-    powers = _shingle_powers(k)
-
-    def bench_op(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            h, _, _ = _batch_window_hashes(list(pdf[tokens_col]), k, powers)
-            yield pd.DataFrame({"__h": np.unique(h)})
-
-    valid = lambda frame: frame.where(toks.isNotNull() & (F.size(toks) >= k))  # noqa: E731
-    bench_h = valid(benchmark).select(tokens_col).mapInPandas(
-        bench_op, schema="__h long"
-    ).distinct()
-    rows = bench_h.limit(max_bench_shingles + 1).collect()
-    if len(rows) > max_bench_shingles:
-        raise ValueError(
-            f"benchmark corpus has more than max_bench_shingles="
-            f"{max_bench_shingles} distinct {k}-token shingles; "
-            "raise the bound (driver memory permitting) or split the "
-            "benchmark into batches"
-        )
-    bench_arr = np.sort(np.array([r["__h"] for r in rows], dtype=np.int64))
-    bcast = df.sparkSession.sparkContext.broadcast(bench_arr)
-
-    def train_op(it):
-        ba = bcast.value
-        for pdf in it:
-            if not len(pdf):
-                continue
-            h, n_sh, sh_offs = _batch_window_hashes(list(pdf[tokens_col]), k, powers)
-            if ba.size:
-                pos = np.searchsorted(ba, h).clip(max=ba.size - 1)
-                hit = ba[pos] == h
-            else:
-                hit = np.zeros(h.shape[0], dtype=bool)
-            n_cont = np.add.reduceat(hit, sh_offs)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "n_shingles": n_sh.astype(np.int32),
-                    "n_contaminated": n_cont.astype(np.int32),
-                }
-            )
-
-    id_type = next(
-        f.dataType.simpleString() for f in df.schema.fields if f.name == id_col
+    bench_arr = collect_benchmark_shingles(
+        benchmark, k=k, tokens_col=tokens_col,
+        max_bench_shingles=max_bench_shingles,
     )
-    out = valid(df).select(id_col, tokens_col).mapInPandas(
-        train_op, schema=f"{id_col} {id_type}, n_shingles int, n_contaminated int"
-    )
-    return out.select(
-        id_col,
-        "n_shingles",
-        "n_contaminated",
-        (F.col("n_contaminated") >= min_hits).alias("contaminated"),
+    return flag_against_shingles(
+        df, bench_arr, k=k, id_col=id_col, tokens_col=tokens_col,
+        min_hits=min_hits,
     )
 
 
