@@ -310,15 +310,18 @@ def collect_benchmark_shingles(
         .mapInPandas(bench_op, schema="__h long")
         .distinct()
     )
-    rows = bench_h.limit(max_bench_shingles + 1).collect()
-    if len(rows) > max_bench_shingles:
+    # Arrow toPandas, not collect(): at the 10M-row bound a list of Row
+    # objects costs GBs of Python overhead where the Arrow path lands
+    # directly in one 80 MB int64 column
+    pdf = bench_h.limit(max_bench_shingles + 1).toPandas()
+    if len(pdf) > max_bench_shingles:
         raise ValueError(
             f"benchmark corpus has more than max_bench_shingles="
             f"{max_bench_shingles} distinct {k}-token shingles; "
             "raise the bound (driver memory permitting) or split the "
             "benchmark into batches"
         )
-    return np.sort(np.array([r["__h"] for r in rows], dtype=np.int64))
+    return np.sort(pdf["__h"].to_numpy(dtype=np.int64))
 
 
 def flag_against_shingles(
