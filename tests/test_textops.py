@@ -691,3 +691,39 @@ def test_incremental_new_docs(spark):
     # "cc" already seen -> rejected; "aa" duplicated in-batch -> min id 3
     assert {r.doc_id for r in out} == {3, 7}
     assert all(len(r.text_hash) == 32 for r in out)
+    # null text: NULL digest never matches seen, all nulls group as one
+    nb = spark.createDataFrame(
+        [(4, None), (2, None), (9, "cc")], "doc_id long, text string"
+    )
+    nout = dedup.incremental_new_docs(nb, seen).collect()
+    assert [(r.doc_id, r.text_hash) for r in nout] == [(2, None)]
+
+
+def test_curate_keep_best_picks_quality_argmax(spark):
+    from tokenqc.textops import curate
+
+    # repetitive base keeps quality under the distinct-ratio cap, so the
+    # tail's extra distinct words measurably raise doc 5's score
+    # (measured: q1=0.817, q5=0.886, jaccard(1,5)=0.6)
+    base = ("the cat and the dog went to the house " * 4).strip()
+    rows = [
+        (1, base),                            # near-dup cluster, lower quality
+        (5, base + " gleaming river brook meadow stone cloud"),
+        (9, "the quick brown fox jumps over a lazy dog and that is of course fine too"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = {r.doc_id: r.quality_score for r in textqc.quality_score(df).collect()}
+    assert q[5] > q[1]  # fixture sanity: the larger id is the better doc
+
+    min_id = {r.doc_id: r.drop_reason for r in
+              curate.curate(df, jaccard_threshold=0.5, min_quality=0.3).collect()}
+    assert min_id[1] is None and min_id[5] == "near_dup"
+
+    best = {r.doc_id: r.drop_reason for r in
+            curate.curate(df, jaccard_threshold=0.5, min_quality=0.3,
+                          keep="best").collect()}
+    assert best[5] is None and best[1] == "near_dup"
+    assert best[9] is None  # unclustered doc unaffected by the mode
+
+    with pytest.raises(ValueError, match="keep"):
+        curate.curate(df, keep="median")

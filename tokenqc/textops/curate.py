@@ -40,13 +40,23 @@ def curate(
     jaccard_threshold: float = 0.6,
     shingle_n: int = 3,
     use_lsh: bool = False,
+    keep: str = "min_id",
 ) -> DataFrame:
     """Audit frame for the whole curation flow: one row per input doc
     with (doc_id, lang_pred, quality_score, drop_reason, kept, split);
     split is NULL for dropped rows. `use_lsh=True` generates near-dup
     pairs through MinHash-LSH banding instead of the exact inverted
     index — the corpus-scale path (same output contract; candidates are
-    still exact-Jaccard-verified, LSH only bounds candidate generation)."""
+    still exact-Jaccard-verified, LSH only bounds candidate generation).
+
+    `keep` picks the near-dup-cluster survivor: "min_id" (default,
+    deterministic canonical id) or "best" (highest quality_score,
+    min-id tie-break, via dedup.cluster_representatives — the map-side
+    aggregation argmax, no per-cluster window). Exact-dup groups are
+    unaffected: byte-identical texts share one quality score, so
+    "best" degenerates to the same min-id choice there."""
+    if keep not in ("min_id", "best"):
+        raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
     base = docs.select(F.col(id_col), F.col(text_col))
     lang = textqc.lang_id(base, id_col, text_col)
     qual = textqc.quality_score(base, id_col, text_col).select(
@@ -73,9 +83,19 @@ def curate(
         survivors, id_col, text_col, n=shingle_n, threshold=jaccard_threshold
     )
     comps = dedup.connected_components(pairs).withColumnRenamed("id", id_col)
-    near_dropped = comps.where(F.col(id_col) != F.col("component")).select(
-        F.col(id_col), F.lit(True).alias("__near_dup")
-    )
+    if keep == "best":
+        reps = dedup.cluster_representatives(
+            comps, qual, id_col=id_col, score_col="quality_score"
+        ).select("component", F.col("rep_id").alias("__rep"))
+        near_dropped = (
+            comps.join(reps, on="component")
+            .where(F.col(id_col) != F.col("__rep"))
+            .select(F.col(id_col), F.lit(True).alias("__near_dup"))
+        )
+    else:
+        near_dropped = comps.where(F.col(id_col) != F.col("component")).select(
+            F.col(id_col), F.lit(True).alias("__near_dup")
+        )
 
     audited = (
         ann.join(

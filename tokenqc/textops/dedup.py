@@ -441,7 +441,10 @@ def cluster_representatives(
     struct per map task here, where row_number() would sort the whole
     cluster inside a single task. `scores` joins on `id_col` (an inner
     join: unscored members can never be chosen, and n_members counts
-    scored members).
+    scored members). NaN scores sort ABOVE every real number in Spark's
+    ordering, so a NaN-scored member loses to any real-scored one
+    (min picks the smallest struct); clean scores upstream if NaN means
+    "unscorable" rather than "worst".
 
     Output: (component, rep_id, rep_score, n_members).
     """
@@ -484,6 +487,11 @@ def incremental_new_docs(
     digest — correct when `seen_digests` is itself corpus-sized
     (billions of rows: broadcasting is impossible and unnecessary) —
     and the within-batch min(id) partial-aggregates map-side.
+
+    Null-text rows: md5(NULL) is NULL, a NULL digest never equi-matches
+    the seen side, and all NULL digests group together — so at most ONE
+    null-text row (min id) is admitted per batch, with text_hash NULL.
+    Filter nulls upstream if they mean "absent", not "empty document".
 
     Output: (doc_id, text_hash) — the rows to append, one per new digest.
     """
