@@ -271,9 +271,14 @@ def _batch_window_hashes(arrs, k: int, powers):
 
     lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
     flat = np.concatenate(arrs).astype(np.uint64, copy=False)
-    h_flat = (
-        np.lib.stride_tricks.sliding_window_view(flat, k) * powers
-    ).sum(axis=1, dtype=np.uint64).view(np.int64)
+    # k shifted multiply-accumulate passes, O(n) extra memory — NOT
+    # sliding_window_view * powers, which materializes an (n, k) uint64
+    # product array (n·k·8 bytes per batch: ~200 MB at k=50)
+    n_win = flat.size - (k - 1)
+    h_flat = np.zeros(n_win, dtype=np.uint64)
+    for j in range(k):
+        h_flat += flat[j : j + n_win] * powers[j]
+    h_flat = h_flat.view(np.int64)
     n_sh = lens - (k - 1)  # >= 1: short rows filtered upstream
     offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
     sh_offs = np.cumsum(n_sh) - n_sh
@@ -399,7 +404,7 @@ def token_contamination_flags(
     Shingles are compared as a 64-bit polynomial window hash (equal
     windows always hash equal, permuted ones don't, spurious collisions
     ~n²/2⁶⁴), computed in a vectorized Arrow stage — numpy
-    sliding_window_view · power-vector per batch — NOT a JVM
+    shifted multiply-accumulate over the flattened batch — NOT a JVM
     higher-order function: `transform(sequence(1,n), i ->
     xxhash64(slice(toks,i,k)))` is CodegenFallback-interpreted with a
     per-element slice allocation, measured 15–22 s over 30 M tokens at
