@@ -248,6 +248,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampling + audio chunk windows — the decode stub stays unit-level
         "media_frame_plan": HT.q_media_frame_plan,
         "media_audio_chunks": HT.q_media_audio_chunks,
+        # iterative op with a SQL twin: quantized Lloyd's over the IVF
+        # centroids (DuckDB replays both iterations exactly)
+        "ivf_kmeans_centroids": HT.q_ivf_kmeans_centroids,
         # late-r5 rotation swap-outs (each subsumed, see queries())
         "seq_violation_counts": H.q_seq_violation_counts,
         "seq_histogram": H.q_seq_histogram,
@@ -276,6 +279,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_token_drift": H.oracle_seq_token_drift(),
         "media_frame_plan": HT.oracle_media_frame_plan(),
         "media_audio_chunks": HT.oracle_media_audio_chunks(),
+        "ivf_kmeans_centroids": HT.oracle_ivf_kmeans_centroids(),
         "seq_violation_counts": H.oracle_seq_violation_counts(),
         "seq_histogram": H.oracle_seq_histogram(),
         "seq_drift_stats": H.oracle_seq_drift_stats(),

@@ -727,3 +727,34 @@ def test_curate_keep_best_picks_quality_argmax(spark):
 
     with pytest.raises(ValueError, match="keep"):
         curate.curate(df, keep="median")
+
+
+def test_kmeans_refine_converges_and_keeps_empty_cells(spark):
+    # two tight 2-D clusters; seeds are the two first points of cluster A
+    # (a bad init) plus one far-off vector that attracts nothing
+    pts = [(0, [0.0, 0.1]), (1, [0.1, 0.0]), (2, [0.05, 0.05]),
+           (3, [9.0, 9.1]), (4, [9.1, 9.0]), (5, [8.95, 9.05])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    seeds = spark.createDataFrame(
+        [(0, [0.0, 0.1]), (1, [0.1, 0.0]), (2, [100.0, 100.0])],
+        "cell int, cvec array<float>",
+    )
+    out = {r.cell: list(r.cvec) for r in
+           simsearch.kmeans_refine(df, seeds, n_iter=3).collect()}
+    # cell 2 attracted nothing: keeps its seed exactly
+    assert out[2] == [100.0, 100.0]
+    # the two live centroids end at their cluster means
+    import numpy as np
+    got = sorted(np.round(out[c], 4).tolist() for c in (0, 1))
+    a = np.round(np.mean([p[1] for p in pts[:3]], axis=0), 4).tolist()
+    b = np.round(np.mean([p[1] for p in pts[3:]], axis=0), 4).tolist()
+    # Lloyd's from this init: one centroid captures cluster A, one B --
+    # OR both end inside A if B never splits off; assert the stronger,
+    # correct outcome: the point sets are far apart so after iteration 1
+    # cell argmins split them
+    assert sorted([a, b]) == got
+    # refined centroids plug into the same IVF contract
+    top = simsearch.ivf_topk(
+        df, simsearch.kmeans_refine(df, seeds, n_iter=2), query_id=3, k=2, n_probe=1
+    ).collect()
+    assert {r.vec_id for r in top} == {4, 5}

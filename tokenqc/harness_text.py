@@ -1560,3 +1560,54 @@ def oracle_media_audio_chunks() -> str:
         "SELECT media_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, start_sample, "
         "least(start_sample + CAST(sr * 30.0 AS BIGINT), n) AS end_sample FROM f"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF k-means refinement (quantized Lloyd's) — iterative op with SQL twin
+# ---------------------------------------------------------------------------
+def q_ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations over the seeded IVF centroids
+    (simsearch.kmeans_refine, round_decimals=5), exploded to
+    (cell, dim, val) long format. The quantization makes the iteration
+    reproducible across engines, so DuckDB replays BOTH iterations
+    exactly: assignment = per-vector argmin of squared distance
+    (cell tie-break), new centroid = per-(cell, dim) rounded mean."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = simsearch.seed_centroids(emb, n_cells=8)
+    refined = simsearch.kmeans_refine(emb, cents, n_iter=2)
+    return refined.select(
+        "cell", F.posexplode("cvec").alias("dim", "valf")
+    ).select(
+        "cell", "dim", F.round(F.col("valf").cast("double"), 5).alias("val")
+    )
+
+
+def oracle_ivf_kmeans_centroids() -> str:
+    assign = (
+        "SELECT v.vec_id, c.cell, "
+        "sum((v.val - c.m) * (v.val - c.m)) AS d "
+        "FROM vdim v JOIN {cents} c USING (dim) GROUP BY 1, 2 "
+        "QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY d, c.cell) = 1"
+    )
+    step = (
+        ", m{i} AS (SELECT a.cell, v.dim, CAST(round(avg(v.val), 5) AS FLOAT) AS mf "
+        "  FROM a{i} a JOIN vdim v USING (vec_id) GROUP BY 1, 2) "
+        ", c{i} AS (SELECT p.cell, p.dim, "
+        "  coalesce(CAST(m{i}.mf AS DOUBLE), p.m) AS m "
+        "  FROM c{p} p LEFT JOIN m{i} USING (cell, dim))"
+    )
+    return (
+        "WITH vdim AS (SELECT vec_id, u[2] - 1 AS dim, "
+        "  CAST(u[1] AS DOUBLE) AS val FROM (SELECT vec_id, "
+        "  unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS u "
+        "  FROM embeddings)), "
+        "seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell "
+        "  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)), "
+        "c0 AS (SELECT s.cell, v.dim, v.val AS m FROM seeds s "
+        "  JOIN vdim v USING (vec_id)), "
+        "a1 AS (" + assign.format(cents="c0") + ")"
+        + step.format(i=1, p=0)
+        + ", a2 AS (" + assign.format(cents="c1") + ")"
+        + step.format(i=2, p=1)
+        + " SELECT cell, CAST(dim AS INTEGER) AS dim, round(m, 5) AS val FROM c2"
+    )

@@ -279,3 +279,63 @@ def pandas_cosine_topk(
         score, schema=f"{id_col} long, cos double"
     )
     return _ranked_topk(scored, k, id_col)
+
+
+def kmeans_refine(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int | None = 5,
+) -> DataFrame:
+    """Lloyd (k-means) refinement of the IVF centroids: `seed_centroids`
+    gives the deterministic init, this trains it — the step between
+    "seeded" and a real IVF index (cells sized to the data ⇒ balanced
+    probes, better recall at the same n_probe).
+
+    Scale shape per iteration: one narrow assignment pass (broadcast
+    centroids, `assign_ivf_cells`), then per-(cell, dim) means via
+    posexplode — pure JVM, partial-aggregated, the exchange moves at
+    most tasks × C × dim rows — and ONE driver-side collect of C × dim
+    means (the model itself, bounded by construction; the
+    connected_components fixpoint-scalar pattern). Never a gather of
+    vectors to the driver.
+
+    Quantized Lloyd's: each new centroid coordinate rounds to
+    `round_decimals` (default 5), making refinement reproducible across
+    aggregation orders and engines — floating-point sum-order
+    differences (~1e-13) vanish below the quantum, so a DuckDB oracle
+    can replay the iterations exactly (ivf_kmeans_centroids).
+    `round_decimals=None` disables. Empty cells keep their previous
+    centroid (standard Lloyd's).
+
+    Output: (cell int, cvec array<float>) — same contract as
+    `seed_centroids`, drop-in for build_ivf_index / ivf_topk.
+    """
+    spark = df.sparkSession
+    cur = centroids
+    for _ in range(n_iter):
+        assigned = assign_ivf_cells(df, cur, id_col, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["m"]
+        rows = []
+        for r in cur.collect():
+            cell, prev_vec = r["cell"], list(r["cvec"])
+            if cell in by_cell:
+                d = by_cell[cell]
+                vec = [d[i] for i in range(len(prev_vec))]
+                if round_decimals is not None:
+                    vec = [round(x, round_decimals) for x in vec]
+            else:
+                vec = [float(x) for x in prev_vec]
+            rows.append((cell, vec))
+        cur = spark.createDataFrame(rows, "cell int, cvec array<float>")
+    return cur
