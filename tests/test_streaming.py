@@ -501,3 +501,89 @@ def test_streaming_token_contamination_matches_batch(spark, tmp_path):
     want = norm(textqc.token_contamination_flags(batch_input, bench, k=k))
     assert got == want
     assert ("hit_a", 2, 2, True) in got and ("clean_a", 2, 0, False) in got
+
+
+def test_streaming_sessions_match_batch_formulation(spark, tmp_path):
+    """Native session_window sessions equal the batch gaps-and-islands
+    sessionization on off-boundary data, across two waves + the
+    watermark-flush sentinel (the append contract: a session only emits
+    once the watermark passes it)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    inp = tmp_path / "sess_in"
+    inp.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(eid, user, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, "click", 1.0, "{}")
+
+    wave1 = [ev(1, 7, 0), ev(2, 7, 10), ev(3, 7, 50),   # user 7: gap 40m splits
+             ev(4, 8, 0)]
+    wave2 = [ev(5, 7, 55), ev(6, 8, 200)]               # extends 7's 2nd session
+
+    def write(rows, name):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": [r[3] for r in rows],
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": [r[5] for r in rows],
+        })
+        pq.write_table(tbl, str(inp / name))
+
+    out = str(tmp_path / "sess_out")
+    write(wave1, "w1.parquet")
+    streaming.streaming_sessions(spark, str(inp), out).awaitTermination(120)
+    write(wave2, "w2.parquet")
+    streaming.streaming_sessions(spark, str(inp), out).awaitTermination(120)
+    # flush: a far-future sentinel advances the watermark past everything
+    sentinel = [ev(999, 99, 100000)]
+    write(sentinel, "w3.parquet")
+    streaming.streaming_sessions(spark, str(inp), out).awaitTermination(120)
+
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(f"{out}/sessions_stream")
+        .where(F.col("user_id") != 99).collect()
+    )
+
+    # batch twin: same events, session_window on a static frame must
+    # agree with BOTH the stream output and gaps-and-islands counts
+    all_rows = wave1 + wave2
+    batch = spark.createDataFrame(
+        all_rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    want = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+        .collect()
+    )
+    assert got == want
+    # user 7: events at 0,10 | 50,55 -> two sessions (2, 2); user 8: 1+1
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    gapc = epoch - F.lag(epoch).over(w)
+    sess = batch.withColumn(
+        "sid",
+        F.sum(F.when(gapc.isNull() | (gapc > 1800), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    gi = {
+        (r.user_id, r.sid): r.n
+        for r in sess.groupBy("user_id", "sid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sorted(gi.values()) == sorted(x[3] for x in got)
+    assert [x[3] for x in got if x[0] == 7] == [2, 2]

@@ -402,3 +402,56 @@ def streaming_token_contamination(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_sessions(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    checkpoint_dir: str | None = None,
+):
+    """Streaming sessionization via the native `session_window`: per-user
+    sessions split on inactivity gaps, finalized and APPENDED once the
+    watermark passes a session's end — the streaming twin of the batch
+    gaps-and-islands formulation (harness_text.q_events_sessions).
+
+    Semantics notes: (a) append mode emits a session only after the
+    watermark moves past it, so the LAST sessions of a bounded input
+    stay in state until a later event (or wave) advances the watermark —
+    that is the correctness contract, not a bug; the equivalence test
+    flushes them with a far-future sentinel event. (b) boundary: the
+    batch formulation keeps a gap of EXACTLY `gap` in one session
+    (`gap > 1800`), `session_window` starts a new one (merge needs
+    strictly-less); off-boundary data sessionizes identically (pinned).
+
+    Output rows: (user_id, session_start, session_end, n_events).
+    """
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_sessions_checkpoint")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "sessions_stream"))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
