@@ -177,3 +177,94 @@ def test_token_offsets_property(spark, sizes, num_partitions):
         want[rn] = acc
         acc += n
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# token contamination vs an independent Python set-based recomputation
+# ---------------------------------------------------------------------------
+contam_tokens = st.lists(
+    st.integers(min_value=0, max_value=30), min_size=0, max_size=12
+)
+contam_corpus = st.lists(contam_tokens, min_size=1, max_size=10)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(contam_corpus, contam_corpus, st.integers(min_value=2, max_value=4))
+def test_token_contamination_matches_python_sets(spark, train, bench, k):
+    """The vectorized Arrow gate must agree with a naive tuple-set
+    recomputation on arbitrary corpora — including empty benchmarks,
+    sub-k rows, and heavy repetition (where hash bugs would double- or
+    under-count)."""
+    from tokenqc.textops import textqc
+
+    tdf = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(train)],
+        "doc_id string, tokens array<int>",
+    )
+    bdf = spark.createDataFrame(
+        [(f"b{i}", t) for i, t in enumerate(bench)],
+        "doc_id string, tokens array<int>",
+    )
+    got = sorted(
+        (r.doc_id, r.n_shingles, r.n_contaminated, r.contaminated)
+        for r in textqc.token_contamination_flags(tdf, bdf, k=k).collect()
+    )
+    bset = {
+        tuple(t[i : i + k]) for t in bench for i in range(len(t) - k + 1)
+    }
+    want = sorted(
+        (
+            str(i),
+            len(t) - k + 1,
+            sum(1 for j in range(len(t) - k + 1) if tuple(t[j : j + k]) in bset),
+            any(tuple(t[j : j + k]) in bset for j in range(len(t) - k + 1)),
+        )
+        for i, t in enumerate(train)
+        if len(t) >= k
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# k-means refinement vs an independent numpy Lloyd's
+# ---------------------------------------------------------------------------
+km_vecs = st.lists(
+    st.lists(
+        st.floats(min_value=-4, max_value=4, allow_nan=False, width=32),
+        min_size=3, max_size=3,
+    ),
+    min_size=4, max_size=14,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(km_vecs, st.integers(min_value=1, max_value=3))
+def test_kmeans_refine_matches_numpy_lloyds(spark, vecs, n_iter):
+    """kmeans_refine must agree with a naive numpy Lloyd's using the
+    same quantization, argmin tie-break (lowest cell), and empty-cell
+    fallback, on arbitrary float vectors."""
+    import numpy as np
+
+    from tokenqc.textops import simsearch
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    k = min(3, len(vecs))
+    seeds = simsearch.seed_centroids(df, n_cells=k)
+    got = {r.cell: np.array(r.cvec, dtype=np.float32)
+           for r in simsearch.kmeans_refine(df, seeds, n_iter=n_iter).collect()}
+
+    x = np.array(vecs, dtype=np.float32).astype(np.float64)
+    cents = x[:k].copy()  # seed = k smallest vec_ids, cell = rank
+    for _ in range(n_iter):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin ties -> lowest cell, same as engine
+        new = cents.copy()
+        for c in range(k):
+            m = x[assign == c]
+            if len(m):
+                new[c] = np.round(m.mean(axis=0), 5).astype(np.float32)
+        cents = new
+    for c in range(k):
+        assert np.allclose(got[c], cents[c].astype(np.float32), atol=1e-6), (c, got[c], cents[c])
