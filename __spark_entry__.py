@@ -151,7 +151,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / similarity / text QC
         "doc_exact_dup": HT.q_doc_exact_dup,
         "doc_ngram_jaccard": HT.q_doc_ngram_jaccard,
-        "ann_topk": HT.q_ann_topk,
+        # late-r5: the iterative trained-IVF row replaces ann_topk
+        # (ann_topk ⊂ ivf_ann_topk: the IVF row must recover the exact
+        # top-k under the IDENTICAL oracle twin, and the brute scorer is
+        # the same cosine_expr path ann_batch_topk also exercises)
+        "ivf_kmeans_centroids": HT.q_ivf_kmeans_centroids,
         "ann_batch_topk": HT.q_ann_batch_topk,
         "doc_quality": HT.q_doc_quality,
         "doc_langid": HT.q_doc_langid,
@@ -209,8 +213,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             scrub parity subsumes the detection flags)
 
     Round-5 late rotation: seq_token_contamination, dedup_keep_best,
-    doc_incremental_dedup (the three riskiest late-r5 operators) moved
-    into the driver surface for three subsumed rows:
+    doc_incremental_dedup, ivf_kmeans_centroids (the riskiest late-r5
+    operators) moved into the driver surface for four subsumed rows:
+    - ann_topk             ⊂ ivf_ann_topk (IDENTICAL oracle twin — the
+                            IVF row must recover the same exact top-k;
+                            the brute cosine scorer also rides
+                            ann_batch_topk)
     - seq_violation_counts ⊂ seq_verdicts (the verdict query aggregates
                             the SAME per-(partition, check) violation
                             counts one join further)
@@ -248,10 +256,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampling + audio chunk windows — the decode stub stays unit-level
         "media_frame_plan": HT.q_media_frame_plan,
         "media_audio_chunks": HT.q_media_audio_chunks,
-        # iterative op with a SQL twin: quantized Lloyd's over the IVF
-        # centroids (DuckDB replays both iterations exactly)
-        "ivf_kmeans_centroids": HT.q_ivf_kmeans_centroids,
         # late-r5 rotation swap-outs (each subsumed, see queries())
+        "ann_topk": HT.q_ann_topk,
         "seq_violation_counts": H.q_seq_violation_counts,
         "seq_histogram": H.q_seq_histogram,
         "seq_drift_stats": H.q_seq_drift_stats,
@@ -279,7 +285,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_token_drift": H.oracle_seq_token_drift(),
         "media_frame_plan": HT.oracle_media_frame_plan(),
         "media_audio_chunks": HT.oracle_media_audio_chunks(),
-        "ivf_kmeans_centroids": HT.oracle_ivf_kmeans_centroids(),
+        "ann_topk": HT.oracle_ann_topk(),
         "seq_violation_counts": H.oracle_seq_violation_counts(),
         "seq_histogram": H.oracle_seq_histogram(),
         "seq_drift_stats": H.oracle_seq_drift_stats(),
@@ -323,7 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_quantiles_approx": HT.oracle_seq_quantiles_approx(),
         "doc_exact_dup": HT.oracle_doc_exact_dup(),
         "doc_ngram_jaccard": HT.oracle_doc_ngram_jaccard(),
-        "ann_topk": HT.oracle_ann_topk(),
+        "ivf_kmeans_centroids": HT.oracle_ivf_kmeans_centroids(),
         "ann_batch_topk": HT.oracle_ann_batch_topk(),
         "doc_quality": HT.oracle_doc_quality(),
         "doc_langid": HT.oracle_doc_langid(),
