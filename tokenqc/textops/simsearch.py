@@ -297,10 +297,14 @@ def kmeans_refine(
     Scale shape per iteration: one narrow assignment pass (broadcast
     centroids, `assign_ivf_cells`), then per-(cell, dim) means via
     posexplode — pure JVM, partial-aggregated, the exchange moves at
-    most tasks × C × dim rows — and ONE driver-side collect of C × dim
-    means (the model itself, bounded by construction; the
-    connected_components fixpoint-scalar pattern). Never a gather of
-    vectors to the driver.
+    most tasks × C × dim rows — and ONE driver-side Arrow fetch of the
+    C × dim means (`toPandas`, not row-wise `collect` — at C=4096,
+    dim=1024 that's 4M cells, GBs of Row overhead vs ~100 MB of Arrow
+    columns; the model itself is bounded by construction — the
+    connected_components fixpoint-scalar pattern). The input centroid
+    frame is collected once before the loop; iterations keep the model
+    as plain driver-side lists. Never a gather of vectors to the
+    driver.
 
     Quantized Lloyd's: each new centroid coordinate rounds to
     `round_decimals` (default 5), making refinement reproducible across
@@ -313,7 +317,12 @@ def kmeans_refine(
     Output: (cell int, cvec array<float>) — same contract as
     `seed_centroids`, drop-in for build_ivf_index / ivf_topk.
     """
+    import numpy as np
+
     spark = df.sparkSession
+    model: list[tuple[int, list[float]]] = [
+        (r["cell"], [float(x) for x in r["cvec"]]) for r in centroids.collect()
+    ]
     cur = centroids
     for _ in range(n_iter):
         assigned = assign_ivf_cells(df, cur, id_col, vec_col)
@@ -321,21 +330,26 @@ def kmeans_refine(
             assigned.select("cell", F.posexplode(F.col(vec_col)).alias("dim", "v"))
             .groupBy("cell", "dim")
             .agg(F.avg(F.col("v").cast("double")).alias("m"))
-            .collect()
+            .toPandas()
         )
         by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["m"]
+        for cell, dim, m in zip(means["cell"], means["dim"], means["m"]):
+            by_cell.setdefault(int(cell), {})[int(dim)] = float(m)
         rows = []
-        for r in cur.collect():
-            cell, prev_vec = r["cell"], list(r["cvec"])
+        for cell, prev_vec in model:
             if cell in by_cell:
                 d = by_cell[cell]
                 vec = [d[i] for i in range(len(prev_vec))]
                 if round_decimals is not None:
                     vec = [round(x, round_decimals) for x in vec]
             else:
-                vec = [float(x) for x in prev_vec]
+                vec = list(prev_vec)
             rows.append((cell, vec))
         cur = spark.createDataFrame(rows, "cell int, cvec array<float>")
+        # the NEXT iteration assigns against the float32-narrowed store
+        # (array<float>); mirror that narrowing driver-side so empty-cell
+        # carryover stays bit-identical without re-collecting the frame
+        model = [
+            (c, [float(np.float32(x)) for x in v]) for c, v in rows
+        ]
     return cur

@@ -341,7 +341,16 @@ def flag_against_shingles(
     `bench_arr` may also be an existing pyspark Broadcast of such an
     array — long-running callers (the streaming gate flags every
     micro-batch) broadcast once and reuse instead of re-shipping the
-    set per batch."""
+    set per batch.
+
+    Broadcast lifecycle: when a plain array is passed, the broadcast
+    created here lives inside the returned frame's closure; Spark's
+    ContextCleaner reclaims the executor copies once the frame is
+    unreferenced on the driver. A caller flagging MANY corpora against
+    the same set in one session should broadcast once
+    (``spark.sparkContext.broadcast(arr)``) and pass the Broadcast, or
+    the per-call copies accumulate until GC — the streaming gate does
+    exactly this."""
     import numpy as np
     import pandas as pd
 
