@@ -261,6 +261,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_violation_counts": H.q_seq_violation_counts,
         "seq_histogram": H.q_seq_histogram,
         "seq_drift_stats": H.q_seq_drift_stats,
+        # late-r5 new operators (oracle-verified here): sub-document
+        # chunk dedup, kNN classifier-proxy labels, embedding ingest gate
+        "doc_chunk_dedup": HT.q_doc_chunk_dedup,
+        "knn_label_vote": HT.q_knn_label_vote,
+        "embed_profile": HT.q_embed_profile,
     }
 
 
@@ -289,6 +294,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_violation_counts": H.oracle_seq_violation_counts(),
         "seq_histogram": H.oracle_seq_histogram(),
         "seq_drift_stats": H.oracle_seq_drift_stats(),
+        "doc_chunk_dedup": HT.oracle_doc_chunk_dedup(),
+        "knn_label_vote": HT.oracle_knn_label_vote(),
+        "embed_profile": HT.oracle_embed_profile(),
     }
 
 

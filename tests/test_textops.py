@@ -758,3 +758,71 @@ def test_kmeans_refine_converges_and_keeps_empty_cells(spark):
         df, simsearch.kmeans_refine(df, seeds, n_iter=2), query_id=3, k=2, n_probe=1
     ).collect()
     assert {r.vec_id for r in top} == {4, 5}
+
+
+def test_chunk_dup_stats_planted(spark):
+    # 4-word chunks; doc 1 and 2 share chunk "a b c d"; doc 3 repeats it
+    # twice internally; doc 4 shares nothing.
+    rows = [
+        (1, "a b c d x1 y1 z1 w1"),
+        (2, "a b c d x2 y2 z2 w2"),
+        (3, "a b c d a b c d"),
+        (4, "p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.chunk_dup_stats(df, chunk_words=4).collect()
+    }
+    assert out[1].n_chunks == 2 and out[1].n_dup_chunks == 1
+    assert out[2].n_dup_chunks == 1
+    # every occurrence of the cross-doc-duplicated chunk counts
+    assert out[3].n_chunks == 2 and out[3].n_dup_chunks == 2
+    assert out[3].dup_chunk_ratio == 1.0
+    assert out[4].n_dup_chunks == 0 and out[4].dup_chunk_ratio == 0.0
+
+
+def test_chunk_dup_stats_short_tail_and_whitespace(spark):
+    # tail chunk shorter than the window still hashes; multi-space
+    # splitting matches the trim/\s+ convention
+    df = spark.createDataFrame(
+        [(1, "a  b c d e"), (2, " a b  c d e ")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup.chunk_dup_stats(df, chunk_words=4).collect()}
+    # both docs normalise to the same 2 chunks -> all duplicated
+    assert out[1].n_chunks == 2 and out[1].n_dup_chunks == 2
+    assert out[2].dup_chunk_ratio == 1.0
+
+
+def test_knn_label_vote_ties_and_majority(spark):
+    # seeds: ids 0,5,10,15 (mod 5); query 1 sits exactly on seed 0's
+    # vector, so its 3-NN are 0 (cos 1), then the orthogonal-ish rest;
+    # vote ties break to the smaller label.
+    rows = [
+        (0, [1.0, 0.0, 0.0], 7),
+        (5, [0.9, 0.1, 0.0], 3),
+        (10, [0.0, 1.0, 0.0], 3),
+        (15, [0.0, 0.0, 1.0], 7),
+        (1, [1.0, 0.05, 0.0], 99),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = simsearch.knn_label_vote(df, k=4, seed_mod=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 4-NN = all four seeds: labels {7,3,3,7} -> 2v2 tie -> label 3 wins
+    assert r.vec_id == 1 and r.pred_label == 3 and r.votes == 2
+
+
+def test_embedding_profile_flags_bad_vectors(spark):
+    rows = [
+        (0, [3.0, 4.0]),
+        (1, [0.0, 0.0]),
+        (2, [float("nan"), 1.0]),
+        (3, None),
+        (4, [1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = simsearch.embedding_profile(df).collect()[0]
+    assert r.n_vecs == 5 and r.n_dims == 2  # 2-dim and 3-dim present
+    assert r.n_null_vecs == 1 and r.n_nan_vecs == 1 and r.n_zero_norm == 1
+    assert r.max_norm == 5.0 and r.min_norm == 0.0

@@ -1611,3 +1611,90 @@ def oracle_ivf_kmeans_centroids() -> str:
         + step.format(i=2, p=1)
         + " SELECT cell, CAST(dim AS INTEGER) AS dim, round(m, 5) AS val FROM c2"
     )
+
+
+def q_doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (word-window) duplicate-chunk ratio per doc —
+    RefinedWeb-style paragraph dedup over 20-word chunks
+    (dedup.chunk_dup_stats); a chunk is duplicated when it occurs in
+    >= 2 distinct docs."""
+    return dedup.chunk_dup_stats(load(spark, sf_dir, "documents"))
+
+
+def oracle_doc_chunk_dedup() -> str:
+    return (
+        r"WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws "
+        "FROM documents), "
+        "c AS (SELECT doc_id, md5(array_to_string(ws[i*20+1:i*20+20], ' ')) AS chash "
+        "  FROM w, unnest(range(0, CAST(ceil(len(ws)/20.0) AS BIGINT))) AS t(i)), "
+        "dup AS (SELECT chash FROM c GROUP BY chash "
+        "  HAVING count(DISTINCT doc_id) >= 2), "
+        "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks "
+        "  FROM c GROUP BY doc_id), "
+        "dpd AS (SELECT c.doc_id, count(*) AS n_dup FROM c "
+        "  JOIN dup USING (chash) GROUP BY c.doc_id) "
+        "SELECT per.doc_id, per.n_chunks, "
+        "  CAST(coalesce(dpd.n_dup, 0) AS BIGINT) AS n_dup_chunks, "
+        "  round(coalesce(dpd.n_dup, 0) / CAST(per.n_chunks AS DOUBLE), 6) "
+        "    AS dup_chunk_ratio "
+        "FROM per LEFT JOIN dpd USING (doc_id)"
+    )
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classifier-proxy labels: majority label of the 5 nearest
+    labeled seeds (vec_id % 5 == 0) by cosine, ties to smaller seed id
+    then smaller label (simsearch.knn_label_vote)."""
+    return simsearch.knn_label_vote(load(spark, sf_dir, "embeddings"))
+
+
+def oracle_knn_label_vote() -> str:
+    cos = (
+        "list_cosine_similarity(list_transform(q.embedding, x -> CAST(x AS DOUBLE)), "
+        "list_transform(s.embedding, x -> CAST(x AS DOUBLE)))"
+    )
+    return (
+        "WITH s AS (SELECT vec_id AS sid, label AS slabel, embedding "
+        "  FROM embeddings WHERE vec_id % 5 = 0), "
+        "q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0), "
+        f"scored AS (SELECT q.vec_id, s.sid, s.slabel, {cos} AS cos FROM q, s), "
+        "knn AS (SELECT vec_id, slabel FROM ("
+        "  SELECT vec_id, slabel, row_number() OVER ("
+        "    PARTITION BY vec_id ORDER BY cos DESC, sid) AS rn FROM scored) z "
+        "  WHERE rn <= 5), "
+        "v AS (SELECT vec_id, slabel, count(*) AS votes FROM knn "
+        "  GROUP BY vec_id, slabel) "
+        "SELECT vec_id, CAST(slabel AS INTEGER) AS pred_label, votes FROM ("
+        "  SELECT vec_id, slabel, votes, row_number() OVER ("
+        "    PARTITION BY vec_id ORDER BY votes DESC, slabel) AS rn FROM v) z "
+        "WHERE rn = 1"
+    )
+
+
+def q_embed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table ingest gate: dimension consistency, NaN/null
+    content, zero-norm count, norm spread (simsearch.embedding_profile)."""
+    return simsearch.embedding_profile(load(spark, sf_dir, "embeddings"))
+
+
+def oracle_embed_profile() -> str:
+    nan_max = (
+        "list_aggregate(list_transform(embedding, "
+        "x -> CAST(isnan(CAST(x AS DOUBLE)) AS INTEGER)), 'max') = 1"
+    )
+    return (
+        "WITH per AS (SELECT vec_id, len(embedding) AS ndim, "
+        "  (embedding IS NULL) AS is_null, "
+        f"  coalesce({nan_max}, FALSE) AS hasnan, "
+        f"  CASE WHEN embedding IS NOT NULL AND NOT coalesce({nan_max}, FALSE) "
+        "    THEN sqrt(list_aggregate(list_transform(embedding, "
+        "      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) END AS norm "
+        "  FROM embeddings) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_vecs, "
+        "  CAST(count(DISTINCT ndim) AS BIGINT) AS n_dims, "
+        "  CAST(sum(CAST(is_null AS INTEGER)) AS BIGINT) AS n_null_vecs, "
+        "  CAST(sum(CAST(hasnan AS INTEGER)) AS BIGINT) AS n_nan_vecs, "
+        "  CAST(sum(CAST(norm = 0.0 AS INTEGER)) AS BIGINT) AS n_zero_norm, "
+        "  round(avg(norm), 6) AS mean_norm, round(min(norm), 6) AS min_norm, "
+        "  round(max(norm), 6) AS max_norm FROM per"
+    )

@@ -502,3 +502,64 @@ def incremental_new_docs(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, digest_col)
     )
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicate-chunk ratio: sub-document dedup evidence
+    (the paragraph-dedup stage of web-corpus pipelines, expressed over
+    fixed word windows so it also works on paragraph-free text).
+
+    Each doc is cut into consecutive `chunk_words`-word windows (last
+    window may be short); a chunk is *duplicated* when its content
+    occurs in >= `min_docs` distinct documents. Every occurrence of a
+    duplicated chunk counts toward its doc's numerator, so a doc that
+    repeats a cross-doc-duplicated chunk is penalised per occurrence.
+
+    Scale shape: the text column is hashed to 16-byte md5 digests in
+    the scan pass — only (doc_id, digest) rows ever shuffle, never
+    text. The duplicated-digest dimension is data-dependent (a corpus
+    of near-identical boilerplate could make it huge), so the join-back
+    carries NO broadcast hint; AQE upgrades it at runtime when small.
+    Both aggregations partial-aggregate map-side.
+
+    Reference analogue: the reference grades each repo once per check
+    (analyze_almanack.py); this is the corpus-level sibling where the
+    unit of grading is a sub-document span.
+
+    Output: (doc_id, n_chunks, n_dup_chunks, dup_chunk_ratio) — ratio
+    rounded to 6dp; docs with no duplicated chunk report 0.0.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx,
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i * chunk_words + 1, chunk_words))),
+    )
+    hashed = df.select(F.col(id_col), F.explode(chunks).alias("chash"))
+    dups = (
+        hashed.groupBy("chash")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("chash")
+    )
+    per_doc = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    dup_per_doc = (
+        hashed.join(dups, "chash")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return per_doc.join(dup_per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_chunks"),
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_chunks"),
+        F.round(
+            F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_chunks").cast("double"), 6
+        ).alias("dup_chunk_ratio"),
+    )

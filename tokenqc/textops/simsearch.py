@@ -353,3 +353,107 @@ def kmeans_refine(
             (c, [float(np.float32(x)) for x in v]) for c, v in rows
         ]
     return cur
+
+
+def knn_label_vote(
+    df: DataFrame,
+    k: int = 5,
+    seed_mod: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Classifier-proxy curation: predict each unlabeled vector's label
+    as the majority label of its k nearest labeled seeds (cosine), the
+    kNN stand-in for the quality-classifier scoring stage of a curation
+    pipeline (seed set = the hand-labeled exemplars).
+
+    Seeds are the rows with ``id % seed_mod == 0`` (a deterministic
+    labeled subset); every other row is a query. The seed set is the
+    bounded side by construction — a labeling budget, not the corpus —
+    so it broadcasts as ONE collected struct array and the whole
+    scoring pass is narrow: per query row, an array_sort over
+    (−cos, seed_id) structs picks the k nearest without any Q×S
+    shuffle (natural struct ordering — no lambda comparator, which
+    would fall out of codegen). Only the Q×k exploded neighbour rows
+    enter the vote exchange, and the vote itself partial-aggregates
+    map-side; the winner is a struct-max argmax (votes desc, label
+    asc), not a second window.
+
+    Ties: neighbour rank breaks on seed id; vote breaks on smaller
+    label. Output: (vec_id, pred_label, votes).
+    """
+    seeds = F.broadcast(
+        df.where(F.col(id_col) % seed_mod == 0)
+        .groupBy()
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("sid"),
+                    F.col(label_col).alias("slabel"),
+                    F.col(vec_col).alias("svec"),
+                )
+            ).alias("_seeds")
+        )
+    )
+    triples = F.transform(
+        F.col("_seeds"),
+        lambda s: F.struct(
+            (-cosine_expr(F.col(vec_col), s["svec"])).alias("negcos"),
+            s["sid"].alias("sid"),
+            s["slabel"].alias("slabel"),
+        ),
+    )
+    nb = (
+        df.where(F.col(id_col) % seed_mod != 0)
+        .crossJoin(seeds)
+        .select(F.col(id_col), F.explode(F.slice(F.array_sort(triples), 1, k)).alias("nb"))
+    )
+    votes = nb.groupBy(id_col, F.col("nb.slabel").alias("lbl")).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    best = votes.groupBy(id_col).agg(
+        F.max(F.struct(F.col("votes"), (-F.col("lbl")).alias("neglbl"))).alias("b")
+    )
+    return best.select(
+        F.col(id_col),
+        (-F.col("b.neglbl")).cast("int").alias("pred_label"),
+        F.col("b.votes").alias("votes"),
+    )
+
+
+def embedding_profile(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Sanity profile of an embedding table — the ingest gate a vector
+    store runs before indexing: dimension consistency, NaN content,
+    zero-norm (un-normalisable) vectors, and the norm spread.
+
+    One narrow scan + a single global aggregate (a few scalar columns
+    cross the final exchange — nothing per-row leaves the map side).
+
+    Output (single row): n_vecs, n_dims (distinct dimensionalities —
+    anything but 1 is a schema violation), n_null_vecs, n_nan_vecs,
+    n_zero_norm, mean_norm / min_norm / max_norm (6dp, over clean
+    vectors).
+    """
+    norm = norm_expr(F.col(vec_col))
+    has_nan = F.exists(F.col(vec_col), lambda x: F.isnan(x.cast("double")))
+    clean = F.col(vec_col).isNotNull() & ~has_nan
+    per = df.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).alias("ndim"),
+        F.col(vec_col).isNull().alias("isnull"),
+        F.when(F.col(vec_col).isNotNull(), has_nan).otherwise(F.lit(False)).alias("hasnan"),
+        F.when(clean, norm).alias("norm"),
+    )
+    return per.groupBy().agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count_distinct(F.col("ndim")).alias("n_dims"),
+        F.sum(F.col("isnull").cast("long")).alias("n_null_vecs"),
+        F.sum(F.col("hasnan").cast("long")).alias("n_nan_vecs"),
+        F.sum((F.col("norm") == 0.0).cast("long")).alias("n_zero_norm"),
+        F.round(F.avg(F.col("norm")), 6).alias("mean_norm"),
+        F.round(F.min(F.col("norm")), 6).alias("min_norm"),
+        F.round(F.max(F.col("norm")), 6).alias("max_norm"),
+    )
