@@ -340,6 +340,9 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     timed("q_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.6).count(), side_trials)
     timed("q_ann_topk", lambda: simsearch.brute_force_topk(emb, query_id=0, k=10).count(), side_trials)
     timed("q_exact_dedup", lambda: dedup.exact_duplicates(docs).count(), side_trials)
+    # sub-document chunk dedup (late r5): digest-only shuffles — the md5
+    # happens in the scan project; the dup join-back is AQE-decided
+    timed("q_chunk_dedup", lambda: dedup.chunk_dup_stats(docs).count(), side_trials)
 
     # sequence packing over the bench token table (distributed prefix
     # sum + span explode); the synthetic unique key stands in for the

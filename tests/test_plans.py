@@ -308,3 +308,46 @@ def test_token_contamination_is_shuffle_free(spark):
     plan = plan_of(out)
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_knn_label_vote_broadcasts_seeds_no_query_shuffle(spark):
+    """The scoring pass must be narrow: seeds arrive as a broadcast
+    struct array (BroadcastNestedLoopJoin of a 1-row aggregate) and the
+    only exchanges are the two bounded vote aggregations on Q x k rows
+    — never a hashpartitioning of Q x S scored rows."""
+    from tokenqc.textops import simsearch
+
+    rows = [(i, [float(i % 7), 1.0, float(i % 3)], i % 4) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    plan = plan_of(simsearch.knn_label_vote(df, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no sort-based per-query ranking window anywhere
+    assert "Window" not in plan
+
+
+def test_chunk_dup_stats_shuffles_digests_only(spark, synth_dir):
+    """Text never crosses an exchange: every Exchange input below the
+    scan carries only doc_id/digest/count columns (the md5 happens in
+    the scan-side project)."""
+    from tokenqc.textops import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d x y")], "doc_id long, text string"
+    )
+    plan = plan_of(dedup.chunk_dup_stats(docs, chunk_words=3))
+    for line in plan.splitlines():
+        if "Arguments: hashpartitioning" in line:
+            assert "text" not in line
+    # partial aggregation before each exchange
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_embedding_profile_single_global_agg(spark):
+    from tokenqc.textops import simsearch
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10)], "vec_id long, embedding array<float>"
+    )
+    plan = plan_of(simsearch.embedding_profile(df))
+    # exactly one single-partition exchange: the final scalar aggregate
+    assert plan.count("SinglePartition") == 1
