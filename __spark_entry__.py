@@ -266,6 +266,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_dedup": HT.q_doc_chunk_dedup,
         "knn_label_vote": HT.q_knn_label_vote,
         "embed_profile": HT.q_embed_profile,
+        # late-r5 new operators, batch 2: per-sequence entropy gate
+        # (degenerate-text detector), length-bucket batching plan
+        # (padding-waste ledger), exact-count stratified sampler
+        # (two-phase bucket threshold — no per-source corpus sort)
+        "seq_token_entropy": H.q_seq_token_entropy,
+        "seq_length_buckets": H.q_seq_length_buckets,
+        "seq_stratified_sample": H.q_seq_stratified_sample,
     }
 
 
@@ -297,6 +304,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_chunk_dedup": HT.oracle_doc_chunk_dedup(),
         "knn_label_vote": HT.oracle_knn_label_vote(),
         "embed_profile": HT.oracle_embed_profile(),
+        "seq_token_entropy": H.oracle_seq_token_entropy(),
+        "seq_length_buckets": H.oracle_seq_length_buckets(),
+        "seq_stratified_sample": H.oracle_seq_stratified_sample(),
     }
 
 

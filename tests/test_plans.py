@@ -351,3 +351,47 @@ def test_embedding_profile_single_global_agg(spark):
     plan = plan_of(simsearch.embedding_profile(df))
     # exactly one single-partition exchange: the final scalar aggregate
     assert plan.count("SinglePartition") == 1
+
+
+def test_token_entropy_zero_shuffle(spark):
+    """Entropy is a within-row statistic: ONE Arrow stage, no Exchange."""
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3])], "doc_id long, tokens array<int>"
+    )
+    plan = plan_of(textqc.token_entropy(df))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_length_buckets_partial_agg_single_exchange(spark):
+    """The plan ledger moves <= tasks x sources x n_buckets rows: one
+    hash exchange on (source, bucket) with map-side partial agg below."""
+    from tokenqc.textops import pack
+
+    df = spark.createDataFrame(
+        [("web", 100)], "source string, n_tok int"
+    )
+    plan = plan_of(pack.length_buckets(df))
+    # one hash exchange (the formatted plan names each node twice:
+    # tree line + detail header)
+    assert plan.count("hashpartitioning") == 1
+    assert "partial_count" in plan  # map-side combine below the exchange
+
+
+def test_stratified_sample_window_is_boundary_bounded(spark):
+    """The only Window ranks the BOUNDARY bucket, never the corpus: the
+    threshold dim joins broadcast and exactly one Window survives, fed
+    by the bucket-equality filter branch."""
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(50)], "doc_id long, source string"
+    )
+    import re
+
+    plan = plan_of(textqc.stratified_sample(df, {"web": 10}))
+    # exactly one Window node (formatted plans name each node twice)
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

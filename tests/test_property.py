@@ -268,3 +268,68 @@ def test_kmeans_refine_matches_numpy_lloyds(spark, vecs, n_iter):
         cents = new
     for c in range(k):
         assert np.allclose(got[c], cents[c].astype(np.float32), atol=1e-6), (c, got[c], cents[c])
+
+
+# ---------------------------------------------------------------------------
+# token_entropy: the flattened lexsort/run-length pass vs a trivially
+# correct per-row np.unique reference
+# ---------------------------------------------------------------------------
+ent_rows = st.lists(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=30),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ent_rows)
+def test_token_entropy_matches_per_row_numpy(spark, arrs):
+    import numpy as np
+
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame(
+        list(enumerate(arrs)), "doc_id long, tokens array<int>"
+    )
+    got = {r.doc_id: r for r in textqc.token_entropy(df).collect()}
+    for i, a in enumerate(arrs):
+        if not a:
+            assert i not in got
+            continue
+        _, c = np.unique(np.asarray(a), return_counts=True)
+        p = c / len(a)
+        ent = float(np.floor(-(p * np.log(p)).sum() * 1e6 + 0.5) / 1e6)
+        assert got[i].entropy == ent, (i, a)
+        assert got[i].n_distinct == len(c) and got[i].n_tok == len(a)
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample: two-phase bucket threshold vs the naive global
+# md5 sort it replaces
+# ---------------------------------------------------------------------------
+strat_data = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10**6),
+              st.sampled_from(["a", "b", "c"])),
+    min_size=1, max_size=120, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(strat_data, st.integers(min_value=0, max_value=60),
+       st.integers(min_value=0, max_value=60))
+def test_stratified_sample_matches_naive_sort(spark, rows, na, nb):
+    import hashlib
+
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    counts = {"a": na, "b": nb}
+    got = sorted(
+        (r.source, r.doc_id) for r in textqc.stratified_sample(df, counts).collect()
+    )
+    expect = []
+    for src, n in counts.items():
+        ids = [i for i, s in rows if s == src]
+        ids.sort(key=lambda i: hashlib.md5(f"strat-v1{i}".encode()).hexdigest())
+        expect += [(src, i) for i in ids[:n]]
+    assert got == sorted(expect)

@@ -826,3 +826,92 @@ def test_embedding_profile_flags_bad_vectors(spark):
     assert r.n_vecs == 5 and r.n_dims == 2  # 2-dim and 3-dim present
     assert r.n_null_vecs == 1 and r.n_nan_vecs == 1 and r.n_zero_norm == 1
     assert r.max_norm == 5.0 and r.min_norm == 0.0
+
+
+# ---------------------------------------------------------------------------
+# token entropy gate
+# ---------------------------------------------------------------------------
+def test_token_entropy_flags_degenerate(spark):
+    import math
+
+    rows = [
+        (0, [5, 5, 5, 5]),          # degenerate: entropy 0
+        (1, [1, 2, 3, 4]),          # ln(4) ~ 1.386 < 1.5 -> flagged
+        (2, list(range(100))),      # ln(100) ~ 4.6 -> clean
+        (3, [1, 1, 2, 2]),          # ln(2)
+        (4, []),                    # excluded
+        (5, None),                  # excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r.doc_id: r for r in textqc.token_entropy(df).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0].entropy == 0.0 and out[0].low_entropy and out[0].n_distinct == 1
+    assert out[1].entropy == round(math.log(4), 6) and out[1].low_entropy
+    assert out[2].entropy == round(math.log(100), 6) and not out[2].low_entropy
+    assert out[3].entropy == round(math.log(2), 6)
+    assert out[3].distinct_ratio == 0.5 and out[2].distinct_ratio == 1.0
+
+
+# ---------------------------------------------------------------------------
+# exact-count stratified sampler
+# ---------------------------------------------------------------------------
+def _md5_key(salt: str, v) -> str:
+    import hashlib
+
+    return hashlib.md5(f"{salt}{v}".encode()).hexdigest()
+
+
+def test_stratified_sample_exact_counts_and_membership(spark):
+    rows = [(i, "web" if i % 3 else "books") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    counts = {"web": 37, "books": 1000, "wiki": 5}  # threshold / take-all / absent
+    got = textqc.stratified_sample(df, counts).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert len(by_src["web"]) == 37
+    assert len(by_src["books"]) == 100  # take-all: only 100 exist
+    assert "wiki" not in by_src
+    # membership equals the first-n ids in md5 order, computed independently
+    web_ids = [i for i, s in rows if s == "web"]
+    expect = sorted(web_ids, key=lambda i: _md5_key("strat-v1", i))[:37]
+    assert sorted(by_src["web"]) == sorted(expect)
+
+
+def test_stratified_sample_zero_and_validation(spark):
+    df = spark.createDataFrame([(1, "web")], "doc_id long, source string")
+    assert textqc.stratified_sample(df, {"web": 0}).count() == 0
+    with pytest.raises(ValueError):
+        textqc.stratified_sample(df, {})
+    with pytest.raises(ValueError):
+        textqc.stratified_sample(df, {"web": -1})
+
+
+# ---------------------------------------------------------------------------
+# length-bucket batching plan
+# ---------------------------------------------------------------------------
+def test_length_buckets_semantics(spark):
+    from tokenqc.textops import pack
+
+    rows = [
+        ("web", 1), ("web", 64), ("web", 65), ("web", 512),
+        ("web", 513), ("web", 2000),  # two truncated into the 512 bucket
+        ("code", 100),
+        ("web", None), (None, 7), ("web", 0),  # excluded
+    ]
+    df = spark.createDataFrame(rows, "source string, n_tok int")
+    out = {(r.source, r.bucket_len): r for r in
+           pack.length_buckets(df, max_len=512, min_bucket=64,
+                               batch_tokens=1000).collect()}
+    assert set(out) == {("web", 64), ("web", 128), ("web", 512), ("code", 128)}
+    b64 = out[("web", 64)]
+    assert b64.n_seqs == 2 and b64.sum_tokens == 65 and b64.padded_tokens == 128
+    assert b64.waste_ppm == (128 - 65) * 1000000 // 128 and b64.n_batches == 1
+    b512 = out[("web", 512)]
+    assert b512.n_seqs == 3 and b512.n_truncated == 2
+    assert b512.sum_tokens == 512 * 3  # 512 + two clamped
+    assert b512.tokens_dropped == (513 - 512) + (2000 - 512)
+    assert b512.waste_ppm == 0 and b512.n_batches == 2  # ceil(1536/1000)
+    assert out[("web", 128)].n_seqs == 1 and out[("code", 128)].n_seqs == 1
+    with pytest.raises(ValueError):
+        pack.length_buckets(df, max_len=8, min_bucket=16)

@@ -958,3 +958,122 @@ UNION ALL SELECT partition_id, doc_id, 'tokens', observed, expected FROM bos
 UNION ALL SELECT partition_id, doc_id, 'tokens', observed, expected FROM eos
 UNION ALL SELECT partition_id, doc_id, 'tokens', observed, expected FROM runs
 """
+
+
+def q_seq_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence token unigram entropy gate (textqc.token_entropy):
+    the degenerate-text detector — planted rule rn % 97 = 11 collapses
+    the whole array to its first token (entropy 0, flagged), every
+    clean sequence has all-distinct tokens by the generator contract
+    (31*997 < 50257: no wraparound) so its entropy is ln(sz). The
+    oracle does NOT use that closed form — it re-derives per-position
+    values and counts independently (the token-lints pattern)."""
+    from tokenqc.textops import textqc
+
+    seq = derive_sequences(spark, sf_dir)
+    planted = seq.withColumn(
+        "tokens",
+        F.when(
+            (F.col("rn") % 97 == 11) & F.col("tokens").isNotNull() & (F.size("tokens") > 0),
+            F.array_repeat(F.element_at("tokens", 1), F.size("tokens")),
+        ).otherwise(F.col("tokens")),
+    )
+    return textqc.token_entropy(planted, id_col="rn")
+
+
+def oracle_seq_token_entropy() -> str:
+    """Independent DuckDB re-simulation: per-position values via
+    generate_series + the planting CASE, counts via GROUP BY."""
+    return SEQ_CTE + """
+, pos AS (
+  SELECT rn, sz, unnest(generate_series(1, CAST(sz AS BIGINT))) AS x
+  FROM seq WHERE sz IS NOT NULL AND sz >= 1
+), toks AS (
+  SELECT rn, sz,
+    CASE WHEN rn % 97 = 11 THEN (1 * 31 + rn) % 50257
+         ELSE (x * 31 + rn) % 50257 END AS v
+  FROM pos
+), cnt AS (
+  SELECT rn, sz, v, count(*) AS c FROM toks GROUP BY rn, sz, v
+), e AS (
+  SELECT rn, CAST(max(sz) AS INTEGER) AS n_tok,
+    CAST(count(*) AS INTEGER) AS n_distinct,
+    sum(-(c * 1.0 / sz) * ln(c * 1.0 / sz)) AS ent
+  FROM cnt GROUP BY rn
+)
+SELECT rn, n_tok, n_distinct, round(ent, 6) AS entropy,
+  round(n_distinct * 1.0 / n_tok, 6) AS distinct_ratio,
+  (round(ent, 6) < 1.5) AS low_entropy
+FROM e
+"""
+
+
+def q_seq_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching plan (pack.length_buckets) over the
+    sequences table: buckets 64..512, so the generator's 1..997 token
+    range exercises every bucket AND the truncation path (n_tok > 512
+    clamps into the top bucket with tokens_dropped > 0)."""
+    from tokenqc.textops import pack
+
+    return pack.length_buckets(
+        derive_sequences(spark, sf_dir),
+        max_len=512, min_bucket=64, batch_tokens=8192,
+    )
+
+
+def oracle_seq_length_buckets() -> str:
+    bucket = (
+        "CASE WHEN least(n_tok, 512) <= 64 THEN 64 "
+        "WHEN least(n_tok, 512) <= 128 THEN 128 "
+        "WHEN least(n_tok, 512) <= 256 THEN 256 ELSE 512 END"
+    )
+    return SEQ_CTE + f"""
+, b AS (
+  SELECT source, CAST({bucket} AS INTEGER) AS bucket_len,
+    least(n_tok, 512) AS eff,
+    CASE WHEN n_tok > 512 THEN 1 ELSE 0 END AS tr,
+    greatest(n_tok - 512, 0) AS dr
+  FROM seq WHERE source IS NOT NULL AND n_tok IS NOT NULL AND n_tok > 0
+)
+SELECT source, bucket_len, count(*) AS n_seqs,
+  CAST(sum(tr) AS BIGINT) AS n_truncated,
+  CAST(sum(eff) AS BIGINT) AS sum_tokens,
+  CAST(sum(dr) AS BIGINT) AS tokens_dropped,
+  count(*) * bucket_len AS padded_tokens,
+  (count(*) * bucket_len - CAST(sum(eff) AS BIGINT)) * 1000000
+    // (count(*) * bucket_len) AS waste_ppm,
+  (count(*) * bucket_len + 8191) // 8192 AS n_batches
+FROM b GROUP BY source, bucket_len
+"""
+
+
+STRAT_COUNTS = {"web": 600, "books": 100000, "code": 0, "wiki": 40}
+
+
+def q_seq_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampler (textqc.stratified_sample): web
+    takes the two-phase threshold path, books the n >= |source|
+    take-all path, code the n = 0 empty path, wiki a boundary-heavy
+    small count — keyed on the unique rn (doc_id carries planted
+    dups/NULLs, which the op's docstring excludes)."""
+    from tokenqc.textops import textqc
+
+    out = textqc.stratified_sample(
+        derive_sequences(spark, sf_dir), STRAT_COUNTS, id_col="rn"
+    )
+    return out.select("rn", "doc_id", "n_tok", "source")
+
+
+def oracle_seq_stratified_sample() -> str:
+    case = " ".join(
+        f"WHEN '{s}' THEN {n}" for s, n in STRAT_COUNTS.items()
+    )
+    srcs = ", ".join(f"'{s}'" for s in STRAT_COUNTS)
+    return SEQ_CTE + f"""
+SELECT rn, doc_id, n_tok, source FROM seq
+WHERE source IN ({srcs})
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY md5('strat-v1' || CAST(rn AS VARCHAR))
+) <= CASE source {case} END
+"""

@@ -362,3 +362,83 @@ def epoch_order(df: DataFrame, seed: int, id_cols: Iterable[str] = ("pack_id",))
         )
     )
     return df.withColumn("epoch_key", key)
+
+
+def length_buckets(
+    df: DataFrame,
+    max_len: int = 1024,
+    min_bucket: int = 16,
+    batch_tokens: int = 65536,
+    source_col: str = "source",
+    n_col: str = "n_tok",
+) -> DataFrame:
+    """Length-bucketed batching plan — the padding-efficiency ledger for
+    the NON-packed training path (packing concatenates; bucketing pads
+    each sequence to its bucket's length and batches within a bucket,
+    the standard strategy when documents must stay intact). Per
+    (source, bucket) it reports how many sequences land there, the real
+    vs padded token volume, the padding waste in ppm, and how many
+    `batch_tokens`-sized batches the bucket fills.
+
+    All integer arithmetic (div, not floating division), so the plan is
+    bit-portable to any engine — the mixture_plan contract. Buckets are
+    powers of two in [min_bucket, max_len], assigned by an explicit
+    CASE chain rather than `ceil(log2(n))` (float log at an exact power
+    of two can land on either side of the integer boundary — the
+    portability bug this module's offsets avoid with pure int math).
+    Sequences longer than max_len are CLAMPED into the top bucket and
+    counted in `n_truncated` with their overflow in `tokens_dropped` —
+    truncation is a data-loss event the plan must surface, not hide.
+
+    Scale shape: one narrow projection + one partial-agg'd groupBy on
+    (source, bucket) — the exchange moves <= tasks x sources x
+    log2(max_len) rows. NULL n_tok / NULL source rows are excluded
+    (completeness violations upstream). Output: (source, bucket_len,
+    n_seqs, n_truncated, sum_tokens, tokens_dropped, padded_tokens,
+    waste_ppm, n_batches).
+    """
+    if max_len < min_bucket or min_bucket < 1:
+        raise ValueError("need max_len >= min_bucket >= 1")
+    buckets = [min_bucket]
+    while buckets[-1] < max_len:
+        buckets.append(min(buckets[-1] * 2, max_len))
+    n = F.col(n_col)
+    eff = F.least(n, F.lit(max_len))
+    bucket = F.lit(buckets[-1])
+    for b in reversed(buckets[:-1]):
+        bucket = F.when(eff <= b, F.lit(b)).otherwise(bucket)
+    return (
+        df.where(F.col(source_col).isNotNull() & n.isNotNull() & (n > 0))
+        .select(
+            F.col(source_col),
+            bucket.cast("int").alias("bucket_len"),
+            eff.cast("long").alias("__eff"),
+            (n > max_len).cast("int").alias("__trunc"),
+            F.greatest(n - max_len, F.lit(0)).cast("long").alias("__drop"),
+        )
+        .groupBy(source_col, "bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("__trunc").cast("long").alias("n_truncated"),
+            F.sum("__eff").alias("sum_tokens"),
+            F.sum("__drop").alias("tokens_dropped"),
+        )
+        .select(
+            source_col,
+            "bucket_len",
+            "n_seqs",
+            "n_truncated",
+            "sum_tokens",
+            "tokens_dropped",
+            (F.col("n_seqs") * F.col("bucket_len")).alias("padded_tokens"),
+            F.expr(
+                "((n_seqs * bucket_len - sum_tokens) * 1000000) "
+                "div (n_seqs * bucket_len)"
+            ).alias("waste_ppm"),
+            # ceil(padded / batch_tokens) in pure ints
+            F.expr(
+                f"(n_seqs * bucket_len + {int(batch_tokens)} - 1) "
+                f"div {int(batch_tokens)}"
+            ).alias("n_batches"),
+        )
+    )

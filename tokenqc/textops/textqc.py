@@ -247,6 +247,98 @@ def unigram_logprob(
     )
 
 
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_entropy: float = 1.5,
+) -> DataFrame:
+    """Per-document token unigram entropy (nats) — the degenerate-text
+    detector a perplexity gate misses: a document of ONE ultra-common
+    token scores a fine unigram_logprob but has entropy 0. Flags
+    low-entropy docs (loops, padding floods, single-token spam); also
+    emits the distinct-token ratio, the standard "diversity" signal
+    (reference analogue: the per-field domain lints of
+    /root/reference/bin/check_tool.py re-expressed over the payload).
+
+    Scale shape: one Arrow mapInPandas stage over a slim
+    (id, tokens) projection, ONE output row per input row, ZERO
+    shuffles — entropy is a within-row statistic, so unlike
+    unigram_logprob no corpus-wide model or explode is needed. Inside
+    each batch the arrays are flattened once and the per-row
+    distributions come from a single lexsort + run-length pass
+    (vectorized; no per-row Python loop). Empty/null-token rows are
+    excluded (completeness violations upstream).
+
+    Output: (id, n_tok, n_distinct, entropy, distinct_ratio,
+    low_entropy). Entropy/ratio round to 6 decimals: sums of <=1e3
+    float64 terms agree across engines to ~1e-12.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def ent_op(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            arrs = list(pdf[tokens_col])
+            sizes = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+            flat = (
+                np.concatenate([np.asarray(a, dtype=np.int64) for a in arrs])
+                if len(arrs)
+                else np.empty(0, dtype=np.int64)
+            )
+            row_of = np.repeat(np.arange(len(arrs), dtype=np.int64), sizes)
+            order = np.lexsort((flat, row_of))
+            s, r = flat[order], row_of[order]
+            # starts of each (row, token) run in the sorted stream
+            new_run = np.ones(s.shape[0], dtype=bool)
+            new_run[1:] = (s[1:] != s[:-1]) | (r[1:] != r[:-1])
+            starts = np.flatnonzero(new_run)
+            counts = np.diff(np.append(starts, s.shape[0]))
+            grp_row = r[starts]  # sorted by construction
+            p = counts / sizes[grp_row]
+            terms = -p * np.log(p)
+            row_starts = np.flatnonzero(
+                np.r_[True, grp_row[1:] != grp_row[:-1]]
+            ) if grp_row.size else np.empty(0, dtype=np.int64)
+            ent = (
+                np.add.reduceat(terms, row_starts)
+                if grp_row.size
+                else np.empty(0, dtype=np.float64)
+            )
+            ndist = np.diff(np.append(row_starts, grp_row.shape[0]))
+            # half-away-from-zero on non-negative values (np.round is
+            # half-to-even: 1/640 -> 0.001562 vs every SQL engine's
+            # 0.001563) and +0.0 (np keeps -0.0 from -1*log(1))
+            r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_tok": sizes.astype(np.int32),
+                    "n_distinct": ndist.astype(np.int32),
+                    "entropy": r6(ent),
+                    "distinct_ratio": r6(ndist / sizes),
+                }
+            )
+
+    id_type = next(
+        f.dataType.simpleString() for f in df.schema.fields if f.name == id_col
+    )
+    out = (
+        df.where(F.col(tokens_col).isNotNull() & (F.size(tokens_col) > 0))
+        .select(id_col, tokens_col)
+        .mapInPandas(
+            ent_op,
+            schema=(
+                f"{id_col} {id_type}, n_tok int, n_distinct int, "
+                "entropy double, distinct_ratio double"
+            ),
+        )
+    )
+    return out.withColumn("low_entropy", F.col("entropy") < F.lit(float(min_entropy)))
+
+
 def _shingle_powers(k: int):
     """Power vector for the 64-bit polynomial window hash: B odd =>
     multiplication is invertible mod 2^64, so the hash keeps full
@@ -595,6 +687,86 @@ def mixture_sample(
         .where(u < F.col("rate_ppm"))
         .drop("rate_ppm")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    counts: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "strat-v1",
+    bucket_chars: int = 3,
+) -> DataFrame:
+    """Exact-count stratified sample: the first `counts[source]` rows of
+    each source in md5(salt || id) order — the deterministic twin of
+    `mixture_sample` for when the mixture must hit EXACT per-source row
+    counts (eval-set carving, fixed-size ablations) rather than expected
+    Bernoulli rates. Content-independent and portable: any engine
+    ordering by the same md5 reproduces the identical sample.
+
+    Exact ranking normally means a per-source global sort — the
+    straggler shape at 10^12 rows (one window partition per source,
+    all rows through it). This runs two bounded phases instead:
+
+    1. histogram: count rows per (source, key-prefix bucket) —
+       16^bucket_chars buckets, partial-agg'd map-side, so the exchange
+       moves <= tasks x sources x 4096 rows; the driver walks each
+       source's cumulative histogram to the threshold bucket t_s.
+    2. select: bucket < t_s rows pass with NO shuffle (the threshold
+       dim joins broadcast); only the BOUNDARY bucket — E[n_s/4096]
+       rows per source — is ranked by the full key to take the
+       remainder. The window input is bucket-bounded, never the corpus.
+
+    Hex prefix order == full-key string order (md5 is lowercase hex in
+    Spark and DuckDB alike), so full-buckets + ranked-boundary is
+    exactly the first n_s keys. Ties are impossible while `id_col` is
+    unique per source (md5 collisions aside); duplicate ids make the
+    boundary rank nondeterministic — sample a deduped frame or a
+    composite key. A source absent from `counts` is excluded;
+    n_s >= |source| takes the whole source. Output: input columns
+    (NULL-source rows excluded).
+    """
+    if not counts or min(counts.values()) < 0:
+        raise ValueError("counts must be a non-empty {source: n>=0} dict")
+    n_buckets = 16 ** bucket_chars
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    bucket = F.conv(F.substring(key, 1, bucket_chars), 16, 10).cast("int")
+    base = (
+        df.where(F.col(source_col).isin(*counts.keys()))
+        .withColumn("__key", key)
+        .withColumn("__bucket", bucket)
+    )
+    hist = (
+        base.groupBy(source_col, "__bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .toPandas()
+        .sort_values([source_col, "__bucket"])
+    )
+    thresholds = []  # (source, full_buckets_below, boundary_bucket, boundary_take)
+    for src, n_s in counts.items():
+        h = hist[hist[source_col] == src]
+        cum = 0
+        t_b, take = n_buckets, 0  # default: whole source (n_s >= total)
+        for b, c in zip(h["__bucket"], h["c"]):
+            if cum + c >= n_s:
+                t_b, take = int(b), int(n_s - cum)
+                break
+            cum += int(c)
+        thresholds.append((src, t_b, take))
+    tdf = F.broadcast(
+        df.sparkSession.createDataFrame(
+            thresholds, f"{source_col} string, t_bucket int, boundary_take long"
+        )
+    )
+    joined = base.join(tdf, source_col)
+    full = joined.where(F.col("__bucket") < F.col("t_bucket"))
+    boundary = joined.where(F.col("__bucket") == F.col("t_bucket"))
+    w = Window.partitionBy(source_col).orderBy("__key")
+    ranked = boundary.withColumn("__r", F.row_number().over(w)).where(
+        F.col("__r") <= F.col("boundary_take")
+    )
+    drop = ["__key", "__bucket", "t_bucket", "boundary_take"]
+    return full.drop(*drop).unionByName(ranked.drop("__r", *drop))
 
 
 def mg_heavy_hitters(
