@@ -273,6 +273,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_token_entropy": H.q_seq_token_entropy,
         "seq_length_buckets": H.q_seq_length_buckets,
         "seq_stratified_sample": H.q_seq_stratified_sample,
+        # deterministic shard layout: shard_id + dense pos_in_shard with
+        # no per-shard window (prefix-sum-of-ones through token_offsets)
+        "seq_shard_plan": H.q_seq_shard_plan,
     }
 
 
@@ -307,6 +310,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_token_entropy": H.oracle_seq_token_entropy(),
         "seq_length_buckets": H.oracle_seq_length_buckets(),
         "seq_stratified_sample": H.oracle_seq_stratified_sample(),
+        "seq_shard_plan": H.oracle_seq_shard_plan(),
     }
 
 

@@ -332,6 +332,14 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
         ).count(),
         side_trials,
     )
+    # token entropy (late r5): third full-payload pass — flattened
+    # lexsort/run-length per Arrow batch, one output row per doc, zero
+    # shuffles (plan-pinned)
+    timed(
+        "q_token_entropy",
+        lambda: textqc.token_entropy(seq, id_col="doc_id").count(),
+        side_trials,
+    )
     timed("q_stats_profile", lambda: stats.profile(seq, cfg).count(), side_trials)
 
     # text/embedding headliners on the driver testdata

@@ -252,3 +252,51 @@ def test_pack_tokens_plan_shape(spark):
     mip = re.search(r"MapInPandas[^\n]*\nInput \[\d+\]: \[([^\]]*)\]", plan)
     assert mip is not None, plan
     assert "tokens" not in mip.group(1), mip.group(1)
+
+
+# ---------------------------------------------------------------------------
+# shard_plan: deterministic shard layout
+# ---------------------------------------------------------------------------
+def test_shard_plan_partition_invariant_and_dense(spark):
+    """The layout is a pure function of the data: identical (shard_id,
+    pos_in_shard) for every row at ANY partitioning, positions dense
+    0..n_s-1 per shard, membership matching the md5 arithmetic."""
+    import hashlib
+
+    from tokenqc.textops import pack
+
+    rows = [(i,) for i in range(400)]
+    df = spark.createDataFrame(rows, "pack_id long")
+    a = {
+        r.pack_id: (r.shard_id, r.pos_in_shard)
+        for r in pack.shard_plan(df, 4, num_partitions=3).collect()
+    }
+    b = {
+        r.pack_id: (r.shard_id, r.pos_in_shard)
+        for r in pack.shard_plan(df.repartition(13), 4, num_partitions=11).collect()
+    }
+    assert a == b
+    # independent python re-derivation
+    def key(i):
+        return hashlib.md5(f"shard-v1|{i}".encode()).hexdigest()
+
+    for i in range(400):
+        sid = int(key(i)[:8], 16) % 4
+        assert a[i][0] == sid
+    for s in range(4):
+        pos = sorted(p for i, (sid, p) in a.items() if sid == s)
+        assert pos == list(range(len(pos)))
+        ids = sorted((i for i in range(400) if a[i][0] == s), key=key)
+        assert [a[i][1] for i in ids] == list(range(len(ids)))
+
+
+def test_shard_plan_validates_n_shards(spark):
+    import pytest as _pytest
+
+    from tokenqc.textops import pack
+
+    df = spark.createDataFrame([(1,)], "pack_id long")
+    with _pytest.raises(ValueError):
+        pack.shard_plan(df, 0)
+    out = pack.shard_plan(df, 1).collect()
+    assert out[0].shard_id == 0 and out[0].pos_in_shard == 0

@@ -1077,3 +1077,26 @@ QUALIFY row_number() OVER (
   ORDER BY md5('strat-v1' || CAST(rn AS VARCHAR))
 ) <= CASE source {case} END
 """
+
+
+def q_seq_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard layout (pack.shard_plan) over the sequences
+    table keyed on the unique rn: shard membership AND within-shard
+    positions must be a pure function of the data — the oracle's
+    per-shard row_number re-derives both independently."""
+    from tokenqc.textops import pack
+
+    out = pack.shard_plan(
+        derive_sequences(spark, sf_dir), n_shards=8, id_cols=("rn",)
+    )
+    return out.select("rn", "shard_id", "pos_in_shard")
+
+
+def oracle_seq_shard_plan() -> str:
+    key = "md5('shard-v1' || '|' || CAST(rn AS VARCHAR))"
+    shard = f"CAST(CAST(('0x' || substr({key}, 1, 8)) AS BIGINT) % 8 AS INTEGER)"
+    return SEQ_CTE + f"""
+SELECT rn, {shard} AS shard_id,
+  row_number() OVER (PARTITION BY {shard} ORDER BY {key}) - 1 AS pos_in_shard
+FROM seq
+"""

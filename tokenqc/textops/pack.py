@@ -442,3 +442,57 @@ def length_buckets(
             ).alias("n_batches"),
         )
     )
+
+
+def shard_plan(
+    df: DataFrame,
+    n_shards: int,
+    id_cols: Iterable[str] = ("pack_id",),
+    salt: str = "shard-v1",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic training-shard layout — the last mile of the
+    pipeline: every row gets a `shard_id` and a dense `pos_in_shard`
+    (0-based), so a writer can emit shard files whose contents AND
+    internal order are a pure function of the data, independent of
+    cluster size, partition boundaries or execution order (rerunning on
+    different hardware produces byte-identical shards).
+
+    shard_id = first-8-hex of md5(salt | id_cols) mod n_shards — the
+    deterministic_split idiom, so shards are balanced in expectation
+    (~0.4% worst-case modulo bias) and the SAME value is computable in
+    ANSI SQL. pos_in_shard = the row's rank within its shard in full
+    md5-key order — NOT via a per-shard window (one task per shard =
+    10^9-row stragglers at 10^12 rows / 1k shards) but as an exclusive
+    prefix sum of 1s through `token_offsets` with the shard as the
+    stream: one range shuffle + narrow scans, the per-shard bases are
+    P × n_shards driver-side metadata. `id_cols` must be a unique
+    NON-NULL key (duplicate ids collide on the same md5 key and make
+    the order ambiguous — the token_offsets contract).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    id_cols = list(id_cols)
+    key = F.md5(
+        F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in id_cols])
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    with_key = (
+        df.withColumn("__shard_key", key)
+        .withColumn("shard_id", shard)
+        .withColumn("__one", F.lit(1))
+    )
+    out = token_offsets(
+        with_key,
+        order_cols=["__shard_key"],
+        n_col="__one",
+        num_partitions=num_partitions,
+        stream_col="shard_id",
+        max_streams=max(n_shards, 1),
+    )
+    return (
+        out.withColumn("pos_in_shard", F.col("offset"))
+        .drop("offset", "__one", "__shard_key")
+    )
