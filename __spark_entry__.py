@@ -276,6 +276,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic shard layout: shard_id + dense pos_in_shard with
         # no per-shard window (prefix-sum-of-ones through token_offsets)
         "seq_shard_plan": H.q_seq_shard_plan,
+        # within-doc duplicated k-gram fraction (Gopher repetition rule
+        # over tokens): hash-side distinct counts certified by a
+        # hash-free DISTINCT-on-actual-windows oracle
+        "seq_token_kgram_rep": H.q_seq_token_kgram_rep,
+        # deterministic mixture-ordered read plan (stride scheduling,
+        # integer-exact): rank via prefix-sum-of-ones, never a window
+        "seq_interleave_plan": H.q_seq_interleave_plan,
     }
 
 
@@ -311,6 +318,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_length_buckets": H.oracle_seq_length_buckets(),
         "seq_stratified_sample": H.oracle_seq_stratified_sample(),
         "seq_shard_plan": H.oracle_seq_shard_plan(),
+        "seq_token_kgram_rep": H.oracle_seq_token_kgram_rep(),
+        "seq_interleave_plan": H.oracle_seq_interleave_plan(),
     }
 
 

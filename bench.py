@@ -340,6 +340,14 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
         lambda: textqc.token_entropy(seq, id_col="doc_id").count(),
         side_trials,
     )
+    # duplicated k-gram fraction (late r5): fourth full-payload pass —
+    # window hashing + per-row distinct via lexsort/run-length inside
+    # one Arrow stage, zero shuffles (plan-pinned)
+    timed(
+        "q_kgram_rep",
+        lambda: textqc.token_kgram_repetition(seq, id_col="doc_id").count(),
+        side_trials,
+    )
     timed("q_stats_profile", lambda: stats.profile(seq, cfg).count(), side_trials)
 
     # text/embedding headliners on the driver testdata

@@ -300,3 +300,71 @@ def test_shard_plan_validates_n_shards(spark):
         pack.shard_plan(df, 0)
     out = pack.shard_plan(df, 1).collect()
     assert out[0].shard_id == 0 and out[0].pos_in_shard == 0
+
+
+# ---------------------------------------------------------------------------
+# interleave_plan: deterministic mixture-ordered read plan
+# ---------------------------------------------------------------------------
+def test_interleave_plan_stride_property_and_invariance(spark):
+    """After any virtual-time prefix K, source s has contributed exactly
+    min(floor(K / stride_s), |s|) rows — the WFQ guarantee; the plan is
+    a pure function of the data at any partitioning."""
+    import hashlib
+
+    from tokenqc.textops import pack
+
+    rows = [(i, ["web", "books", "wiki", "web", "web", "code"][i % 6]) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"web": 3, "books": 1, "wiki": 2}  # lcm 6 -> strides 2/6/3
+    a = {
+        r.doc_id: (r.source, r.rank_in_source, r.order_key)
+        for r in pack.interleave_plan(df, weights, num_partitions=3).collect()
+    }
+    b = {
+        r.doc_id: (r.source, r.rank_in_source, r.order_key)
+        for r in pack.interleave_plan(
+            df.repartition(13), weights, num_partitions=11
+        ).collect()
+    }
+    assert a == b
+    # code is not in the mixture
+    assert all(s != "code" for s, _, _ in a.values())
+    strides = {"web": 2, "books": 6, "wiki": 3}
+    counts = {s: sum(1 for t, _, _ in a.values() if t == s) for s in strides}
+    # independent python re-derivation of ranks
+    def key(i):
+        return hashlib.md5(f"interleave-v1|{i}".encode()).hexdigest()
+
+    for s in strides:
+        ids = sorted(
+            (i for i, (t, _, _) in a.items() if t == s), key=key
+        )
+        for rank0, i in enumerate(ids):
+            assert a[i][1] == rank0 + 1
+            assert a[i][2] == (rank0 + 1) * strides[s]
+    # WFQ prefix property at several cutoffs
+    for K in (6, 60, 300, 1200):
+        for s, stride in strides.items():
+            got = sum(1 for t, _, k in a.values() if t == s and k <= K)
+            assert got == min(K // stride, counts[s]), (K, s)
+
+
+def test_interleave_plan_validates_weights(spark):
+    import pytest as _pytest
+
+    from tokenqc.textops import pack
+
+    df = spark.createDataFrame([(1, "web")], "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        pack.interleave_plan(df, {})
+    with _pytest.raises(ValueError):
+        pack.interleave_plan(df, {"web": 0})
+    with _pytest.raises(ValueError):
+        pack.interleave_plan(df, {"web": 1.5})
+    with _pytest.raises(ValueError):
+        # 15 pairwise-coprime ~4-digit primes: lcm blows past 1e9
+        pack.interleave_plan(
+            df, {f"s{i}": p for i, p in enumerate(
+                [1009, 1013, 1019, 1021, 1031, 1033, 1039, 1049, 1051, 1061]
+            )}
+        )

@@ -365,6 +365,19 @@ def test_token_entropy_zero_shuffle(spark):
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
 
 
+def test_token_kgram_repetition_zero_shuffle(spark):
+    """Duplicated-k-gram fraction is a within-row statistic: ONE Arrow
+    stage, no Exchange."""
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame(
+        [(1, list(range(10)))], "doc_id long, tokens array<int>"
+    )
+    plan = plan_of(textqc.token_kgram_repetition(df, k=4))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
 def test_length_buckets_partial_agg_single_exchange(spark):
     """The plan ledger moves <= tasks x sources x n_buckets rows: one
     hash exchange on (source, bucket) with map-side partial agg below."""

@@ -274,6 +274,42 @@ def test_kmeans_refine_matches_numpy_lloyds(spark, vecs, n_iter):
 # token_entropy: the flattened lexsort/run-length pass vs a trivially
 # correct per-row np.unique reference
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# token_kgram_repetition: the vectorized window-hash distinct pass vs a
+# trivially correct per-row tuple-set reference (small alphabet forces
+# repeats; k varies so boundary windows are exercised)
+# ---------------------------------------------------------------------------
+rep_rows = st.lists(
+    st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=40),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rep_rows, st.integers(min_value=1, max_value=4))
+def test_token_kgram_repetition_matches_tuple_sets(spark, arrs, k):
+    import numpy as np
+
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame(
+        list(enumerate(arrs)), "doc_id long, tokens array<int>"
+    )
+    got = {
+        r.doc_id: r for r in textqc.token_kgram_repetition(df, k=k).collect()
+    }
+    for i, a in enumerate(arrs):
+        if len(a) < k:
+            assert i not in got
+            continue
+        wins = [tuple(a[j : j + k]) for j in range(len(a) - k + 1)]
+        frac = float(np.floor((1 - len(set(wins)) / len(wins)) * 1e6 + 0.5) / 1e6)
+        r = got[i]
+        assert r.n_kgrams == len(wins) and r.n_distinct_kgrams == len(set(wins))
+        assert r.dup_kgram_frac == frac, (i, a, k)
+
+
 ent_rows = st.lists(
     st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=30),
     min_size=1,

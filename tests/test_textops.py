@@ -853,6 +853,41 @@ def test_token_entropy_flags_degenerate(spark):
 
 
 # ---------------------------------------------------------------------------
+# duplicated k-gram fraction (Gopher repetition rule over tokens)
+# ---------------------------------------------------------------------------
+def test_token_kgram_repetition_stats(spark):
+    rows = [
+        (0, list(range(20))),    # all distinct -> every window distinct
+        (1, [1, 2, 3, 4] * 10),  # period-4 tile: 33 windows, 4 distinct
+        (2, [7] * 12),           # constant: 5 windows, 1 distinct
+        (3, [1, 2, 3]),          # < k -> excluded (no window exists)
+        (4, None),               # excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r.doc_id: r for r in textqc.token_kgram_repetition(df, k=8).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].dup_kgram_frac == 0.0 and not out[0].repetitive
+    assert out[0].n_kgrams == 13 and out[0].n_distinct_kgrams == 13
+    r1 = out[1]
+    assert r1.n_tok == 40 and r1.n_kgrams == 33 and r1.n_distinct_kgrams == 4
+    assert r1.dup_kgram_frac == round(1 - 4 / 33, 6) and r1.repetitive
+    r2 = out[2]
+    assert r2.n_kgrams == 5 and r2.n_distinct_kgrams == 1
+    assert r2.dup_kgram_frac == 0.8 and r2.repetitive
+
+
+def test_token_kgram_repetition_order_sensitive(spark):
+    # same multiset of windows' tokens, different order -> different
+    # window sets: the polynomial hash keeps positional sensitivity
+    rows = [(0, [1, 2, 3, 1, 2, 3]), (1, [3, 2, 1, 3, 2, 1])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r.doc_id: r for r in textqc.token_kgram_repetition(df, k=3).collect()}
+    # both tile with period 3: 4 windows, 3 distinct phases
+    assert out[0].n_distinct_kgrams == 3 and out[1].n_distinct_kgrams == 3
+    assert out[0].dup_kgram_frac == 0.25
+
+
+# ---------------------------------------------------------------------------
 # exact-count stratified sampler
 # ---------------------------------------------------------------------------
 def _md5_key(salt: str, v) -> str:

@@ -1008,6 +1008,67 @@ FROM e
 """
 
 
+def q_seq_token_kgram_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicated k-gram fraction
+    (textqc.token_kgram_repetition, k=8): planted rule rn % 103 = 17
+    tiles the sequence with a period-4 cycle — unigram entropy stays
+    ln(4) (the entropy gate passes it at its default threshold region)
+    but every window repeats, so dup_kgram_frac → 1 and the row flags.
+    Clean sequences have all-distinct tokens by the generator contract,
+    hence all-distinct windows and frac 0. The oracle does NOT use
+    either closed form — it re-derives per-position values and counts
+    DISTINCT actual 8-token windows (no hashing at all), so the Spark
+    side's 64-bit window hash is independently certified."""
+    from tokenqc.textops import textqc
+
+    seq = derive_sequences(spark, sf_dir)
+    sz = F.size("tokens")
+    tiled = F.transform(
+        F.sequence(F.lit(1), sz),
+        lambda x: (((x - 1) % 4 + 1) * 31 + F.col("rn")) % 50257,
+    ).cast("array<int>")
+    planted = seq.withColumn(
+        "tokens",
+        F.when(
+            (F.col("rn") % 103 == 17) & F.col("tokens").isNotNull() & (sz > 0),
+            tiled,
+        ).otherwise(F.col("tokens")),
+    )
+    return textqc.token_kgram_repetition(planted, id_col="rn")
+
+
+def oracle_seq_token_kgram_rep() -> str:
+    """Independent DuckDB re-simulation: per-position values via
+    generate_series + the planting CASE, windows as actual list slices,
+    distinctness via count(DISTINCT list) — hash-free."""
+    return SEQ_CTE + """
+, pos AS (
+  SELECT rn, sz, unnest(generate_series(1, CAST(sz AS BIGINT))) AS x
+  FROM seq WHERE sz IS NOT NULL AND sz >= 8
+), toks AS (
+  SELECT rn, sz, x,
+    CASE WHEN rn % 103 = 17 THEN (((x - 1) % 4 + 1) * 31 + rn) % 50257
+         ELSE (x * 31 + rn) % 50257 END AS v
+  FROM pos
+), arrs AS (
+  SELECT rn, max(sz) AS sz, list(v ORDER BY x) AS toks FROM toks GROUP BY rn
+), wins AS (
+  SELECT rn, sz, toks[CAST(x AS INTEGER):CAST(x + 7 AS INTEGER)] AS kg
+  FROM arrs, LATERAL (
+    SELECT unnest(generate_series(1, CAST(sz - 7 AS BIGINT))) AS x
+  ) g
+), st AS (
+  SELECT rn, max(sz) AS sz, count(*) AS n_win, count(DISTINCT kg) AS n_dist
+  FROM wins GROUP BY rn
+)
+SELECT rn, CAST(sz AS INTEGER) AS n_tok, CAST(n_win AS INTEGER) AS n_kgrams,
+  CAST(n_dist AS INTEGER) AS n_distinct_kgrams,
+  round(1.0 - n_dist * 1.0 / n_win, 6) AS dup_kgram_frac,
+  (round(1.0 - n_dist * 1.0 / n_win, 6) > 0.2) AS repetitive
+FROM st
+"""
+
+
 def q_seq_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching plan (pack.length_buckets) over the
     sequences table: buckets 64..512, so the generator's 1..997 token
@@ -1099,4 +1160,36 @@ def oracle_seq_shard_plan() -> str:
 SELECT rn, {shard} AS shard_id,
   row_number() OVER (PARTITION BY {shard} ORDER BY {key}) - 1 AS pos_in_shard
 FROM seq
+"""
+
+
+INTERLEAVE_WEIGHTS = {"web": 6, "books": 1, "wiki": 2}  # lcm 6 -> strides 1/6/3
+
+
+def q_seq_interleave_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture-ordered read plan (pack.interleave_plan)
+    keyed on the unique rn: weights 6/1/2 over web/books/wiki (code and
+    spam9 dropped — not in the mixture). The oracle re-derives both the
+    per-source md5 rank (a window the op deliberately avoids) and the
+    stride arithmetic independently."""
+    from tokenqc.textops import pack
+
+    out = pack.interleave_plan(
+        derive_sequences(spark, sf_dir), INTERLEAVE_WEIGHTS, id_cols=("rn",)
+    )
+    return out.select("rn", "source", "rank_in_source", "order_key")
+
+
+def oracle_seq_interleave_plan() -> str:
+    case = "CASE source WHEN 'web' THEN 1 WHEN 'books' THEN 6 WHEN 'wiki' THEN 3 END"
+    return SEQ_CTE + f"""
+SELECT rn, source, r AS rank_in_source, r * m AS order_key FROM (
+  SELECT rn, source,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5('interleave-v1' || '|' || CAST(rn AS VARCHAR))
+    ) AS r,
+    {case} AS m
+  FROM seq WHERE source IN ('web', 'books', 'wiki')
+)
 """

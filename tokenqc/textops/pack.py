@@ -496,3 +496,96 @@ def shard_plan(
         out.withColumn("pos_in_shard", F.col("offset"))
         .drop("offset", "__one", "__shard_key")
     )
+
+
+def interleave_plan(
+    df: DataFrame,
+    weights: dict,
+    id_cols: Iterable[str] = ("doc_id",),
+    source_col: str = "source",
+    salt: str = "interleave-v1",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic mixture-ordered read plan — the ORDERING half of
+    mixture training: where `mixture_sample` decides WHICH rows a
+    token-budget mixture keeps, this decides the ORDER a sequential
+    reader consumes them in, so sources arrive interleaved at rates
+    proportional to integer `weights` from step one (no "all of web,
+    then all of code" curriculum accidents) without globally shuffling
+    the corpus by a random key.
+
+    Classic stride scheduling / weighted-fair-queueing virtual time,
+    kept integer-exact: each row gets `rank_in_source` (its 1-based
+    rank within its source in portable md5 order) and
+    `order_key = rank_in_source * (lcm(weights) // weight[source])`.
+    Sorting by (order_key, source) merges the per-source streams like
+    arithmetic progressions with strides inversely proportional to the
+    weights — after any prefix of K virtual-time units, source s has
+    contributed floor(K / stride_s) rows (exact, unit-pinned). Integer
+    keys mean NO float ties; equal keys across sources break on the
+    source name (documented reader contract: ORDER BY order_key,
+    source).
+
+    Scale shape: the rank is an exclusive prefix-sum-of-ones through
+    `token_offsets` with the source as the stream — one range shuffle +
+    narrow scans, per-source bases are P × sources driver-side
+    metadata; NEVER a per-source window (one task per source at
+    10^12 rows). The multiplier lookup is a literal map (codegen'd);
+    the op emits keys only — the reader does the merge, typically as a
+    range-partitioned sort on order_key whose ranges are as balanced
+    as the mixture itself. Sources absent from `weights` are dropped
+    (they are not part of the mixture); weights must be positive ints
+    with lcm <= 1e9 so order_key stays far from int64 overflow at
+    trillion-row ranks.
+
+    Reference analogue: the reference's fan-out over the tool list with
+    per-tool ordering (/root/reference/main.nf:91-116), re-expressed as
+    a rate-controlled global order.
+    """
+    import math
+
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for s, w in weights.items():
+        if not isinstance(w, int) or isinstance(w, bool) or w < 1:
+            raise ValueError(
+                f"weight for {s!r} must be a positive int (got {w!r})"
+            )
+    lcm = math.lcm(*weights.values())
+    if lcm > 10**9:
+        raise ValueError(
+            f"lcm(weights) = {lcm} > 1e9: order_key = rank * (lcm // w) "
+            "approaches int64 overflow at trillion-row ranks — use "
+            "smaller integer weights"
+        )
+    mult = {s: lcm // w for s, w in weights.items()}
+    id_cols = list(id_cols)
+    key = F.md5(
+        F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in id_cols])
+    )
+    with_key = (
+        df.where(F.col(source_col).isin(list(weights)))
+        .withColumn("__ikey", key)
+        .withColumn("__one", F.lit(1))
+    )
+    ranked = token_offsets(
+        with_key,
+        order_cols=["__ikey"],
+        n_col="__one",
+        num_partitions=num_partitions,
+        stream_col=source_col,
+        max_streams=max(len(weights), 1),
+    )
+    mmap = F.create_map(
+        *[x for s, m in mult.items() for x in (F.lit(s), F.lit(int(m)))]
+    )
+    return (
+        ranked.withColumn("rank_in_source", (F.col("offset") + 1).cast("long"))
+        .withColumn(
+            "order_key",
+            (F.col("rank_in_source") * F.element_at(mmap, F.col(source_col))).cast(
+                "long"
+            ),
+        )
+        .drop("offset", "__one", "__ikey")
+    )
