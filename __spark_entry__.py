@@ -283,6 +283,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic mixture-ordered read plan (stride scheduling,
         # integer-exact): rank via prefix-sum-of-ones, never a window
         "seq_interleave_plan": H.q_seq_interleave_plan,
+        # pairwise source-leakage matrix on exact digests: the first
+        # question a split/leakage audit asks, report-sized output
+        "cross_source_dups": HT.q_cross_source_dups,
+        # exact top-fraction-by-score curation: score-bucket histogram +
+        # driver walk, window only over the boundary bucket
+        "seq_score_top": H.q_seq_score_top,
     }
 
 
@@ -320,6 +326,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_shard_plan": H.oracle_seq_shard_plan(),
         "seq_token_kgram_rep": H.oracle_seq_token_kgram_rep(),
         "seq_interleave_plan": H.oracle_seq_interleave_plan(),
+        "cross_source_dups": HT.oracle_cross_source_dups(),
+        "seq_score_top": H.oracle_seq_score_top(),
     }
 
 

@@ -408,3 +408,19 @@ def test_stratified_sample_window_is_boundary_bounded(spark):
     # exactly one Window node (formatted plans name each node twice)
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_score_top_sample_window_is_boundary_bounded(spark):
+    """Same shape pin as stratified_sample: the only Window ranks the
+    boundary SCORE bucket, the threshold dim broadcasts."""
+    import re
+
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame(
+        [(i, "web", i / 100.0) for i in range(50)],
+        "doc_id long, source string, q double",
+    )
+    plan = plan_of(textqc.score_top_sample(df, keep_ppm=200_000, score_col="q"))
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -950,3 +950,89 @@ def test_length_buckets_semantics(spark):
     assert out[("web", 128)].n_seqs == 1 and out[("code", 128)].n_seqs == 1
     with pytest.raises(ValueError):
         pack.length_buckets(df, max_len=8, min_bucket=16)
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplicate leakage matrix
+# ---------------------------------------------------------------------------
+def test_cross_source_dup_matrix(spark):
+    rows = [
+        (0, "alpha", "web"),
+        (1, "alpha", "eval"),     # leak web<->eval
+        (2, "alpha", "web"),      # same digest+source: counted once
+        (3, "beta", "web"),
+        (4, "beta", "books"),     # leak books<->web
+        (5, "beta", "eval"),      # beta in all three -> 3 pairs
+        (6, "gamma", "web"),      # unique: no pair
+        (7, None, "web"),         # null text dropped
+        (8, "delta", None),       # null source dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in dedup.cross_source_dup_matrix(df).collect()
+    }
+    assert got == {
+        ("eval", "web"): 2,       # alpha, beta
+        ("books", "web"): 1,      # beta
+        ("books", "eval"): 1,     # beta
+    }
+
+
+def test_cross_source_dup_matrix_reuses_exchange(spark):
+    """Both self-join sides are the same distinct frame: the physical
+    plan reuses one exchange instead of scanning/digesting twice."""
+    df = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "a", "s2")], "doc_id long, text string, source string"
+    )
+    out = dedup.cross_source_dup_matrix(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or plan.count("HashAggregate") <= 6, plan
+
+
+# ---------------------------------------------------------------------------
+# exact top-fraction-by-score curation
+# ---------------------------------------------------------------------------
+def test_score_top_sample_exact_topn_with_ties(spark):
+    import hashlib
+
+    rows = []
+    for i in range(200):
+        src = "web" if i % 2 else "books"
+        rows.append((i, src, (i * 7 % 5) / 10.0))  # 5 distinct scores: ties
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    got = {r.doc_id for r in textqc.score_top_sample(
+        df, keep_ppm=250_000, score_col="q").collect()}
+
+    def key(i):
+        return hashlib.md5(f"qtop-v1{i}".encode()).hexdigest()
+
+    expect = set()
+    for src in ("web", "books"):
+        items = [(q, i) for i, s, q in rows if s == src]
+        n_keep = (250_000 * len(items) + 999_999) // 1_000_000
+        ranked = sorted(items, key=lambda t: (-t[0], key(t[1])))
+        expect |= {i for _, i in ranked[:n_keep]}
+    assert got == expect and len(got) == 50
+
+
+def test_score_top_sample_excludes_and_validates(spark):
+    rows = [
+        (0, "web", 0.9),
+        (1, "web", None),              # null score excluded
+        (2, "web", float("nan")),      # NaN excluded
+        (3, None, 0.99),               # null source excluded
+        (4, "web", 5.0),               # clamps to 1.0 -> top
+        (5, "web", -3.0),              # clamps to 0.0 -> bottom
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    got = {r.doc_id for r in textqc.score_top_sample(
+        df, keep_ppm=1_000_000, score_col="q").collect()}
+    assert got == {0, 4, 5}  # everything scoreable kept at ppm=1e6
+    top = {r.doc_id for r in textqc.score_top_sample(
+        df, keep_ppm=340_000, score_col="q").collect()}
+    assert top == {4, 0}  # n_keep = (340000*3 + 999999) // 1e6 = 2
+    with pytest.raises(ValueError):
+        textqc.score_top_sample(df, keep_ppm=0, score_col="q")
+    with pytest.raises(ValueError):
+        textqc.score_top_sample(df, keep_ppm=0.5, score_col="q")

@@ -1193,3 +1193,38 @@ SELECT rn, source, r AS rank_in_source, r * m AS order_key FROM (
   FROM seq WHERE source IN ('web', 'books', 'wiki')
 )
 """
+
+
+def q_seq_score_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-30%-per-source quality curation
+    (textqc.score_top_sample, keep_ppm=300000): score derived in closed
+    form q = ((rn*37) % 1001)/1000.0 — 1001 distinct values over many
+    more rows, so SCORE TIES are guaranteed and the md5 tie-break +
+    boundary-bucket walk are both load-bearing. The oracle is the
+    direct per-source window formulation the operator deliberately
+    avoids."""
+    from tokenqc.textops import textqc
+
+    seq = derive_sequences(spark, sf_dir).where(F.col("source").isNotNull())
+    scored = seq.withColumn("q", (F.col("rn") * 37 % 1001) / F.lit(1000.0))
+    out = textqc.score_top_sample(
+        scored, keep_ppm=300_000, score_col="q", id_col="rn"
+    )
+    return out.select("rn", "source", "q")
+
+
+def oracle_seq_score_top() -> str:
+    return SEQ_CTE + """
+SELECT rn, source, q FROM (
+  SELECT rn, source, q,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY q DESC, md5('qtop-v1' || CAST(rn AS VARCHAR))
+    ) AS r,
+    count(*) OVER (PARTITION BY source) AS n_s
+  FROM (
+    SELECT rn, source, ((rn * 37) % 1001) / 1000.0 AS q
+    FROM seq WHERE source IS NOT NULL
+  )
+) WHERE r <= (300000 * n_s + 999999) // 1000000
+"""

@@ -1698,3 +1698,45 @@ def oracle_embed_profile() -> str:
         "  round(avg(norm), 6) AS mean_norm, round(min(norm), 6) AS min_norm, "
         "  round(max(norm), 6) AS max_norm FROM per"
     )
+
+
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-leakage matrix (dedup.cross_source_dup_matrix)
+    over a sourced corpus with planted cross-source copies: every 25th
+    doc duplicated into a synthetic 'heldout' split and every 40th doc
+    into the NEXT source bucket ('src0' text reappearing under 'src1'),
+    so the matrix must report both heldout-vs-corpus overlap and a
+    genuine source-pair leak — closed form in both engines."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    heldout = docs.where(F.col("doc_id") % 25 == 0).select(
+        "doc_id", "text", F.lit("heldout").alias("source")
+    )
+    shifted = docs.where(F.col("doc_id") % 40 == 0).select(
+        "doc_id",
+        "text",
+        F.concat(F.lit("src"), ((F.col("doc_id") % 20 + 1) % 20).cast("string")).alias(
+            "source"
+        ),
+    )
+    corpus = docs.unionByName(heldout).unionByName(shifted)
+    return dedup.cross_source_dup_matrix(corpus)
+
+
+def oracle_cross_source_dups() -> str:
+    return """
+WITH corpus AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text, 'heldout' AS source FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT text, 'src' || CAST((doc_id % 20 + 1) % 20 AS VARCHAR) AS source
+  FROM documents WHERE doc_id % 40 = 0
+), d AS (
+  SELECT DISTINCT md5(text) AS dg, source FROM corpus
+  WHERE text IS NOT NULL AND source IS NOT NULL
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST(count(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.dg = b.dg AND a.source < b.source
+GROUP BY 1, 2
+"""

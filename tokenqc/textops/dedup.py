@@ -563,3 +563,49 @@ def chunk_dup_stats(
             F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_chunks").cast("double"), 6
         ).alias("dup_chunk_ratio"),
     )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise source-leakage matrix on exact content digests: for
+    every pair of sources that share at least one identical document
+    text, the number of distinct shared digests — the first question a
+    split/leakage audit asks ("is my eval slice inside the web crawl?",
+    "do these two dumps overlap?") before any per-pair dedup runs.
+
+    Scale shape: the text column collapses to a 16-byte md5 in the
+    scan pass, then (digest, source) distinct — one partial-agg'd
+    exchange, never text. The self-join is keyed on the digest; both
+    sides are the SAME frame, so the second exchange is a
+    ReusedExchange, and per-digest fan-out is bounded by the source
+    vocabulary (≤ |sources| choose 2 pairs per digest), never by corpus
+    size. Output ≤ |sources|² rows — report-sized. NO broadcast hint:
+    the distinct-digest dimension is corpus-sized by design.
+
+    Reference analogue: the reference's cross-tool consistency join
+    (/root/reference/bin/check_tool.py:24-52 keyed across sources)
+    lifted to content identity across corpus slices.
+
+    Output: (source_a, source_b, n_shared) with source_a < source_b.
+    """
+    d = (
+        df.where(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
+        .select(
+            F.md5(F.col(text_col)).alias("text_hash"),
+            F.col(source_col).alias("source"),
+        )
+        .distinct()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, "text_hash")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -860,6 +860,112 @@ def stratified_sample(
     return full.drop(*drop).unionByName(ranked.drop("__r", *drop))
 
 
+def score_top_sample(
+    df: DataFrame,
+    keep_ppm: int,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "qtop-v1",
+    n_score_buckets: int = 1000,
+    max_hist_rows: int = 1_000_000,
+) -> DataFrame:
+    """Exact top-fraction-by-quality curation: keep the best
+    `keep_ppm` parts-per-million of each source by score — the "train
+    on the top 30% by classifier score" selection step, with ties
+    broken deterministically by md5(salt || id) so the kept set is a
+    pure function of the data. Integer ppm (the mixture_plan idiom)
+    keeps n_keep = ceil(ppm · n_s / 10^6) exact in every engine — no
+    float fraction arithmetic.
+
+    Exact per-source top-n normally means a per-source global sort —
+    the straggler shape at 10^12 rows. Like `stratified_sample`, this
+    runs two bounded phases instead, with SCORE buckets in place of
+    key-prefix buckets:
+
+    1. histogram: rows per (source, floor(clamp(score)·B)) — ≤
+       sources × (B+1) groups, partial-agg'd map-side; the driver
+       walks each source's histogram from the TOP bucket down to the
+       threshold bucket. Bucketing by a monotone function of the score
+       is float-noise-proof: qb_1 > qb_2 ⟹ score_1 > score_2, so full
+       buckets are exactly the rows strictly above every boundary row.
+    2. select: rows in buckets above the threshold pass with NO
+       shuffle (threshold dim broadcasts); only the BOUNDARY bucket is
+       ranked by (clamped score DESC, md5 key ASC) to take the exact
+       remainder.
+
+    The boundary bucket is E[n_s/B] rows for a continuous score — but
+    a DISCRETE scorer that puts a point mass exactly at the cut score
+    sends that whole mass through one window partition (the honest
+    limit of bucketing; `stratified_sample`'s md5 buckets cannot
+    cluster, score buckets can). If the scorer emits few distinct
+    values, widen them (add an md5-derived epsilon upstream) or use
+    `stratified_sample` on a pre-filtered frame.
+
+    Scores are clamped into [0, 1] for bucketing AND ranking (quality
+    scores live there; out-of-range values collapse to the ends);
+    NULL/NaN scores and NULL sources are excluded — score them
+    upstream. `id_col` must be unique per source (the
+    stratified_sample tie contract).
+
+    Reference analogue: the reference's pass-rate threshold verdicts
+    (/root/reference/bin/analyze_almanack.py score gating), lifted
+    from "grade each item" to "keep the best fraction".
+    """
+    if not isinstance(keep_ppm, int) or isinstance(keep_ppm, bool) or not (
+        0 < keep_ppm <= 1_000_000
+    ):
+        raise ValueError(f"keep_ppm must be an int in (0, 1e6] (got {keep_ppm!r})")
+    B = int(n_score_buckets)
+    s = F.col(score_col)
+    clamped = F.least(F.greatest(s.cast("double"), F.lit(0.0)), F.lit(1.0))
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    base = (
+        df.where(s.isNotNull() & ~F.isnan(s.cast("double")) & F.col(source_col).isNotNull())
+        .withColumn("__cs", clamped)
+        .withColumn("__key", key)
+        .withColumn("__qb", F.least(F.floor(F.col("__cs") * B).cast("int"), F.lit(B)))
+    )
+    hist = (
+        base.groupBy(source_col, "__qb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .limit(max_hist_rows + 1)
+        .toPandas()
+    )
+    if len(hist) > max_hist_rows:
+        raise ValueError(
+            f"score histogram exceeds max_hist_rows={max_hist_rows} "
+            f"(high-cardinality {source_col!r}?): the driver walk would "
+            "collect sources × buckets rows — reduce n_score_buckets or "
+            "partition by source upstream"
+        )
+    thresholds = []  # (source, boundary_bucket, boundary_take)
+    for src, h in hist.groupby(source_col, sort=False):
+        n_s = int(h["c"].sum())
+        n_keep = (keep_ppm * n_s + 999_999) // 1_000_000
+        cum, t_b, take = 0, -1, 0
+        for b, c in sorted(zip(h["__qb"], h["c"]), reverse=True):
+            if cum + int(c) >= n_keep:
+                t_b, take = int(b), int(n_keep - cum)
+                break
+            cum += int(c)
+        thresholds.append((src, t_b, take))
+    tdf = F.broadcast(
+        df.sparkSession.createDataFrame(
+            thresholds, f"{source_col} string, t_bucket int, boundary_take long"
+        )
+    )
+    joined = base.join(tdf, source_col)
+    full = joined.where(F.col("__qb") > F.col("t_bucket"))
+    boundary = joined.where(F.col("__qb") == F.col("t_bucket"))
+    w = Window.partitionBy(source_col).orderBy(F.col("__cs").desc(), F.col("__key"))
+    ranked = boundary.withColumn("__r", F.row_number().over(w)).where(
+        F.col("__r") <= F.col("boundary_take")
+    )
+    drop = ["__cs", "__key", "__qb", "t_bucket", "boundary_take"]
+    return full.drop(*drop).unionByName(ranked.drop("__r", *drop))
+
+
 def mg_heavy_hitters(
     df: DataFrame, tokens_col: str = "tokens", k: int = 256
 ) -> DataFrame:
