@@ -289,6 +289,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact top-fraction-by-score curation: score-bucket histogram +
         # driver walk, window only over the boundary bucket
         "seq_score_top": H.q_seq_score_top,
+        # leakage-free split: whole near-dup cluster moves together
+        # (components closure + md5 split, both re-derived by the oracle)
+        "dedup_cluster_split": HT.q_dedup_cluster_split,
     }
 
 
@@ -328,6 +331,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_interleave_plan": H.oracle_seq_interleave_plan(),
         "cross_source_dups": HT.oracle_cross_source_dups(),
         "seq_score_top": H.oracle_seq_score_top(),
+        "dedup_cluster_split": HT.oracle_dedup_cluster_split(),
     }
 
 

@@ -1036,3 +1036,29 @@ def test_score_top_sample_excludes_and_validates(spark):
         textqc.score_top_sample(df, keep_ppm=0, score_col="q")
     with pytest.raises(ValueError):
         textqc.score_top_sample(df, keep_ppm=0.5, score_col="q")
+
+
+# ---------------------------------------------------------------------------
+# leakage-free cluster split
+# ---------------------------------------------------------------------------
+def test_cluster_split_moves_clusters_together(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(30)], "doc_id long, text string"
+    )
+    # two clusters: {0,1,2} (chain) and {10, 11}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: (r.group_id, r.split) for r in
+           dedup.cluster_split(docs, pairs).collect()}
+    assert len(out) == 30
+    assert {out[i][0] for i in (0, 1, 2)} == {0}
+    assert {out[i][0] for i in (10, 11)} == {10}
+    assert out[0][1] == out[1][1] == out[2][1]
+    assert out[10][1] == out[11][1]
+    # singletons: identical to plain deterministic_split on their own id
+    plain = {r.doc_id: r.split for r in
+             textqc.deterministic_split(docs).collect()}
+    for i in range(30):
+        if i not in (0, 1, 2, 10, 11):
+            assert out[i] == (i, plain[i]), i

@@ -1740,3 +1740,42 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM d a JOIN d b ON a.dg = b.dg AND a.source < b.source
 GROUP BY 1, 2
 """
+
+
+def q_dedup_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split (dedup.cluster_split): train/val/test by the
+    near-dup cluster canonical, over the same planted-dup corpus and
+    jaccard pair graph as dedup_clusters — so the oracle re-derives the
+    closure AND the split arithmetic independently."""
+    corpus = derive_corpus(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.6)
+    out = dedup.cluster_split(corpus, pairs)
+    return out.select("doc_id", "group_id", "bucket", "split")
+
+
+def oracle_dedup_cluster_split() -> str:
+    b = (
+        "CAST(CAST(('0x' || substr(md5('split-v1' || CAST(g AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 100 AS INTEGER)"
+    )
+    return CORPUS_CTE + _SHINGLE_CTE + (
+        ", sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+        "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS (SELECT id_a, id_b FROM inter "
+        "  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "  WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.6), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "  UNION SELECT id_b, id_a FROM pairs), "
+        "walk AS (WITH RECURSIVE w(src, reach) AS ("
+        "    SELECT src, src FROM edges "
+        "    UNION "
+        "    SELECT w.src, e.dst FROM w JOIN edges e ON e.src = w.reach) "
+        "  SELECT * FROM w), "
+        "comp AS (SELECT src AS id, min(reach) AS component FROM walk GROUP BY src), "
+        "grouped AS (SELECT c.doc_id, coalesce(p.component, c.doc_id) AS g "
+        "  FROM corpus c LEFT JOIN comp p ON p.id = c.doc_id) "
+        f"SELECT doc_id, g AS group_id, {b} AS bucket, "
+        f"CASE WHEN {b} < 95 THEN 'train' WHEN {b} < 99 THEN 'val' "
+        "ELSE 'test' END AS split FROM grouped"
+    )

@@ -609,3 +609,45 @@ def cross_source_dup_matrix(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def cluster_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict | None = None,
+    salt: str = "split-v1",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Leakage-free train/val/test split: assign every document by the
+    md5 bucket of its near-dup CLUSTER's canonical id, not its own id —
+    the step a naive `deterministic_split` misses: two near-identical
+    docs hash to independent buckets, so ~2·p_test of every dup cluster
+    straddles the train/test boundary and the eval set leaks. Splitting
+    AFTER clustering makes the whole cluster move together.
+
+    Composition, not new machinery: `connected_components` labels the
+    pair graph (min-id canonical per cluster), the label joins back
+    (left — singleton docs without any near-dup pair form their own
+    group, so their assignment is IDENTICAL to plain
+    `deterministic_split`, an invariant pinned in tests), and
+    `textqc.deterministic_split` hashes the group id. The label
+    dimension is the pair-graph node set — a data-dependent fraction
+    of the corpus, so the join carries NO broadcast hint (AQE upgrades
+    when the dup set is small).
+
+    Output: input columns + group_id (the cluster canonical or the
+    doc's own id) + (bucket, split). Reference analogue: the
+    reference's per-tool fan-out keyed on the derived canonical
+    (/root/reference/main.nf:91-116) — grouping before grading.
+    """
+    from tokenqc.textops import textqc
+
+    labels = connected_components(pairs, max_iter=max_iter)
+    joined = df.join(
+        labels.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("group_id", F.coalesce(F.col("component"), F.col(id_col)))
+    out = textqc.deterministic_split(
+        joined.drop("component"), id_col="group_id", weights=weights, salt=salt
+    )
+    return out
