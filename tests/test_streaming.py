@@ -587,3 +587,60 @@ def test_streaming_sessions_match_batch_formulation(spark, tmp_path):
     }
     assert sorted(gi.values()) == sorted(x[3] for x in got)
     assert [x[3] for x in got if x[0] == 7] == [2, 2]
+
+
+def test_streaming_incremental_dedup_matches_batch_and_restarts(spark, tmp_path):
+    """Arrival-order dedup across micro-batches AND a query restart:
+    with increasing ids the admitted rows equal global batch dedup
+    exactly; a restarted query resumes from the shared seen store and
+    admits nothing already owned."""
+    import pyarrow as pa
+
+    from tokenqc.textops import dedup
+
+    inp = tmp_path / "inc_in"
+    inp.mkdir()
+    out = str(tmp_path / "inc_out")
+    w1 = [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, None)]
+    w2 = [(5, "beta"), (6, "gamma"), (7, "gamma"), (8, None)]
+    def tbl(rows):
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        })
+    # wave 1 split across two files, one file per micro-batch: the
+    # within-wave cross-batch path is exercised too
+    pq.write_table(tbl(w1[:2]), str(inp / "f1.parquet"))
+    pq.write_table(tbl(w1[2:]), str(inp / "f2.parquet"))
+    q = streaming.streaming_incremental_dedup(
+        spark, str(inp), out, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    got1 = {(r.doc_id, r.text_hash is not None) for r in
+            spark.read.parquet(f"{out}/admitted_stream").collect()}
+    # alpha owned by 1, beta by 2, one null-text row (4)
+    assert got1 == {(1, True), (2, True), (4, False)}
+
+    # restart: wave 2 lands, a NEW query on the same checkpoint + store
+    pq.write_table(tbl(w2), str(inp / "f3.parquet"))
+    q2 = streaming.streaming_incremental_dedup(
+        spark, str(inp), out, max_files_per_trigger=1
+    )
+    q2.awaitTermination(120)
+    admitted = spark.read.parquet(f"{out}/admitted_stream")
+    got = {(r.doc_id, r.text_hash is not None) for r in admitted.collect()}
+    # beta NOT re-admitted; gamma owned by 6; null admitted once per batch
+    assert got == {(1, True), (2, True), (4, False), (6, True), (8, False)}
+
+    # ids arrive increasing -> identical to global batch dedup on the
+    # full corpus (modulo the per-batch null rows, excluded both sides)
+    full = spark.createDataFrame(w1 + w2, "doc_id long, text string").where(
+        "text IS NOT NULL"
+    )
+    empty = spark.createDataFrame([], "text_hash string")
+    want = {(r.doc_id, True) for r in
+            dedup.incremental_new_docs(full, empty).collect()}
+    assert {g for g in got if g[1]} == want
+    # the seen store holds exactly the distinct non-null digests
+    seen = spark.read.parquet(f"{out}/seen_digests")
+    assert seen.distinct().count() == 3 and seen.count() == 3

@@ -455,3 +455,88 @@ def streaming_sessions(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    schema: str = "doc_id long, text string",
+    run_id: str = "stream",
+    checkpoint_dir: str | None = None,
+    seen_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of `dedup.incremental_new_docs`: each micro-batch
+    admits only FIRST-SEEN content — digest absent from the persistent
+    seen-digest store and unique within the batch (min id wins) — and
+    appends the admitted digests back to the store. The store is
+    exactly the state table a batch ingest keeps (same layout, same
+    anti-join), so a pipeline can alternate batch and streaming ingest
+    over ONE seen-digest table.
+
+    Semantics: ARRIVAL-ORDER dedup — the first batch containing a
+    digest owns it. When ids arrive in increasing order (the common
+    append-only ingest), the admitted rows are IDENTICAL to global
+    batch dedup (min id over the whole corpus); with out-of-order ids
+    the admitted digest SET still matches and only the winning id
+    differs (both pinned in tests). Null-text rows: the store cannot
+    retire a NULL digest (NULL never equi-matches), so each batch
+    admits at most one null-text row — filter upstream if null means
+    "absent".
+
+    Delivery: admitted rows are written BEFORE the store append, so a
+    crash between the two re-admits that batch on replay (duplicates,
+    tagged by epoch — dedup downstream on text_hash) and never loses
+    rows: the same at-least-once + epoch-column contract as the other
+    foreachBatch sinks in this module.
+
+    Scale shape per batch: one anti-join of the batch's digests against
+    the store (sort-merge — the store is corpus-sized by design, never
+    broadcast) and one partial-agg'd min; text never shuffles (it is
+    digested in the scan projection).
+    """
+    from tokenqc.textops import dedup as _dedup
+
+    seen_path = seen_dir or os.path.join(out_dir, "seen_digests")
+    admitted_path = os.path.join(out_dir, "admitted_stream")
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_incdedup_checkpoint")
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.isdir(seen_path) and any(
+            f.endswith(".parquet") for f in os.listdir(seen_path)
+        ):
+            seen = spark.read.parquet(seen_path)
+        else:
+            seen = spark.createDataFrame([], "text_hash string")
+        admitted = _dedup.incremental_new_docs(
+            batch_df, seen, id_col=id_col, text_col=text_col
+        ).persist()
+        try:
+            (
+                admitted.withColumn("run_id", F.lit(run_id))
+                .withColumn("epoch", F.lit(epoch_id))
+                .write.mode("append")
+                .parquet(admitted_path)
+            )
+            (
+                admitted.select("text_hash")
+                .where(F.col("text_hash").isNotNull())
+                .write.mode("append")
+                .parquet(seen_path)
+            )
+        finally:
+            admitted.unpersist()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
