@@ -293,6 +293,21 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
         lambda: cb.assemble_violations(attached, tok_facets).count(),
         side_trials,
     )
+    # degenerate-content gate (late r5): one zero-shuffle Arrow pass per
+    # facet (the measured optimum — a fused single pass was 1.3x slower,
+    # see checks/degeneracy.py); expect ~ q_token_entropy + q_kgram_rep
+    from tokenqc.checks import degeneracy
+
+    degen_cfg = CheckConfig(
+        n_partitions=64, checks=("degenerate",),
+        min_entropy=1.5, max_dup_kgram_frac=0.2,
+    )
+    degen_in = seq.withColumn("partition_id", cb.partition_id_col(degen_cfg))
+    timed(
+        "q_degen_gate",
+        lambda: degeneracy.violations(degen_in, degen_cfg).count(),
+        side_trials,
+    )
     timed("q_uniqueness", lambda: uniqueness.violations(seq, cfg).count(), side_trials)
     timed("q_uniqueness_salted", lambda: uniqueness.violations(seq, cfg, salt=16).count(), side_trials)
     timed("q_invariant", lambda: invariant.violations(seq, ref, cfg).count(), side_trials)

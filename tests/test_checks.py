@@ -311,3 +311,38 @@ def test_token_lint_facets_exact(spark):
         ("eos_mid", "eos_interior: 2"),
         ("run", "long_run: 3"),
     }
+
+
+# ---------------------------------------------------------------------------
+# degenerate-content gate (checks/degeneracy.py)
+# ---------------------------------------------------------------------------
+def test_degeneracy_facets_opt_in_and_null_safe(spark):
+    from tokenqc.checks import degeneracy
+    from tokenqc.checks.base import CheckConfig
+
+    df = spark.createDataFrame(
+        [(0, "doc-a", [5] * 20), (1, "doc-b", [1, 2])],
+        "partition_id int, doc_id string, tokens array<int>",
+    )
+    # nothing configured -> empty frame, standard schema, no Arrow job
+    none_cfg = CheckConfig(n_partitions=4, checks=("degenerate",))
+    out = degeneracy.violations(df, none_cfg)
+    assert out.count() == 0
+    assert out.columns == ["partition_id", "doc_id", "check_name", "observed", "expected"]
+    # only repetitive configured: the sub-k row (NULL dup_kgram_frac)
+    # must NOT flag — NULL-safe predicate
+    rep_cfg = CheckConfig(
+        n_partitions=4, checks=("degenerate",), max_dup_kgram_frac=0.2
+    )
+    rows = degeneracy.violations(df, rep_cfg).collect()
+    assert {r.doc_id for r in rows} == {"doc-a"}
+    assert rows[0].observed.startswith("repetitive: ")
+    # config validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CheckConfig(max_dup_kgram_frac=1.5)
+    with _pytest.raises(ValueError):
+        CheckConfig(min_entropy=-1.0)
+    with _pytest.raises(ValueError):
+        CheckConfig(degen_kgram_k=0)

@@ -163,3 +163,44 @@ def test_cli_token_drift(spark, synth_dir, tmp_path, capsys):
     assert rows["token_drift:code"] == "FAIL"
     assert rows["token_drift:web"] == "PASS"
     assert rows["token_drift:spam9"] == "UNKNOWN"
+
+
+def test_cli_degenerate_gate(spark, synth_dir, tmp_path, capsys):
+    """The degeneracy flags imply the check and drive the fused Arrow
+    pass end-to-end; the summary's degenerate violation count equals an
+    independent per-row recomputation on the input."""
+    import math
+
+    rc = cli.main(
+        [
+            "--input", f"{synth_dir}/sequences.parquet",
+            "--out", str(tmp_path / "out"),
+            "--run-id", "degen1",
+            "--partitions", "8",
+            "--checks", "degenerate",
+            "--min-entropy", "3.0",
+            "--max-dup-kgram-frac", "0.2",
+        ]
+    )
+    assert rc == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    viol = spark.read.parquet(str(tmp_path / "out" / "violations")).where(
+        "check_name = 'degenerate'"
+    )
+    got_low = viol.where("observed like 'low_entropy%'").count()
+    # independent recomputation: entropy per row in python
+    import numpy as np
+
+    rows = spark.read.parquet(f"{synth_dir}/sequences.parquet").select(
+        "tokens"
+    ).collect()
+    want_low = 0
+    for r in rows:
+        if r.tokens is None or not len(r.tokens):
+            continue
+        _, c = np.unique(np.asarray(r.tokens), return_counts=True)
+        p = c / len(r.tokens)
+        ent = float(np.floor(-(p * np.log(p)).sum() * 1e6 + 0.5) / 1e6)
+        if ent < 3.0:
+            want_low += 1
+    assert got_low == want_low and got_low > 0

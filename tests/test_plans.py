@@ -424,3 +424,30 @@ def test_score_top_sample_window_is_boundary_bounded(spark):
     plan = plan_of(textqc.score_top_sample(df, keep_ppm=200_000, score_col="q"))
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_degeneracy_two_arrow_passes_zero_shuffle(spark):
+    """The degeneracy gate runs one zero-shuffle Arrow pass per enabled
+    facet — the MEASURED optimum over a fused single pass, whose doubled
+    per-worker working set cost more than the saved transfer (module
+    docstring, checks/degeneracy.py). Pin: two MapInPandas branches,
+    NO Exchange anywhere; disabling a facet drops its pass."""
+    import re
+
+    from tokenqc.checks import degeneracy
+    from tokenqc.checks.base import CheckConfig
+
+    df = spark.createDataFrame(
+        [(0, "doc-a", list(range(20)))],
+        "partition_id int, doc_id string, tokens array<int>",
+    )
+    cfg = CheckConfig(
+        n_partitions=4, checks=("degenerate",),
+        min_entropy=1.5, max_dup_kgram_frac=0.2,
+    )
+    plan = plan_of(degeneracy.violations(df, cfg))
+    assert "Exchange" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 2, plan
+    one = CheckConfig(n_partitions=4, checks=("degenerate",), min_entropy=1.5)
+    plan1 = plan_of(degeneracy.violations(df, one))
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan1, re.M)) == 1, plan1

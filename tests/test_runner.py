@@ -341,3 +341,45 @@ def test_phase_detail_modes_equivalent(spark, tables, tmp_path, monkeypatch):
     assert "violations_compute" in r1.timings and "violations_write" in r1.timings
     assert "violations_compute_write" in r2.timings
     assert "violations_compute" not in r2.timings
+
+
+def test_degenerate_gate_end_to_end(spark, tmp_path):
+    """The degenerate-content gate as an engine check: planted
+    entropy-collapse and tiling rows land as violation rows with the
+    standard shape, the verdict grid grows a 'degenerate' row per
+    partition, and both violation values equal the standalone ops'."""
+    rows = [
+        ("doc-0000000%d" % i, list(range(50 + i)), "web") for i in range(6)
+    ] + [
+        ("doc-deg-flood", [7] * 40, "web"),           # entropy 0 + tiling
+        ("doc-deg-tile", [1, 2, 3, 4] * 12, "web"),   # entropy ln(4), tiles
+        ("doc-short", [1, 2], "web"),                 # < k: entropy only
+    ]
+    seq = spark.createDataFrame(rows, "doc_id string, tokens array<int>, source string").withColumn(
+        "n_tok", F.size("tokens")
+    )
+    cfg = CheckConfig(
+        n_partitions=4,
+        checks=("completeness", "degenerate"),
+        min_entropy=1.5,
+        max_dup_kgram_frac=0.2,
+    )
+    runner = QCRunner(spark, cfg, out_dir=str(tmp_path / "degen_out"))
+    res = runner.run(seq, run_id="dg1")
+    assert res.errors == {}
+    viol = res.violations.where("check_name = 'degenerate'").collect()
+    by_doc = {}
+    for r in viol:
+        by_doc.setdefault(r.doc_id, set()).add(r.observed.split(":")[0])
+    assert by_doc["doc-deg-flood"] == {"low_entropy", "repetitive"}
+    # ln(4) ~ 1.386 < 1.5: the tile row trips BOTH facets too
+    assert by_doc["doc-deg-tile"] == {"low_entropy", "repetitive"}
+    # the short row has no k-gram stat and healthy-enough entropy ln(2)?
+    # ln(2) ~ 0.693 < 1.5 -> low_entropy only, never 'repetitive'
+    assert by_doc["doc-short"] == {"low_entropy"}
+    assert set(by_doc) == {"doc-deg-flood", "doc-deg-tile", "doc-short"}
+    # verdict grid: a degenerate row per partition, FAIL where planted
+    dverd = res.verdicts.where("check_name = 'degenerate'")
+    assert dverd.count() == 4
+    assert dverd.where("status = 'FAIL'").count() >= 1
+    assert res.verdicts.where("check_name = 'completeness'").count() == 4

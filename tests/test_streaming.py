@@ -644,3 +644,55 @@ def test_streaming_incremental_dedup_matches_batch_and_restarts(spark, tmp_path)
     # the seen store holds exactly the distinct non-null digests
     seen = spark.read.parquet(f"{out}/seen_digests")
     assert seen.distinct().count() == 3 and seen.count() == 3
+
+
+def test_streaming_degenerate_gate_matches_batch(spark, tmp_path):
+    """The degenerate-content gate runs per micro-batch under the same
+    opt-in contract as the batch runner; union-of-stream violation rows
+    equals the batch check exactly."""
+    import pyarrow as pa
+
+    from tokenqc.checks import degeneracy
+    from tokenqc.checks import base as cb
+
+    inp = tmp_path / "degen_in"
+    inp.mkdir()
+    rows = [
+        ("doc-a", [1, 2, 3, 4] * 10),   # tiles -> repetitive + low entropy
+        ("doc-b", list(range(60))),     # clean
+        ("doc-c", [9] * 30),            # flood
+        ("doc-d", list(range(40))),     # clean
+    ]
+    def tbl(rs):
+        return pa.table({
+            "doc_id": [r[0] for r in rs],
+            "tokens": pa.array([r[1] for r in rs], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in rs], pa.int32()),
+            "source": ["web"] * len(rs),
+        })
+    pq.write_table(tbl(rows[:2]), str(inp / "f1.parquet"))
+    pq.write_table(tbl(rows[2:]), str(inp / "f2.parquet"))
+    out = str(tmp_path / "degen_out")
+    cfg = CheckConfig(
+        n_partitions=4,
+        checks=("completeness", "degenerate"),
+        min_entropy=1.5,
+        max_dup_kgram_frac=0.2,
+    )
+    q = streaming.qc_stream(spark, str(inp), out, _allowed(spark), cfg, run_id="sdg")
+    q.awaitTermination(120)
+    got = sorted(
+        (r.doc_id, r.observed, r.expected)
+        for r in spark.read.parquet(f"{out}/violations_stream")
+        .where("check_name = 'degenerate'")
+        .collect()
+    )
+    batch_df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "doc_id string, tokens array<int>"
+    ).withColumn("partition_id", cb.partition_id_col(cfg))
+    want = sorted(
+        (r.doc_id, r.observed, r.expected)
+        for r in degeneracy.violations(batch_df, cfg).collect()
+    )
+    assert got == want
+    assert {g[0] for g in got} == {"doc-a", "doc-c"}

@@ -44,6 +44,12 @@ class CheckConfig:
     # lints: list "token_drift" in checks and provide a baseline table
     token_drift_buckets: int = 256
     token_js_max: float = 0.1
+    # degenerate-content gate (checks/degeneracy.py) — corpus-specific
+    # thresholds, so each facet is opt-in: None disables it even when
+    # "degenerate" is listed
+    min_entropy: float | None = None
+    max_dup_kgram_frac: float | None = None
+    degen_kgram_k: int = 8
     checks: tuple[str, ...] = (
         "completeness",
         "structural",
@@ -72,6 +78,7 @@ class CheckConfig:
             "drift",
             "tokens",
             "token_drift",
+            "degenerate",
         }
         if self.vocab_size is not None and self.vocab_size <= 0:
             raise ValueError(f"vocab_size must be positive, got {self.vocab_size}")
@@ -85,6 +92,16 @@ class CheckConfig:
             )
         if self.token_js_max < 0.0:
             raise ValueError(f"token_js_max must be >= 0, got {self.token_js_max}")
+        if self.degen_kgram_k < 1:
+            raise ValueError(f"degen_kgram_k must be >= 1, got {self.degen_kgram_k}")
+        if self.min_entropy is not None and self.min_entropy < 0.0:
+            raise ValueError(f"min_entropy must be >= 0, got {self.min_entropy}")
+        if self.max_dup_kgram_frac is not None and not (
+            0.0 <= self.max_dup_kgram_frac <= 1.0
+        ):
+            raise ValueError(
+                f"max_dup_kgram_frac must be in [0, 1], got {self.max_dup_kgram_frac}"
+            )
         bad = set(self.checks) - known
         if bad:
             raise ValueError(f"unknown check(s): {sorted(bad)}")

@@ -69,6 +69,20 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="enable tokens.long_run: flag rows with >= K identical consecutive ids",
     )
     ap.add_argument(
+        "--min-entropy", type=float, default=None,
+        help="enable degenerate.low_entropy: flag docs whose token "
+        "unigram entropy (nats) is below this",
+    )
+    ap.add_argument(
+        "--max-dup-kgram-frac", type=float, default=None,
+        help="enable degenerate.repetitive: flag docs whose duplicated "
+        "k-gram fraction exceeds this",
+    )
+    ap.add_argument(
+        "--kgram-k", type=int, default=8,
+        help="window length for --max-dup-kgram-frac (default 8)",
+    )
+    ap.add_argument(
         "--token-baseline", default=None, metavar="PATH",
         help="enable the token-unigram drift gate: parquet of expected "
         "(source, bucket, p) token-id residue probabilities; per-source "
@@ -117,6 +131,15 @@ def main(argv: list[str] | None = None) -> int:
         # the lint flags imply the check unless --checks explicitly set
         if "checks" not in kw:
             kw["checks"] = CheckConfig().checks + ("tokens",)
+    if args.min_entropy is not None or args.max_dup_kgram_frac is not None:
+        kw["min_entropy"] = args.min_entropy
+        kw["max_dup_kgram_frac"] = args.max_dup_kgram_frac
+        kw["degen_kgram_k"] = args.kgram_k
+        # the degeneracy flags imply the check unless --checks was given
+        if "checks" not in kw:
+            kw["checks"] = CheckConfig().checks
+        if "degenerate" not in kw["checks"]:
+            kw["checks"] = tuple(kw["checks"]) + ("degenerate",)
     if args.token_baseline is not None:
         kw["token_drift_buckets"] = args.token_drift_buckets
         kw["token_js_max"] = args.token_js_max

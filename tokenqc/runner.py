@@ -198,6 +198,18 @@ class QCRunner:
             except Exception as e:  # errorStrategy 'ignore'
                 errors["uniqueness"] = repr(e)
                 prefailed["uniqueness"] = repr(e)
+        # degenerate-content gate: row-level but Arrow-staged (it cannot
+        # fuse into the JVM row scan), planned once per run like
+        # uniqueness and sliced per batch by partition_id
+        degen: DataFrame | None = None
+        if "degenerate" in cfg.checks and batches:
+            try:
+                from tokenqc.checks import degeneracy
+
+                degen = degeneracy.violations(df, cfg).persist()
+            except Exception as e:  # errorStrategy 'ignore'
+                errors["degenerate"] = repr(e)
+                prefailed["degenerate"] = repr(e)
         drift_plan: DataFrame | None = None
         if "drift" in cfg.checks and baseline_hist is not None and batches:
             try:
@@ -222,6 +234,7 @@ class QCRunner:
                 has_ref_dim=has_ref_dim,
                 reference=reference_tokens,
                 uniq=uniq,
+                degen=degen,
                 prefailed=prefailed,
                 drift_plan=drift_plan if i == 0 else None,
                 token_drift_plan=token_drift_plan if i == 0 else None,
@@ -230,6 +243,8 @@ class QCRunner:
             )
         if uniq is not None:
             uniq.unpersist()
+        if degen is not None:
+            degen.unpersist()
 
         verdicts = self._read_current(run_id, "verdicts")
         violations = self._read_current(run_id, "violations")
@@ -292,6 +307,7 @@ class QCRunner:
         missing: list[tuple[str, str]],
         timings: dict[str, float] | None = None,
         token_drift_plan: DataFrame | None = None,
+        degen: DataFrame | None = None,
     ) -> None:
         timings = timings if timings is not None else {}
 
@@ -354,6 +370,10 @@ class QCRunner:
         if uniq is not None:
             viol_parts.append(
                 uniq if full_batch else uniq.where(F.col("partition_id").isin(parts))
+            )
+        if degen is not None:
+            viol_parts.append(
+                degen if full_batch else degen.where(F.col("partition_id").isin(parts))
             )
 
         _t = _mark("build_plan", t0)

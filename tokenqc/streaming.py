@@ -76,6 +76,15 @@ def qc_stream(
             batch_df.withColumn("partition_id", cb.partition_id_col(cfg)), allowed_sources
         )
         viol = cb.assemble_violations(df, _row_facets(cfg))
+        # the degenerate-content gate is row-level and stateless like the
+        # lints, but Arrow-staged — it joins the batch as a second pass
+        # under the same opt-in contract as the batch runner
+        if "degenerate" in cfg.checks and (
+            cfg.min_entropy is not None or cfg.max_dup_kgram_frac is not None
+        ):
+            from tokenqc.checks import degeneracy
+
+            viol = viol.unionByName(degeneracy.violations(df, cfg))
         (
             viol.withColumn("run_id", F.lit(run_id))
             .withColumn("epoch", F.lit(epoch_id))

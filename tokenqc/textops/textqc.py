@@ -8,6 +8,8 @@ aggregate) — JVM-side, codegen'd, no Python."""
 
 from __future__ import annotations
 
+from typing import Iterable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -252,6 +254,7 @@ def token_entropy(
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     min_entropy: float = 1.5,
+    carry_cols: Iterable[str] = (),
 ) -> DataFrame:
     """Per-document token unigram entropy (nats) — the degenerate-text
     detector a perplexity gate misses: a document of ONE ultra-common
@@ -270,12 +273,16 @@ def token_entropy(
     (vectorized; no per-row Python loop). Empty/null-token rows are
     excluded (completeness violations upstream).
 
-    Output: (id, n_tok, n_distinct, entropy, distinct_ratio,
+    Output: (id, carry..., n_tok, n_distinct, entropy, distinct_ratio,
     low_entropy). Entropy/ratio round to 6 decimals: sums of <=1e3
-    float64 terms agree across engines to ~1e-12.
+    float64 terms agree across engines to ~1e-12. `carry_cols` pass
+    through the Arrow stage untouched (the engine carries partition_id
+    for its violation rows).
     """
     import numpy as np
     import pandas as pd
+
+    carry_cols = list(carry_cols)
 
     def ent_op(it):
         for pdf in it:
@@ -312,27 +319,29 @@ def token_entropy(
             # half-to-even: 1/640 -> 0.001562 vs every SQL engine's
             # 0.001563) and +0.0 (np keeps -0.0 from -1*log(1))
             r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6
-            yield pd.DataFrame(
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c in carry_cols:
+                out[c] = pdf[c].to_numpy()
+            out.update(
                 {
-                    id_col: pdf[id_col].to_numpy(),
                     "n_tok": sizes.astype(np.int32),
                     "n_distinct": ndist.astype(np.int32),
                     "entropy": r6(ent),
                     "distinct_ratio": r6(ndist / sizes),
                 }
             )
+            yield pd.DataFrame(out)
 
-    id_type = next(
-        f.dataType.simpleString() for f in df.schema.fields if f.name == id_col
-    )
+    dtypes = dict(df.dtypes)
+    carry_schema = "".join(f", {c} {dtypes[c]}" for c in carry_cols)
     out = (
         df.where(F.col(tokens_col).isNotNull() & (F.size(tokens_col) > 0))
-        .select(id_col, tokens_col)
+        .select(id_col, *carry_cols, tokens_col)
         .mapInPandas(
             ent_op,
             schema=(
-                f"{id_col} {id_type}, n_tok int, n_distinct int, "
-                "entropy double, distinct_ratio double"
+                f"{id_col} {dtypes[id_col]}{carry_schema}, n_tok int, "
+                "n_distinct int, entropy double, distinct_ratio double"
             ),
         )
     )
@@ -345,6 +354,7 @@ def token_kgram_repetition(
     tokens_col: str = "tokens",
     k: int = 8,
     max_dup_frac: float = 0.2,
+    carry_cols: Iterable[str] = (),
 ) -> DataFrame:
     """Within-document duplicated k-gram fraction — the Gopher /
     MassiveText "repeated n-gram" quality rule re-expressed over the
@@ -367,15 +377,17 @@ def token_kgram_repetition(
     are excluded — no window exists (completeness gates catch
     empty/null upstream).
 
-    Output: (id, n_tok, n_kgrams, n_distinct_kgrams, dup_kgram_frac,
-    repetitive). dup_kgram_frac rounds 6dp half-away-from-zero (the
-    token_entropy cross-engine portability rule).
+    Output: (id, carry..., n_tok, n_kgrams, n_distinct_kgrams,
+    dup_kgram_frac, repetitive). dup_kgram_frac rounds 6dp
+    half-away-from-zero (the token_entropy cross-engine portability
+    rule); `carry_cols` pass through the Arrow stage untouched.
     """
     import numpy as np
     import pandas as pd
 
     if k < 1:
         raise ValueError("k must be >= 1")
+    carry_cols = list(carry_cols)
     powers = _shingle_powers(k)
 
     def rep_op(it):
@@ -400,28 +412,30 @@ def token_kgram_repetition(
             sizes = np.fromiter(
                 (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
             )
-            yield pd.DataFrame(
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c in carry_cols:
+                out[c] = pdf[c].to_numpy()
+            out.update(
                 {
-                    id_col: pdf[id_col].to_numpy(),
                     "n_tok": sizes.astype(np.int32),
                     "n_kgrams": n_sh.astype(np.int32),
                     "n_distinct_kgrams": ndist.astype(np.int32),
                     "dup_kgram_frac": r6(frac),
                 }
             )
+            yield pd.DataFrame(out)
 
-    id_type = next(
-        f.dataType.simpleString() for f in df.schema.fields if f.name == id_col
-    )
+    dtypes = dict(df.dtypes)
+    carry_schema = "".join(f", {c} {dtypes[c]}" for c in carry_cols)
     toks = F.col(tokens_col)
     out = (
         df.where(toks.isNotNull() & (F.size(toks) >= k))
-        .select(id_col, tokens_col)
+        .select(id_col, *carry_cols, tokens_col)
         .mapInPandas(
             rep_op,
             schema=(
-                f"{id_col} {id_type}, n_tok int, n_kgrams int, "
-                "n_distinct_kgrams int, dup_kgram_frac double"
+                f"{id_col} {dtypes[id_col]}{carry_schema}, n_tok int, "
+                "n_kgrams int, n_distinct_kgrams int, dup_kgram_frac double"
             ),
         )
     )
