@@ -292,6 +292,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leakage-free split: whole near-dup cluster moves together
         # (components closure + md5 split, both re-derived by the oracle)
         "dedup_cluster_split": HT.q_dedup_cluster_split,
+        # robust per-source length-outlier gate: discrete quantiles on a
+        # bounded histogram (integer-exact fences, no interpolated floats)
+        "seq_ntok_outliers": H.q_seq_ntok_outliers,
     }
 
 
@@ -332,6 +335,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "cross_source_dups": HT.oracle_cross_source_dups(),
         "seq_score_top": H.oracle_seq_score_top(),
         "dedup_cluster_split": HT.oracle_dedup_cluster_split(),
+        "seq_ntok_outliers": H.oracle_seq_ntok_outliers(),
     }
 
 

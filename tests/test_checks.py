@@ -346,3 +346,25 @@ def test_degeneracy_facets_opt_in_and_null_safe(spark):
         CheckConfig(min_entropy=-1.0)
     with _pytest.raises(ValueError):
         CheckConfig(degen_kgram_k=0)
+
+
+def test_robust_outliers_discrete_fences(spark):
+    from tokenqc.checks import stats
+
+    rows = [(i, "web", v) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 100])]
+    rows += [(100, "books", 50), (101, "books", 51), (102, None, 999),
+             (103, "web", None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    out = stats.robust_outliers(df).collect()
+    # web: n=9 -> q1 = value at ceil(2.25)=3rd = 3, q3 at ceil(6.75)=7th = 7
+    # IQR 4 -> fence [3-12, 7+12] = [-9, 19]: only 100 flags
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_id, r.n_tok, r.q1, r.q3, r.lo, r.hi) == (8, 100, 3, 7, -9.0, 19.0)
+    # null source / null value rows never flag; 2-row books group has
+    # q1 = q3 = 50? n=2: ceil(0.5)=1 -> q1=50, ceil(1.5)=2 -> q3=51,
+    # IQR 1 -> [47, 54]: nothing flags
+    tight = stats.robust_outliers(df, k=0.0).collect()
+    # k=0: fence collapses to [q1, q3]; web flags 1,2 (<3) and 8,100 (>7)
+    web = {r.doc_id for r in tight if r.source == "web"}
+    assert web == {0, 1, 7, 8}

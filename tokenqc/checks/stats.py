@@ -62,3 +62,63 @@ def histogram(df: DataFrame, cfg: CheckConfig) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    value_col: str = "n_tok",
+    by: str = "source",
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group Tukey-fence outlier gate on DISCRETE quantiles: flag
+    rows whose `value_col` falls outside [q1 − k·IQR, q3 + k·IQR],
+    where q1/q3 are the smallest values whose per-group cumulative
+    count reaches ceil(0.25·n)/ceil(0.75·n) — the robust-stats length
+    gate ("this 50k-token row is not like the others from this
+    source") the mean/stddev profile misses under heavy tails.
+
+    Discrete, not interpolated, quantiles on purpose: every quantity
+    is integer arithmetic (counts and values), so the fence — and
+    therefore ROW MEMBERSHIP of the flagged set — is bit-identical in
+    any engine; interpolated percentiles differ in final-ulp float ops
+    across engines and would flip boundary rows.
+
+    Scale shape: one partial-agg'd (group, value) count — the only
+    data-sized pass; the quantile walk is a window over that HISTOGRAM
+    (groups × distinct values rows, e.g. sources × max_len — metadata-
+    sized for bounded domains like token lengths; bucket a genuinely
+    unbounded domain first). Fences broadcast back; the flag filter is
+    codegen'd in the join projection.
+
+    Reference analogue: the reference's numeric threshold gates over
+    almanack metrics (/root/reference/bin/analyze_joss.py:302-345),
+    made distribution-relative.
+
+    Output: flagged rows (id, group, value, q1, q3, lo, hi).
+    """
+    v, g = F.col(value_col), F.col(by)
+    base = df.where(v.isNotNull() & g.isNotNull())
+    hist = base.groupBy(by, value_col).agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(value_col)
+    wg = Window.partitionBy(by)
+    cum = (
+        hist.withColumn("cum", F.sum("c").over(w))
+        .withColumn("n_s", F.sum("c").over(wg))
+    )
+    qv = lambda p: F.min(  # noqa: E731
+        F.when(F.col("cum") >= F.ceil(F.col("n_s") * p), v)
+    )
+    fences = (
+        cum.groupBy(by)
+        .agg(qv(0.25).alias("q1"), qv(0.75).alias("q3"))
+        .withColumn("lo", F.col("q1") - k * (F.col("q3") - F.col("q1")))
+        .withColumn("hi", F.col("q3") + k * (F.col("q3") - F.col("q1")))
+    )
+    return (
+        base.join(F.broadcast(fences), by)
+        .where((v < F.col("lo")) | (v > F.col("hi")))
+        .select(id_col, by, value_col, "q1", "q3", "lo", "hi")
+    )

@@ -1228,3 +1228,52 @@ SELECT rn, source, q FROM (
   )
 ) WHERE r <= (300000 * n_s + 999999) // 1000000
 """
+
+
+def q_seq_ntok_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length-outlier gate (stats.robust_outliers): planted rule
+    rn % 131 = 19 inflates n_tok to 50000 + rn % 7 — far outside the
+    Tukey fence of the near-uniform 1..997 base (q3 + 3·IQR ≈ 2200) —
+    while every natural row stays inside. The oracle re-derives the
+    discrete quantiles, fences and membership with its own window
+    cumulative walk."""
+    from tokenqc.checks import stats
+
+    seq = derive_sequences(spark, sf_dir)
+    planted = seq.withColumn(
+        "n_tok",
+        F.when(
+            F.col("rn") % 131 == 19, (F.lit(50000) + F.col("rn") % 7).cast("int")
+        ).otherwise(F.col("n_tok")),
+    )
+    return stats.robust_outliers(planted, id_col="rn")
+
+
+def oracle_seq_ntok_outliers() -> str:
+    return SEQ_CTE + """
+, planted AS (
+  SELECT rn, source,
+    CASE WHEN rn % 131 = 19 THEN CAST(50000 + rn % 7 AS INTEGER)
+         ELSE n_tok END AS n_tok
+  FROM seq WHERE source IS NOT NULL
+), h AS (
+  SELECT source, n_tok, count(*) AS c FROM planted
+  WHERE n_tok IS NOT NULL GROUP BY source, n_tok
+), cumed AS (
+  SELECT source, n_tok, sum(c) OVER (
+      PARTITION BY source ORDER BY n_tok
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(c) OVER (PARTITION BY source) AS n_s
+  FROM h
+), fences AS (
+  SELECT source,
+    min(CASE WHEN cum >= ceil(n_s * 0.25) THEN n_tok END) AS q1,
+    min(CASE WHEN cum >= ceil(n_s * 0.75) THEN n_tok END) AS q3
+  FROM cumed GROUP BY source
+)
+SELECT rn, p.source, p.n_tok, q1, q3,
+  q1 - 3.0 * (q3 - q1) AS lo, q3 + 3.0 * (q3 - q1) AS hi
+FROM planted p JOIN fences f ON p.source = f.source
+WHERE p.n_tok IS NOT NULL
+  AND (p.n_tok < q1 - 3.0 * (q3 - q1) OR p.n_tok > q3 + 3.0 * (q3 - q1))
+"""
