@@ -295,6 +295,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # robust per-source length-outlier gate: discrete quantiles on a
         # bounded histogram (integer-exact fences, no interpolated floats)
         "seq_ntok_outliers": H.q_seq_ntok_outliers,
+        # MOSS winnowing: passage-overlap pairs via min-hash-per-window
+        # fingerprints (mod-P polynomial hash replayed exactly in SQL)
+        "seq_winnow_pairs": H.q_seq_winnow_pairs,
     }
 
 
@@ -336,6 +339,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_score_top": H.oracle_seq_score_top(),
         "dedup_cluster_split": HT.oracle_dedup_cluster_split(),
         "seq_ntok_outliers": H.oracle_seq_ntok_outliers(),
+        "seq_winnow_pairs": H.oracle_seq_winnow_pairs(),
     }
 
 

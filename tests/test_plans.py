@@ -451,3 +451,16 @@ def test_degeneracy_two_arrow_passes_zero_shuffle(spark):
     one = CheckConfig(n_partitions=4, checks=("degenerate",), min_entropy=1.5)
     plan1 = plan_of(degeneracy.violations(df, one))
     assert len(re.findall(r"^\(\d+\) MapInPandas", plan1, re.M)) == 1, plan1
+
+
+def test_winnow_fingerprints_zero_shuffle(spark):
+    """Fingerprinting is within-row: ONE Arrow stage, arrays cross once
+    as a per-doc fps array, the explode is JVM-side — no Exchange."""
+    from tokenqc.textops import dedup
+
+    df = spark.createDataFrame(
+        [(1, list(range(20)))], "doc_id long, tokens array<int>"
+    )
+    plan = plan_of(dedup.winnow_fingerprints(df, k=4, w=4))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan

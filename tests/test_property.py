@@ -369,3 +369,32 @@ def test_stratified_sample_matches_naive_sort(spark, rows, na, nb):
         ids.sort(key=lambda i: hashlib.md5(f"strat-v1{i}".encode()).hexdigest())
         expect += [(src, i) for i in ids[:n]]
     assert got == sorted(expect)
+
+
+winnow_rows = st.lists(
+    st.lists(st.integers(min_value=0, max_value=50256), min_size=0, max_size=40),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(winnow_rows, st.integers(min_value=1, max_value=4), st.integers(min_value=1, max_value=5))
+def test_winnow_fingerprints_match_naive(spark, arrs, k, w):
+    """Spark winnowing (flat-batch hashing + O(n) block sliding min +
+    lexsort dedup) vs an explicit per-row Python winnow: identical
+    fingerprint SETS for arbitrary corpora, k, and w — including w=1
+    (every hash selected) and rows with no window."""
+    from tests_winnow_naive import naive_winnow  # local helper below
+
+    from tokenqc.textops import dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(arrs)), "doc_id long, tokens array<int>"
+    )
+    got = {}
+    for r in dedup.winnow_fingerprints(df, id_col="doc_id", k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, a in enumerate(arrs):
+        exp = naive_winnow(a, k, w)
+        assert got.get(i, set()) == exp, (i, a, k, w)

@@ -1062,3 +1062,73 @@ def test_cluster_split_moves_clusters_together(spark):
     for i in range(30):
         if i not in (0, 1, 2, 10, 11):
             assert out[i] == (i, plain[i]), i
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS passage overlap)
+# ---------------------------------------------------------------------------
+def _naive_winnow(toks, k=8, w=8, p=(1 << 31) - 1):
+    """Independent per-row restatement: explicit window hashes + explicit
+    min over every window of w consecutive hashes."""
+    pw, b = [1], 1000003
+    for _ in range(k - 1):
+        pw.append(pw[-1] * b % p)
+    pw = pw[::-1]
+    if len(toks) < k + w - 1:
+        return set()
+    hs = [sum(toks[i + j] * pw[j] for j in range(k)) % p for i in range(len(toks) - k + 1)]
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+def test_winnow_guarantee_shared_passage(spark):
+    """The MOSS guarantee: documents sharing a run of >= w + k - 1
+    tokens share at least one fingerprint, and the pairs report finds
+    them; unrelated documents share none."""
+    from tokenqc.textops import dedup
+
+    phrase = [(j * 37 + 11) % 50257 for j in range(1, 41)]
+    rows = [
+        (0, [(j * 31 + 5) % 50257 for j in range(60)] + phrase),
+        (1, phrase + [(j * 29 + 7) % 50257 for j in range(80)]),
+        (2, [(j * 23 + 13) % 50257 for j in range(120)]),
+    ]
+    df = spark.createDataFrame(rows, "id long, tokens array<int>")
+    fps = dedup.winnow_fingerprints(df, id_col="id", k=8, w=8)
+    got = {}
+    for r in fps.collect():
+        got.setdefault(r["id"], set()).add(r["fp"])
+    for i, t in rows:
+        assert got[i] == _naive_winnow(t), i
+    assert got[0] & got[1], "shared passage must share a fingerprint"
+    pairs = dedup.winnow_overlap_pairs(fps, id_col="id", min_shared=1).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_winnow_short_rows_excluded_and_dup_phrase_distinct(spark):
+    """Rows shorter than k + w - 1 have no window; a phrase repeated
+    inside ONE doc contributes each fingerprint once (distinct-per-doc)."""
+    from tokenqc.textops import dedup
+
+    phrase = list(range(100, 130))
+    rows = [(0, list(range(14))), (1, phrase * 4)]
+    df = spark.createDataFrame(rows, "id long, tokens array<int>")
+    fps = dedup.winnow_fingerprints(df, id_col="id", k=8, w=8)
+    out = fps.groupBy("id").count().collect()
+    ids = {r["id"]: r["count"] for r in out}
+    assert 0 not in ids
+    assert ids[1] == len(_naive_winnow(phrase * 4))
+
+
+def test_winnow_overlap_df_cap_drops_boilerplate(spark):
+    """A fingerprint hotter than max_fp_df is pruned from candidate
+    generation: pairs supported ONLY by it disappear."""
+    from tokenqc.textops import dedup
+
+    fps = spark.createDataFrame(
+        [(i, 777) for i in range(6)] + [(0, 1), (1, 1), (0, 2), (1, 2), (0, 3), (1, 3)],
+        "doc_id long, fp long",
+    )
+    uncapped = dedup.winnow_overlap_pairs(fps, min_shared=1, max_fp_df=None)
+    assert uncapped.count() == 15 + 0  # 6C2 via 777; (0,1) row merges in
+    capped = dedup.winnow_overlap_pairs(fps, min_shared=3, max_fp_df=5).collect()
+    assert {(r.id_a, r.id_b, r.n_shared) for r in capped} == {(0, 1, 3)}

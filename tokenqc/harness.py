@@ -1277,3 +1277,82 @@ FROM planted p JOIN fences f ON p.source = f.source
 WHERE p.n_tok IS NOT NULL
   AND (p.n_tok < q1 - 3.0 * (q3 - q1) OR p.n_tok > q3 + 3.0 * (q3 - q1))
 """
+
+
+def q_seq_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-overlap pairs via winnowed fingerprints
+    (dedup.winnow_fingerprints + winnow_overlap_pairs, k=8, w=8):
+    planted rule rn % 499 = 23 overwrites the first min(64, sz)
+    positions with one SHARED phrase ((x*37+11) % 50257 — identical
+    across planted docs), so every planted pair shares the phrase's
+    winnowed fingerprints while the rest of each document stays the
+    per-rn generator stream; clean docs have no >= w+k-1 common run.
+    The oracle recomputes the IDENTICAL mod-P polynomial hashes in
+    plain 64-bit integer SQL (every product < 2^62 — exact), replays
+    the winnow minimum as a window min, and re-joins pairs — certifying
+    hash arithmetic, winnow selection, dedup, df-cap, and threshold."""
+    from tokenqc.textops import dedup
+
+    seq = derive_sequences(spark, sf_dir)
+    sz = F.size("tokens")
+    phrase = F.transform(
+        F.sequence(F.lit(1), sz),
+        lambda x: F.when(x <= 64, (x * 37 + 11) % 50257)
+        .otherwise((x * 31 + F.col("rn")) % 50257)
+        .cast("int"),
+    )
+    planted = seq.withColumn(
+        "tokens",
+        F.when(
+            (F.col("rn") % 499 == 23) & F.col("tokens").isNotNull() & (sz > 0),
+            phrase,
+        ).otherwise(F.col("tokens")),
+    )
+    fps = dedup.winnow_fingerprints(planted, id_col="rn", k=8, w=8)
+    return dedup.winnow_overlap_pairs(fps, id_col="rn", min_shared=3, max_fp_df=1000)
+
+
+def oracle_seq_winnow_pairs() -> str:
+    """Independent DuckDB re-derivation: per-position values via
+    generate_series + the planting CASE, the same k-term polynomial
+    mod-P hash in BIGINT arithmetic, winnow via a window min, pairs
+    via the fingerprint self-join with the same df cap and threshold."""
+    p = (1 << 31) - 1
+    b = 1000003
+    pw = [1]
+    for _ in range(7):
+        pw.append(pw[-1] * b % p)
+    pw = pw[::-1]
+    hexpr = " + ".join(f"toks[CAST(x + {j} AS INTEGER)] * {pw[j]}" for j in range(8))
+    return SEQ_CTE + f"""
+, pos AS (
+  SELECT rn, sz, unnest(generate_series(1, CAST(sz AS BIGINT))) AS x
+  FROM seq WHERE sz IS NOT NULL AND sz >= 15
+), tok AS (
+  SELECT rn, sz, x,
+    CASE WHEN rn % 499 = 23 AND x <= 64 THEN (x * 37 + 11) % 50257
+         ELSE (x * 31 + rn) % 50257 END AS v
+  FROM pos
+), arrs AS (
+  SELECT rn, max(sz) AS sz, list(v ORDER BY x) AS toks FROM tok GROUP BY rn
+), h AS (
+  SELECT rn, x, ({hexpr}) % {p} AS hv
+  FROM arrs, LATERAL (
+    SELECT unnest(generate_series(1, CAST(sz - 7 AS BIGINT))) AS x
+  ) g
+), wmin AS (
+  SELECT rn, x,
+    min(hv) OVER (PARTITION BY rn ORDER BY x
+                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+    max(x) OVER (PARTITION BY rn) AS mx
+  FROM h
+), fps AS (
+  SELECT DISTINCT rn, fp FROM wmin WHERE x <= mx - 7
+), kept AS (
+  SELECT rn, fp FROM fps
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000)
+)
+SELECT a.rn AS id_a, b.rn AS id_b, count(*) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.rn < b.rn
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""

@@ -651,3 +651,176 @@ def cluster_split(
         joined.drop("component"), id_col="group_id", weights=weights, salt=salt
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS): local-overlap detection robust to edits
+# ---------------------------------------------------------------------------
+def _winnow_powers(k: int, mod_p: int):
+    """Power vector B^(k-1-j) mod P for the mod-P polynomial window
+    hash. P < 2^31 keeps every product tok*pw < 2^62 (exact in int64 /
+    uint64 AND in a float64 mantissa), so the identical hash is
+    computable in any engine with 64-bit integers — the property the
+    winnowing oracle relies on. B odd and coprime to P preserves
+    positional sensitivity (permuted windows hash differently)."""
+    import numpy as np
+
+    b = 1000003 % mod_p
+    pw, acc = [1], 1
+    for _ in range(k - 1):
+        acc = (acc * b) % mod_p
+        pw.append(acc)
+    return np.array(pw[::-1], dtype=np.uint64)
+
+
+def _sliding_min(a, w: int):
+    """O(n) sliding-window minimum (block prefix/suffix method): for a
+    window of width w starting at i, min = min(suffix-min of i's block
+    from i, prefix-min of (i+w-1)'s block to i+w-1), with block size w.
+    Fully vectorized — no per-window loop, no (n, w) window view."""
+    import numpy as np
+
+    if w == 1:
+        return a
+    n = a.size
+    nw = n - w + 1
+    nb = -(-n // w)
+    pad = nb * w - n
+    ap = np.concatenate([a, np.full(pad, np.iinfo(a.dtype).max, a.dtype)])
+    blk = ap.reshape(nb, w)
+    pref = np.minimum.accumulate(blk, axis=1).ravel()
+    suff = np.minimum.accumulate(blk[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(suff[:nw], pref[w - 1 : w - 1 + nw])
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 8,
+    w: int = 8,
+    mod_p: int = _P,
+) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer/Wilkerson/Aiken MOSS):
+    the min k-gram hash of every window of `w` consecutive k-grams, the
+    standard LOCAL-overlap detector the corpus-level tiers above lack —
+    MinHash grades whole-document similarity; winnowing finds a shared
+    PASSAGE (license boilerplate, quoted answer keys, copy-pasted
+    functions) inside otherwise unrelated documents, with the guarantee
+    that any shared run of >= w + k - 1 tokens yields at least one
+    shared fingerprint in both documents.
+
+    Scale shape: ONE Arrow mapInPandas stage over a slim (id, tokens)
+    projection — each batch flattens once, window hashes come from k
+    shifted multiply-accumulate passes mod P (O(n) memory, exact), the
+    winnow minimum from an O(n) block prefix/suffix pass (never an
+    (n, w) view), per-row dedup from one lexsort. One array row per
+    document crosses Arrow back (~2/(w+1) of the token volume); the
+    JVM explodes it to (id, fp) rows, so only 16-byte rows ever reach
+    an exchange. Zero shuffles inside this operator (plan-pinned).
+
+    The hash is a k-term polynomial mod P < 2^31 — replayable exactly
+    in plain 64-bit integer SQL, which is what the oracle does (no
+    hash mocking). Fingerprint collisions run at ~n_fp^2/2P corpus-wide;
+    they are deterministic, identical across engines, and filtered out
+    downstream by `winnow_overlap_pairs(min_shared=...)`. Token ids
+    must be non-negative (the token-lint oob gate enforces upstream).
+
+    Rows with fewer than k + w - 1 tokens have no winnow window and are
+    excluded. Output: (id_col, fp) — distinct per document.
+
+    Reference analogue: the content-overlap lint family of
+    /root/reference/bin/check_tool.py:24-52, re-expressed as passage
+    fingerprints over the token payload.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    if not (1 < mod_p <= (1 << 31)):
+        raise ValueError("mod_p must fit 31 bits")
+    powers = _winnow_powers(k, mod_p)
+    min_len = k + w - 1
+
+    def winnow_op(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            arrs = [np.asarray(a, dtype=np.uint64) for a in pdf[tokens_col]]
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+            flat = np.concatenate(arrs)
+            n_win = flat.size - (k - 1)
+            h_flat = np.zeros(n_win, dtype=np.uint64)
+            for j in range(k):
+                h_flat = (h_flat + flat[j : j + n_win] * powers[j]) % mod_p
+            # per-row valid hash windows (drop row-straddling starts)
+            n_sh = lens - (k - 1)
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            sh_offs = np.cumsum(n_sh) - n_sh
+            row_of = np.repeat(np.arange(len(arrs)), n_sh)
+            pos = np.arange(int(n_sh.sum())) - sh_offs[row_of]
+            hv = h_flat[offs[row_of] + pos].view(np.int64)
+            # winnow: min over each window of w consecutive same-row hashes
+            smin = _sliding_min(hv, w)
+            nwf = smin.size
+            valid = pos[:nwf] <= (n_sh[row_of[:nwf]] - w)
+            sel, sel_row = smin[valid], row_of[:nwf][valid]
+            # distinct (row, fp) via one lexsort + run-length pass
+            order = np.lexsort((sel, sel_row))
+            s, r = sel[order], sel_row[order]
+            keep = np.ones(s.shape[0], dtype=bool)
+            keep[1:] = (s[1:] != s[:-1]) | (r[1:] != r[:-1])
+            s, r = s[keep], r[keep]
+            # every input row has >= 1 winnow window (filtered upstream)
+            row_starts = np.flatnonzero(np.r_[True, r[1:] != r[:-1]])
+            fps = np.split(s, row_starts[1:])
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "fps": fps})
+
+    dtypes = dict(df.dtypes)
+    toks = F.col(tokens_col)
+    out = (
+        df.where(toks.isNotNull() & (F.size(toks) >= min_len))
+        .select(id_col, tokens_col)
+        .mapInPandas(winnow_op, schema=f"{id_col} {dtypes[id_col]}, fps array<bigint>")
+    )
+    return out.select(id_col, F.explode("fps").alias("fp"))
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 3,
+    max_fp_df: int | None = 1000,
+) -> DataFrame:
+    """Document pairs sharing >= min_shared winnowed fingerprints:
+    (id_a, id_b, n_shared) — the passage-overlap report over
+    `winnow_fingerprints` output (which is distinct per doc, so the
+    pair count IS the distinct shared-fingerprint count).
+
+    The self-join fans out quadratically per fingerprint document
+    frequency — one license header winnowed into 10^6 docs is a 10^12
+    row bucket — so `max_fp_df` prunes hotter-than-cap fingerprints
+    from candidate generation (the `ngram_jaccard_pairs` df-cap rule):
+    a fingerprint shared by more docs than the cap identifies
+    boilerplate, not a pair. None = exact/uncapped. `min_shared`
+    additionally suppresses the deterministic mod-P collision floor
+    (~1 shared fp between unrelated docs at corpus scale)."""
+    idx = fps
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_fp_df)
+            .select("fp")
+        )
+        idx = fps.join(hot, "fp", "left_anti")
+    a, b = idx.alias("a"), idx.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
