@@ -298,6 +298,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MOSS winnowing: passage-overlap pairs via min-hash-per-window
         # fingerprints (mod-P polynomial hash replayed exactly in SQL)
         "seq_winnow_pairs": H.q_seq_winnow_pairs,
+        # per-source corpus data card: docs/words/mean-quality/lang-mix/
+        # dup-rate from the SAME formula exprs as the per-doc operators
+        "doc_datacard": HT.q_doc_datacard,
     }
 
 
@@ -340,6 +343,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_cluster_split": HT.oracle_dedup_cluster_split(),
         "seq_ntok_outliers": H.oracle_seq_ntok_outliers(),
         "seq_winnow_pairs": H.oracle_seq_winnow_pairs(),
+        "doc_datacard": HT.oracle_doc_datacard(),
     }
 
 

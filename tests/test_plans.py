@@ -464,3 +464,16 @@ def test_winnow_fingerprints_zero_shuffle(spark):
     plan = plan_of(dedup.winnow_fingerprints(df, k=4, w=4))
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan
+
+
+def test_corpus_datacard_aggregates_before_dup_join(spark):
+    """The dup tree joins per-(digest, source) AGGREGATES, never per-doc
+    rows, and nothing in the card needs a Window."""
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "s")], "doc_id long, text string, source string"
+    )
+    plan = plan_of(textqc.corpus_datacard(df))
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan

@@ -1132,3 +1132,47 @@ def test_winnow_overlap_df_cap_drops_boilerplate(spark):
     assert uncapped.count() == 15 + 0  # 6C2 via 777; (0,1) row merges in
     capped = dedup.winnow_overlap_pairs(fps, min_shared=3, max_fp_df=5).collect()
     assert {(r.id_a, r.id_b, r.n_shared) for r in capped} == {(0, 1, 3)}
+
+
+def test_corpus_datacard_planted(spark):
+    """Cross-source copies count as duplicated in BOTH sources; null
+    text/source rows are excluded; lang mix and integer dup_ppm exact."""
+    from tokenqc.textops import textqc
+
+    rows = [
+        (0, "the cat and the dog sat of to is in that", "web"),
+        (1, "the cat and the dog sat of to is in that", "news"),  # cross-source copy
+        (2, "der die das und ist nicht ein zu bitte",  "web"),
+        (3, "qqq zzz xxx", "web"),                                 # no stopwords -> und
+        (4, None, "web"),
+        (5, "the a and", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in textqc.corpus_datacard(df).collect()}
+    assert set(out) == {"web", "news"}
+    web, news = out["web"], out["news"]
+    assert web.n_docs == 3 and news.n_docs == 1
+    assert web.n_dup_docs == 1 and news.n_dup_docs == 1
+    assert web.dup_ppm == 333333 and news.dup_ppm == 1000000
+    assert web.n_lang_en == 1 and web.n_lang_und == 1
+    assert news.n_lang_en == 1
+    assert web.n_words == 11 + 9 + 3
+
+
+def test_corpus_datacard_quality_matches_quality_score(spark):
+    """The card's mean_quality is the mean of quality_score's per-doc
+    scores — one formula, no drift."""
+    from tokenqc.textops import textqc
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "s"),
+        (1, "a b c d e f g h i j k l m n o p q r s t u v w x y z", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    import math
+
+    per_doc = [r["quality_score"] for r in textqc.quality_score(df).collect()]
+    card = textqc.corpus_datacard(df).collect()[0]
+    # Spark round() is half-away-from-zero; Python round() is banker's
+    exp = math.floor(sum(per_doc) / len(per_doc) * 1e6 + 0.5) / 1e6
+    assert card.mean_quality == exp

@@ -1779,3 +1779,75 @@ def oracle_dedup_cluster_split() -> str:
         f"CASE WHEN {b} < 95 THEN 'train' WHEN {b} < 99 THEN 'val' "
         "ELSE 'test' END AS split FROM grouped"
     )
+
+
+def derive_card_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + exact copies (doc_id % 25 = 0, shifted ids, SAME
+    source) — the datacard input: keeps the source column (unlike
+    derive_corpus) and plants a known per-source duplication rate."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    copies = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "source"
+    )
+    return docs.unionByName(copies)
+
+
+def q_doc_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card (textqc.corpus_datacard): docs,
+    words, mean quality, language mix, exact-dup rate — planted copies
+    make every source's dup_ppm nonzero; the oracle recomposes the
+    quality formula, the lang argmax CASE, and the digest dup tree
+    from first principles in one SQL query."""
+    return textqc.corpus_datacard(derive_card_corpus(spark, sf_dir))
+
+
+def oracle_doc_datacard() -> str:
+    all_stop = _stoplist_sql(sorted({s for v in textqc.LANG_STOPWORDS.values() for s in v}))
+    hits = ", ".join(
+        f"len(list_filter(w, x -> x IN ({_stoplist_sql(stops)}))) AS h_{lang}"
+        for lang, stops in textqc.LANG_STOPWORDS.items()
+    )
+    gmax = "greatest(" + ", ".join(f"h_{g}" for g in textqc.LANG_ORDER) + ")"
+    case = " ".join(f"WHEN h_{g} = {gmax} THEN '{g}'" for g in textqc.LANG_ORDER)
+    return f"""
+WITH card AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text, source FROM documents WHERE doc_id % 25 = 0
+), f AS (
+  SELECT source, string_split_regex(trim(text), '\\s+') AS w,
+    CAST(length(text) AS DOUBLE) AS n_chars, md5(text) AS digest
+  FROM card WHERE text IS NOT NULL AND source IS NOT NULL
+), g AS (
+  SELECT source, digest, CAST(len(w) AS BIGINT) AS n_words,
+    round(0.3 * (CASE WHEN len(w) >= 10 AND len(w) <= 1000 THEN 1.0 ELSE 0.0 END)
+        + 0.2 * (CASE WHEN (n_chars - (len(w) - 1)) / len(w) >= 2.5
+                AND (n_chars - (len(w) - 1)) / len(w) <= 12.0 THEN 1.0 ELSE 0.0 END)
+        + 0.2 * least(CAST(len(list_filter(w, x -> x IN ({all_stop}))) AS DOUBLE) / len(w) * 5, 1.0)
+        + 0.3 * least(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 2, 1.0), 6) AS q,
+    {hits}
+  FROM f
+), l AS (
+  SELECT source, digest, n_words, q,
+    CASE WHEN {gmax} = 0 THEN 'und' {case} END AS lang_pred
+  FROM g
+), m AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_words,
+    round(avg(q), 6) AS mean_quality,
+    CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_en,
+    CAST(sum(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_und
+  FROM l GROUP BY source
+), pd AS (
+  SELECT digest, source, count(*) AS cnt FROM l GROUP BY digest, source
+), t AS (
+  SELECT digest, sum(cnt) AS tot FROM pd GROUP BY digest
+), d AS (
+  SELECT pd.source, CAST(sum(pd.cnt) AS BIGINT) AS n_dup_docs
+  FROM pd JOIN t ON pd.digest = t.digest AND t.tot > 1
+  GROUP BY pd.source
+)
+SELECT m.source, m.n_docs, m.n_words, m.mean_quality, m.n_lang_en,
+  m.n_lang_und, coalesce(d.n_dup_docs, 0) AS n_dup_docs,
+  coalesce(d.n_dup_docs, 0) * 1000000 // m.n_docs AS dup_ppm
+FROM m LEFT JOIN d ON m.source = d.source
+"""

@@ -43,13 +43,9 @@ def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Deterministic quality features + composite score in [0, 1].
-
-    Features (all ratios): length band, mean word length band, stopword
-    ratio, distinct-word ratio (lexical diversity). Weights fixed; the
-    point is a reproducible, threshold-able score — the engine analogue
-    of the reference's graded criteria (analyze_joss.py:302-345)."""
+def _quality_exprs(text_col: str = "text") -> dict[str, Column]:
+    """The quality-feature column expressions, shared by `quality_score`
+    and `corpus_datacard` so there is exactly ONE formula."""
     w = words_expr(text_col)
     n_words = F.size(w).cast("double")
     n_chars = F.length(F.col(text_col)).cast("double")
@@ -63,6 +59,22 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         0.3 * len_band + 0.2 * wlen_band + 0.2 * F.least(stop_ratio * 5, F.lit(1.0))
         + 0.3 * F.least(distinct_ratio * 2, F.lit(1.0))
     )
+    return {
+        "w": w, "mean_wlen": mean_wlen, "stop_ratio": stop_ratio,
+        "distinct_ratio": distinct_ratio, "score": score,
+    }
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic quality features + composite score in [0, 1].
+
+    Features (all ratios): length band, mean word length band, stopword
+    ratio, distinct-word ratio (lexical diversity). Weights fixed; the
+    point is a reproducible, threshold-able score — the engine analogue
+    of the reference's graded criteria (analyze_joss.py:302-345)."""
+    e = _quality_exprs(text_col)
+    w, mean_wlen = e["w"], e["mean_wlen"]
+    stop_ratio, distinct_ratio, score = e["stop_ratio"], e["distinct_ratio"], e["score"]
     return df.select(
         F.col(id_col),
         F.size(w).cast("long").alias("n_words"),
@@ -73,12 +85,12 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: argmax over per-language stopword hit
-    counts, deterministic tie-break by LANG_ORDER; 'und' when no hits."""
+def _lang_pred_expr(text_col: str = "text") -> Column:
+    """Language-ID prediction column, shared by `lang_id` and
+    `corpus_datacard`: argmax via array_max over (hits, -order_index,
+    lang) structs — higher hits win; ties go to the earlier lang in
+    LANG_ORDER; 'und' when no stopword hits at all."""
     w = words_expr(text_col)
-    # argmax via array_max over (hits, -order_index, lang) structs:
-    # higher hits win; on ties the earlier lang in LANG_ORDER wins
     cands = F.array(
         *[
             F.struct(
@@ -90,8 +102,76 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         ]
     )
     best = F.array_max(cands)
-    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
-    return df.select(F.col(id_col), pred.alias("lang_pred"))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax over per-language stopword hit
+    counts, deterministic tie-break by LANG_ORDER; 'und' when no hits."""
+    return df.select(F.col(id_col), _lang_pred_expr(text_col).alias("lang_pred"))
+
+
+def corpus_datacard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-row-per-source corpus data card — the summary table a
+    training-data release publishes (docs, volume, mean quality,
+    language mix, exact-duplication rate), composed from the SAME
+    formula expressions as `quality_score` / `lang_id` / the dedup
+    digest so the card can never drift from the per-doc operators.
+
+    Scale shape: one narrow per-row projection (source, n_words,
+    rounded quality, lang_pred, md5 digest) feeds two aggregation
+    trees — per-source metrics (one partial-agg'd exchange keyed by
+    source) and the duplication tree, which aggregates (digest,
+    source) counts FIRST so no per-doc row ever joins back: digest
+    totals and the flagged-digest join both run on the same
+    digest-keyed partitioning (the per-digest fan-out is bounded by
+    the source vocabulary), then re-aggregate per source. A document
+    counts as duplicated when its exact text appears more than once
+    in the WHOLE corpus (cross-source copies count in both sources).
+    The projection is recomputed by each tree (two scans) — cheaper
+    than persisting a corpus-sized frame at target scale.
+
+    Rows with NULL text or NULL source are excluded: the card
+    summarizes attributable content; completeness gates count the
+    rest. dup_ppm is integer (n_dup_docs * 10^6 div n_docs) — exact
+    cross-engine. Reference analogue: the run-level summary the
+    reference assembles per tool (/root/reference/bin/
+    analyze_almanack.py:1-40), lifted to corpus granularity.
+    """
+    e = _quality_exprs(text_col)
+    rows = df.where(
+        F.col(text_col).isNotNull() & F.col(source_col).isNotNull()
+    ).select(
+        F.col(source_col).alias("source"),
+        F.size(e["w"]).cast("long").alias("n_words"),
+        F.round(e["score"], 6).alias("q"),
+        _lang_pred_expr(text_col).alias("lang_pred"),
+        F.md5(F.col(text_col)).alias("digest"),
+    )
+    metrics = rows.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.round(F.avg("q"), 6).alias("mean_quality"),
+        F.sum((F.col("lang_pred") == "en").cast("long")).alias("n_lang_en"),
+        F.sum((F.col("lang_pred") == "und").cast("long")).alias("n_lang_und"),
+    )
+    per_digest = rows.groupBy("digest", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = per_digest.groupBy("digest").agg(F.sum("cnt").alias("tot"))
+    dups = (
+        per_digest.join(totals.where(F.col("tot") > 1), "digest")
+        .groupBy("source")
+        .agg(F.sum("cnt").alias("n_dup_docs"))
+    )
+    out = metrics.join(dups, "source", "left").withColumn(
+        "n_dup_docs", F.coalesce(F.col("n_dup_docs"), F.lit(0).cast("long"))
+    )
+    # integer DIV, never float division: exact cross-engine
+    return out.withColumn("dup_ppm", F.expr("n_dup_docs * 1000000L DIV n_docs"))
 
 
 def outcome_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
