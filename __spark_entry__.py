@@ -301,6 +301,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source corpus data card: docs/words/mean-quality/lang-mix/
         # dup-rate from the SAME formula exprs as the per-doc operators
         "doc_datacard": HT.q_doc_datacard,
+        # soft quality-weighted sampling: keep prob ∝ score^gamma via
+        # explicit product chain + md5 Bernoulli (zero-shuffle)
+        "doc_weighted_sample": HT.q_doc_weighted_sample,
     }
 
 
@@ -344,6 +347,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_ntok_outliers": H.oracle_seq_ntok_outliers(),
         "seq_winnow_pairs": H.oracle_seq_winnow_pairs(),
         "doc_datacard": HT.oracle_doc_datacard(),
+        "doc_weighted_sample": HT.oracle_doc_weighted_sample(),
     }
 
 

@@ -477,3 +477,17 @@ def test_corpus_datacard_aggregates_before_dup_join(spark):
     plan = plan_of(textqc.corpus_datacard(df))
     assert "Window" not in plan, plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_score_weighted_sample_zero_shuffle(spark):
+    """The soft sampler is row-local: filter in the scan stage, no
+    Exchange, no Python."""
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame([(1, 0.5)], "doc_id long, quality_score double")
+    plan = plan_of(textqc.score_weighted_sample(df))
+    assert "Exchange" not in plan, plan
+    # no Python evaluation nodes (the local-fixture scan node mentions
+    # "PythonRDD" — that's createDataFrame, not the operator)
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan, plan

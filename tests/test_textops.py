@@ -1176,3 +1176,36 @@ def test_corpus_datacard_quality_matches_quality_score(spark):
     # Spark round() is half-away-from-zero; Python round() is banker's
     exp = math.floor(sum(per_doc) / len(per_doc) * 1e6 + 0.5) / 1e6
     assert card.mean_quality == exp
+
+
+def test_score_weighted_sample_exact_semantics(spark):
+    """rate_ppm is the explicit clamp^gamma product with half-away
+    rounding; the md5 keep decision matches a Python recomputation;
+    NULL scores drop; validation raises."""
+    import hashlib
+
+    import pytest
+
+    from tokenqc.textops import textqc
+
+    rows = [(0, 1.0), (1, 0.5), (2, 0.0), (3, -0.2), (4, 1.7), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, quality_score double")
+    out = {r.doc_id: r for r in textqc.score_weighted_sample(
+        df, gamma=2, max_keep_ppm=800000).collect()}
+
+    import math
+    for i, s in rows:
+        if s is None:
+            assert i not in out
+            continue
+        c = min(max(s, 0.0), 1.0)
+        rate = math.floor(c * c * 800000 + 0.5)
+        u = int(hashlib.md5(f"swsample-v1{i}".encode()).hexdigest()[:8], 16) % 1000000
+        if u < rate:
+            assert out[i].rate_ppm == rate, (i, s)
+        else:
+            assert i not in out, (i, s, u, rate)
+    with pytest.raises(ValueError):
+        textqc.score_weighted_sample(df, gamma=0)
+    with pytest.raises(ValueError):
+        textqc.score_weighted_sample(df, max_keep_ppm=2000000)

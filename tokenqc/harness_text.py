@@ -1851,3 +1851,41 @@ SELECT m.source, m.n_docs, m.n_words, m.mean_quality, m.n_lang_en,
   coalesce(d.n_dup_docs, 0) * 1000000 // m.n_docs AS dup_ppm
 FROM m LEFT JOIN d ON m.source = d.source
 """
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality-weighted sampling (textqc.score_weighted_sample,
+    gamma=2, max 900k ppm): keep probability ∝ quality², md5-Bernoulli
+    deterministic keep. The oracle recomputes the quality formula, the
+    explicit clamp·clamp product, the floor(x+0.5) rate, and the md5
+    bucket arithmetic — certifying the whole soft-sampling path."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    e = textqc._quality_exprs("text")
+    scored = docs.select("doc_id", F.round(e["score"], 6).alias("quality_score"))
+    return textqc.score_weighted_sample(scored, gamma=2, max_keep_ppm=900000)
+
+
+def oracle_doc_weighted_sample() -> str:
+    all_stop = _stoplist_sql(sorted({s for v in textqc.LANG_STOPWORDS.values() for s in v}))
+    u = "CAST(('0x' || substr(md5('swsample-v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000"
+    return f"""
+WITH f AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+    CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    round(0.3 * (CASE WHEN len(w) >= 10 AND len(w) <= 1000 THEN 1.0 ELSE 0.0 END)
+        + 0.2 * (CASE WHEN (n_chars - (len(w) - 1)) / len(w) >= 2.5
+                AND (n_chars - (len(w) - 1)) / len(w) <= 12.0 THEN 1.0 ELSE 0.0 END)
+        + 0.2 * least(CAST(len(list_filter(w, x -> x IN ({all_stop}))) AS DOUBLE) / len(w) * 5, 1.0)
+        + 0.3 * least(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 2, 1.0), 6) AS quality_score
+  FROM f
+), r AS (
+  SELECT doc_id, quality_score,
+    CAST(floor(least(greatest(quality_score, 0.0), 1.0)
+             * least(greatest(quality_score, 0.0), 1.0) * 900000.0 + 0.5) AS INTEGER) AS rate_ppm
+  FROM g
+)
+SELECT doc_id, quality_score, rate_ppm FROM r WHERE {u} < rate_ppm
+"""

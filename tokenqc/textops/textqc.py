@@ -797,6 +797,60 @@ def deterministic_split(
     return out.withColumn("split", expr)
 
 
+def score_weighted_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+    gamma: int = 1,
+    max_keep_ppm: int = 1000000,
+    salt: str = "swsample-v1",
+) -> DataFrame:
+    """Soft quality-weighted sampling: keep each row with probability
+    proportional to score^gamma — the smooth companion to
+    `score_top_sample`'s hard cut (a hard top-X% discards everything
+    below the threshold; weighted sampling keeps a graded tail, the
+    usual way quality-classifier scores are consumed when diversity
+    matters more than a sharp boundary; gamma sharpens the preference).
+
+    Deterministic and bit-portable: rate_ppm = floor(clamp(score, 0,
+    1)^gamma × max_keep_ppm + 0.5) — the power is an EXPLICIT product
+    chain (gamma must be a small positive int; `pow()` routes through
+    exp/log whose last ulp differs across engines), IEEE double
+    multiply is reproducible everywhere; keep iff md5(salt || id)
+    first-8-hex mod 10^6 < rate_ppm (the `mixture_sample` idiom, same
+    documented ~0.02% modulo bias). Entirely row-local — the filter
+    runs in the scan stage, zero shuffles (plan-pinned). Rows with
+    NULL score are dropped (un-scored rows have no sampling weight;
+    score them or route them through completeness gates first).
+
+    Output: kept rows with all input columns + rate_ppm (int).
+    """
+    if not (isinstance(gamma, int) and 1 <= gamma <= 8):
+        raise ValueError("gamma must be an int in [1, 8]")
+    if not (0 < max_keep_ppm <= 1000000):
+        raise ValueError("max_keep_ppm must be in (0, 10^6]")
+    clamped = F.least(F.greatest(F.col(score_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    powed = clamped
+    for _ in range(gamma - 1):
+        powed = powed * clamped
+    rate = F.floor(powed * F.lit(float(max_keep_ppm)) + F.lit(0.5)).cast("int")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    return (
+        df.where(F.col(score_col).isNotNull())
+        .withColumn("rate_ppm", rate)
+        .where(u < F.col("rate_ppm"))
+    )
+
+
 def mixture_plan(
     df: DataFrame,
     budget_tokens: int,
