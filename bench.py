@@ -363,6 +363,14 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
         lambda: textqc.token_kgram_repetition(seq, id_col="doc_id").count(),
         side_trials,
     )
+    # winnowed fingerprints (late r5): fifth full-payload pass — mod-P
+    # window hashes + O(n) block sliding min inside one Arrow stage,
+    # per-doc fps arrays exploded JVM-side (zero shuffles, plan-pinned)
+    timed(
+        "q_winnow_fps",
+        lambda: dedup.winnow_fingerprints(seq, id_col="doc_id").count(),
+        side_trials,
+    )
     timed("q_stats_profile", lambda: stats.profile(seq, cfg).count(), side_trials)
 
     # text/embedding headliners on the driver testdata
@@ -374,6 +382,9 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     # sub-document chunk dedup (late r5): digest-only shuffles — the md5
     # happens in the scan project; the dup join-back is AQE-decided
     timed("q_chunk_dedup", lambda: dedup.chunk_dup_stats(docs).count(), side_trials)
+    # per-source corpus data card (late r5): two aggregation trees off
+    # one narrow projection; dup tree joins (digest, source) aggregates
+    timed("q_datacard", lambda: textqc.corpus_datacard(docs).count(), side_trials)
 
     # sequence packing over the bench token table (distributed prefix
     # sum + span explode); the synthetic unique key stands in for the
