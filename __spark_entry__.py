@@ -304,6 +304,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # soft quality-weighted sampling: keep prob ∝ score^gamma via
         # explicit product chain + md5 Bernoulli (zero-shuffle)
         "doc_weighted_sample": HT.q_doc_weighted_sample,
+        # packing provenance audit over deliberately corrupted spans:
+        # every check certified on its nonzero path
+        "seq_pack_audit": HT.q_seq_pack_audit,
     }
 
 
@@ -348,6 +351,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_winnow_pairs": H.oracle_seq_winnow_pairs(),
         "doc_datacard": HT.oracle_doc_datacard(),
         "doc_weighted_sample": HT.oracle_doc_weighted_sample(),
+        "seq_pack_audit": HT.oracle_seq_pack_audit(),
     }
 
 

@@ -368,3 +368,55 @@ def test_interleave_plan_validates_weights(spark):
                 [1009, 1013, 1019, 1021, 1031, 1033, 1039, 1049, 1051, 1061]
             )}
         )
+
+
+def test_pack_audit_clean_plan_is_all_zero(spark):
+    from tokenqc.textops import pack
+
+    src = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([7, 3, 10, 5, 5, 4])], "rn long, n_tok int"
+    )
+    sp = pack.chunk_spans(src, cap=10, order_cols=("rn",))
+    out = {r.check_name: (r.n_checked, r.n_bad) for r in
+           pack.pack_audit(sp, src, cap=10).collect()}
+    assert set(out) == {"doc_coverage", "span_bounds", "pack_tiling", "pack_fill"}
+    assert all(bad == 0 for _, bad in out.values()), out
+    assert out["doc_coverage"][0] == 6
+    # 34 tokens at cap 10 -> packs 0..3
+    assert out["pack_tiling"][0] == 4
+
+
+def test_pack_audit_flags_each_corruption(spark):
+    from pyspark.sql import functions as F
+
+    from tokenqc.textops import pack
+
+    src = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([7, 3, 10, 5, 5, 4])], "rn long, n_tok int"
+    )
+    sp = pack.chunk_spans(src, cap=10, order_cols=("rn",))
+
+    def audit(s):
+        return {r.check_name: r.n_bad for r in pack.pack_audit(s, src, cap=10).collect()}
+
+    # dropped doc: coverage bad, and its pack gains a seam or short fill
+    dropped = audit(sp.where(F.col("rn") != 1))
+    assert dropped["doc_coverage"] == 1
+    assert dropped["pack_tiling"] >= 1 or dropped["pack_fill"] >= 1
+    # inflated len: coverage + fill flag; bounds may also flag
+    longer = audit(sp.withColumn(
+        "len", F.when(F.col("rn") == 2, F.col("len") + 1).otherwise(F.col("len"))))
+    assert longer["doc_coverage"] == 1 and longer["pack_fill"] >= 1
+    # shifted start: tiling seam, never a coverage change
+    shifted = audit(sp.withColumn(
+        "start", F.when((F.col("rn") == 0) & (F.col("pack_id") == 0),
+                        F.col("start") + 1).otherwise(F.col("start"))))
+    assert shifted["doc_coverage"] == 0 and shifted["pack_tiling"] >= 1
+    # out-of-bounds span
+    oob = audit(sp.withColumn(
+        "start", F.when(F.col("rn") == 3, F.lit(9)).otherwise(F.col("start"))))
+    assert oob["span_bounds"] >= 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack.pack_audit(sp, src, cap=0)

@@ -1889,3 +1889,90 @@ WITH f AS (
 )
 SELECT doc_id, quality_score, rate_ppm FROM r WHERE {u} < rate_ppm
 """
+
+
+def q_seq_pack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing provenance audit (pack.pack_audit) over DELIBERATELY
+    corrupted spans, so every audit check is certified on its nonzero
+    path: rn % 241 = 3 drops a doc's spans (coverage + tiling holes),
+    rn % 227 = 9 inflates a span length (coverage + fill + seams),
+    rn % 229 = 4 shifts a span start (tiling seams, possibly bounds).
+    The oracle re-derives the spans definitionally, replays the same
+    corruption CASEs, and recomputes all four audit aggregates."""
+    from tokenqc.harness import derive_sequences
+    from tokenqc.textops import pack
+
+    seq = (
+        derive_sequences(spark, sf_dir)
+        .where(F.col("n_tok").isNotNull())
+        .select("rn", "n_tok")
+    )
+    sp = pack.chunk_spans(seq, cap=_PACK_CAP, order_cols=("rn",))
+    rn = F.col("rn")
+    corrupted = (
+        sp.where(rn % 241 != 3)
+        .withColumn(
+            "start", F.when(rn % 229 == 4, F.col("start") + 1).otherwise(F.col("start"))
+        )
+        .withColumn(
+            "len", F.when(rn % 227 == 9, F.col("len") + 1).otherwise(F.col("len"))
+        )
+    )
+    return pack.pack_audit(corrupted, seq, cap=_PACK_CAP)
+
+
+def oracle_seq_pack_audit() -> str:
+    from tokenqc.harness import SEQ_CTE
+
+    c = _PACK_CAP
+    return SEQ_CTE + f"""
+, off AS (
+  SELECT rn, n_tok,
+    CAST(coalesce(sum(n_tok) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+  FROM seq WHERE n_tok IS NOT NULL
+), sp0 AS (
+  SELECT rn, p AS pack_id,
+    greatest("offset", p*{c}) - p*{c} AS start,
+    least("offset" + n_tok, (p+1)*{c}) - greatest("offset", p*{c}) AS "len"
+  FROM off, LATERAL unnest(generate_series("offset" // {c}, ("offset" + n_tok - 1) // {c})) AS t(p)
+  WHERE n_tok > 0
+), sp AS (
+  SELECT rn, pack_id,
+    CASE WHEN rn % 229 = 4 THEN start + 1 ELSE start END AS start,
+    CASE WHEN rn % 227 = 9 THEN "len" + 1 ELSE "len" END AS "len"
+  FROM sp0 WHERE rn % 241 <> 3
+), docs AS (
+  SELECT rn, CAST(n_tok AS BIGINT) AS n FROM seq
+  WHERE n_tok IS NOT NULL AND n_tok > 0
+), cov AS (
+  SELECT d.rn, d.n, coalesce(s.cvr, 0) AS cvr
+  FROM docs d LEFT JOIN (SELECT rn, sum("len") AS cvr FROM sp GROUP BY rn) s
+  USING (rn)
+), seams AS (
+  SELECT pack_id, "len",
+    CASE WHEN lag(start + "len") OVER
+           (PARTITION BY pack_id ORDER BY start, "len", rn) IS NULL
+         THEN CASE WHEN start <> 0 THEN 1 ELSE 0 END
+         ELSE CASE WHEN lag(start + "len") OVER
+           (PARTITION BY pack_id ORDER BY start, "len", rn) <> start
+           THEN 1 ELSE 0 END END AS seam_bad
+  FROM sp
+), packst AS (
+  SELECT pack_id, sum(seam_bad) AS n_seams, sum("len") AS fill
+  FROM seams GROUP BY pack_id
+), lastp AS (SELECT max(pack_id) AS lastp FROM packst)
+SELECT 'doc_coverage' AS check_name, count(*) AS n_checked,
+  CAST(sum(CASE WHEN cvr <> n THEN 1 ELSE 0 END) AS BIGINT) AS n_bad FROM cov
+UNION ALL
+SELECT 'span_bounds', count(*),
+  CAST(sum(CASE WHEN start < 0 OR "len" <= 0 OR start + "len" > {c} THEN 1 ELSE 0 END) AS BIGINT)
+FROM sp
+UNION ALL
+SELECT 'pack_tiling', count(*),
+  CAST(sum(CASE WHEN n_seams > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM packst
+UNION ALL
+SELECT 'pack_fill', count(*),
+  CAST(sum(CASE WHEN (pack_id < lastp AND fill <> {c})
+              OR (pack_id = lastp AND fill > {c}) THEN 1 ELSE 0 END) AS BIGINT)
+FROM packst, lastp
+"""

