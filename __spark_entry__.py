@@ -307,6 +307,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # packing provenance audit over deliberately corrupted spans:
         # every check certified on its nonzero path
         "seq_pack_audit": HT.q_seq_pack_audit,
+        # vocabulary surgery: broadcast-LUT Arrow rewrite, byte-exact
+        # md5 comparison of every rewritten array
+        "seq_token_remap": H.q_seq_token_remap,
     }
 
 
@@ -352,6 +355,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_datacard": HT.oracle_doc_datacard(),
         "doc_weighted_sample": HT.oracle_doc_weighted_sample(),
         "seq_pack_audit": HT.oracle_seq_pack_audit(),
+        "seq_token_remap": H.oracle_seq_token_remap(),
     }
 
 

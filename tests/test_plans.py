@@ -491,3 +491,15 @@ def test_score_weighted_sample_zero_shuffle(spark):
     # "PythonRDD" — that's createDataFrame, not the operator)
     for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert node not in plan, plan
+
+
+def test_remap_tokens_zero_shuffle(spark):
+    """The rewrite pass is ONE Arrow stage over the corpus — the
+    bounded remap LUT ships as a broadcast variable, never a join."""
+    from tokenqc.textops import textqc
+
+    remap = spark.createDataFrame([(1, 2)], "old_id int, new_id int")
+    df = spark.createDataFrame([(0, [1, 1])], "doc_id long, tokens array<int>")
+    plan = plan_of(textqc.remap_tokens(df, remap))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan

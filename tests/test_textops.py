@@ -1209,3 +1209,38 @@ def test_score_weighted_sample_exact_semantics(spark):
         textqc.score_weighted_sample(df, gamma=0)
     with pytest.raises(ValueError):
         textqc.score_weighted_sample(df, max_keep_ppm=2000000)
+
+
+def test_remap_tokens_strict_and_passthrough(spark):
+    from tokenqc.textops import textqc
+
+    remap = spark.createDataFrame([(2, 100), (5, 200)], "old_id int, new_id int")
+    df = spark.createDataFrame(
+        [(0, [2, 5, 3, -1, 99]), (1, []), (2, None)],
+        "doc_id long, tokens array<int>",
+    )
+    strict = {r.doc_id: (r.tokens, r.n_tok) for r in
+              textqc.remap_tokens(df, remap, unk_id=7).collect()}
+    assert strict[0] == ([100, 200, 7, 7, 7], 5)
+    assert strict[1] == ([], 0)
+    assert 2 not in strict  # NULL arrays excluded
+    thru = {r.doc_id: r.tokens for r in
+            textqc.remap_tokens(df, remap, unk_id=7, passthrough=True).collect()}
+    assert thru[0] == [100, 200, 3, -1, 99]
+
+
+def test_remap_tokens_guards(spark):
+    import pytest
+
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame([(0, [1])], "doc_id long, tokens array<int>")
+    empty = spark.createDataFrame([], "old_id int, new_id int")
+    with pytest.raises(ValueError, match="empty"):
+        textqc.remap_tokens(df, empty)
+    neg = spark.createDataFrame([(-1, 5)], "old_id int, new_id int")
+    with pytest.raises(ValueError, match="non-negative"):
+        textqc.remap_tokens(df, neg)
+    big = spark.createDataFrame([(1 << 25, 5)], "old_id int, new_id int")
+    with pytest.raises(ValueError, match="max_vocab"):
+        textqc.remap_tokens(df, big)

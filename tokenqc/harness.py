@@ -1356,3 +1356,48 @@ SELECT a.rn AS id_a, b.rn AS id_b, count(*) AS n_shared
 FROM kept a JOIN kept b ON a.fp = b.fp AND a.rn < b.rn
 GROUP BY 1, 2 HAVING count(*) >= 3
 """
+
+
+def q_seq_token_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary surgery (textqc.remap_tokens): ids with old % 7 = 2
+    renumber to (old*11 + 5) % 50257, everything else becomes UNK=3 —
+    a strict tokenizer swap. The result is certified byte-exactly: the
+    oracle re-simulates per-position values, applies the SAME remap
+    CASE, and compares the md5 of each rewritten array (the
+    seq_pack_tokens idiom). Empty arrays survive as md5('')."""
+    from tokenqc.textops import textqc
+
+    seq = derive_sequences(spark, sf_dir)
+    remap = (
+        spark.range(0, 50257)
+        .where(F.col("id") % 7 == 2)
+        .select(
+            F.col("id").cast("int").alias("old_id"),
+            ((F.col("id") * 11 + 5) % 50257).cast("int").alias("new_id"),
+        )
+    )
+    out = textqc.remap_tokens(seq, remap, id_col="rn", unk_id=3)
+    joined = F.array_join(F.transform("tokens", lambda t: t.cast("string")), " ")
+    return out.select("rn", "n_tok", F.md5(joined).alias("tokens_md5"))
+
+
+def oracle_seq_token_remap() -> str:
+    return SEQ_CTE + """
+, pos AS (
+  SELECT rn, sz, unnest(generate_series(1, CAST(sz AS BIGINT))) AS x
+  FROM seq WHERE sz IS NOT NULL AND sz >= 1
+), toks AS (
+  SELECT rn, x, (x * 31 + rn) % 50257 AS v FROM pos
+), mapped AS (
+  SELECT rn, x,
+    CASE WHEN v % 7 = 2 THEN (v * 11 + 5) % 50257 ELSE 3 END AS m
+  FROM toks
+), agg AS (
+  SELECT rn, CAST(count(*) AS INTEGER) AS n_tok,
+    md5(string_agg(CAST(m AS VARCHAR), ' ' ORDER BY x)) AS tokens_md5
+  FROM mapped GROUP BY rn
+)
+SELECT rn, n_tok, tokens_md5 FROM agg
+UNION ALL
+SELECT rn, 0 AS n_tok, md5('') AS tokens_md5 FROM seq WHERE sz = 0
+"""
