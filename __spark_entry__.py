@@ -118,10 +118,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_unigram_logprob": HT.q_seq_unigram_logprob,
         "seq_pack_epoch": HT.q_seq_pack_epoch,
         "events_asof_bucketed": HT.q_events_asof_bucketed,
-        # round-4: materialized packs; round-3: packing/repetition/PII
+        # round-4: materialized packs; round-3: repetition/PII
         "seq_pack_tokens": HT.q_seq_pack_tokens,
-        "seq_pack_spans": HT.q_seq_pack_spans,
         "doc_repetition": HT.q_doc_repetition,
+        # session-6 rotation: the four strongest new operators as hard
+        # rows — MOSS winnowing (exact mod-P hash replay), the packing
+        # provenance audit (every check corruption-certified), byte-exact
+        # vocabulary surgery, and the per-source data card; swapped-out
+        # subsumed rows documented in extra_queries
+        "seq_winnow_pairs": H.q_seq_winnow_pairs,
+        "seq_pack_audit": HT.q_seq_pack_audit,
+        "seq_token_remap": H.q_seq_token_remap,
+        "doc_datacard": HT.q_doc_datacard,
         # round-5 operators: token-array lints (id domain / special-token
         # layout / degenerate runs), rotated in for doc_pii (⊂
         # doc_pii_scrub — the scrub oracle is generated from the same
@@ -157,11 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same cosine_expr path ann_batch_topk also exercises)
         "ivf_kmeans_centroids": HT.q_ivf_kmeans_centroids,
         "ann_batch_topk": HT.q_ann_batch_topk,
-        "doc_quality": HT.q_doc_quality,
-        "doc_langid": HT.q_doc_langid,
         "doc_contamination": HT.q_doc_contamination,
         "dedup_clusters": HT.q_dedup_clusters,
-        "doc_split": HT.q_doc_split,
         "doc_curation_lsh": HT.q_doc_curation_lsh,
         # QC gates over the TPC-H-ish tables
         "events_completeness": HT.q_events_completeness,
@@ -227,6 +232,27 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             histogram shape on the JSON-derived table)
     - seq_drift_stats      ⊂ drift_verdicts_full (the full U1 gate
                             consumes exactly these aggregates)
+
+    Session-6 rotation: seq_winnow_pairs (MOSS passage overlap, exact
+    mod-P hash replay), seq_pack_audit (corruption-certified packing
+    integrity), seq_token_remap (byte-exact vocabulary surgery), and
+    doc_datacard (per-source release summary) moved into the driver
+    surface for four subsumed rows:
+    - seq_pack_spans      ⊂ seq_pack_tokens (byte-exact md5 pack
+                            rebuild strictly implies the spans) +
+                            seq_pack_audit (re-derives every span
+                            definitionally before auditing)
+    - doc_quality         ⊂ doc_datacard (same _quality_exprs formula,
+                            re-derived per doc in its oracle then
+                            aggregated) + doc_weighted_sample (per-doc
+                            quality_score compared row-by-row)
+    - doc_langid          ⊂ doc_datacard (same _lang_pred_expr argmax
+                            CASE re-derived per doc in its oracle)
+    - doc_split           ⊂ dedup_cluster_split (re-derives the md5
+                            split arithmetic end to end; singleton
+                            equivalence to the plain splitter is
+                            unit-pinned) + doc_weighted_sample /
+                            seq_mixture_sample (same md5 idiom)
     """
     hf = _hash_family_queries()
     return {
@@ -295,21 +321,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # robust per-source length-outlier gate: discrete quantiles on a
         # bounded histogram (integer-exact fences, no interpolated floats)
         "seq_ntok_outliers": H.q_seq_ntok_outliers,
-        # MOSS winnowing: passage-overlap pairs via min-hash-per-window
-        # fingerprints (mod-P polynomial hash replayed exactly in SQL)
-        "seq_winnow_pairs": H.q_seq_winnow_pairs,
-        # per-source corpus data card: docs/words/mean-quality/lang-mix/
-        # dup-rate from the SAME formula exprs as the per-doc operators
-        "doc_datacard": HT.q_doc_datacard,
         # soft quality-weighted sampling: keep prob ∝ score^gamma via
         # explicit product chain + md5 Bernoulli (zero-shuffle)
         "doc_weighted_sample": HT.q_doc_weighted_sample,
-        # packing provenance audit over deliberately corrupted spans:
-        # every check certified on its nonzero path
-        "seq_pack_audit": HT.q_seq_pack_audit,
-        # vocabulary surgery: broadcast-LUT Arrow rewrite, byte-exact
-        # md5 comparison of every rewritten array
-        "seq_token_remap": H.q_seq_token_remap,
+        # session-6 rotation swap-outs (each subsumed, see docstring)
+        "seq_pack_spans": HT.q_seq_pack_spans,
+        "doc_quality": HT.q_doc_quality,
+        "doc_langid": HT.q_doc_langid,
+        "doc_split": HT.q_doc_split,
     }
 
 
@@ -351,11 +370,11 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_score_top": H.oracle_seq_score_top(),
         "dedup_cluster_split": HT.oracle_dedup_cluster_split(),
         "seq_ntok_outliers": H.oracle_seq_ntok_outliers(),
-        "seq_winnow_pairs": H.oracle_seq_winnow_pairs(),
-        "doc_datacard": HT.oracle_doc_datacard(),
         "doc_weighted_sample": HT.oracle_doc_weighted_sample(),
-        "seq_pack_audit": HT.oracle_seq_pack_audit(),
-        "seq_token_remap": H.oracle_seq_token_remap(),
+        "seq_pack_spans": HT.oracle_seq_pack_spans(),
+        "doc_quality": HT.oracle_doc_quality(),
+        "doc_langid": HT.oracle_doc_langid(),
+        "doc_split": HT.oracle_doc_split(),
     }
 
 
@@ -376,8 +395,11 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack_epoch": HT.oracle_seq_pack_epoch(),
         "events_asof_bucketed": HT.oracle_events_asof(),
         "seq_pack_tokens": HT.oracle_seq_pack_tokens(),
-        "seq_pack_spans": HT.oracle_seq_pack_spans(),
         "doc_repetition": HT.oracle_doc_repetition(),
+        "seq_winnow_pairs": H.oracle_seq_winnow_pairs(),
+        "seq_pack_audit": HT.oracle_seq_pack_audit(),
+        "seq_token_remap": H.oracle_seq_token_remap(),
+        "doc_datacard": HT.oracle_doc_datacard(),
         "seq_token_lints": H.oracle_seq_token_lints(),
         "seq_token_contamination": H.oracle_seq_token_contamination(),
         "dedup_keep_best": HT.oracle_dedup_keep_best(),
@@ -398,11 +420,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": HT.oracle_doc_ngram_jaccard(),
         "ivf_kmeans_centroids": HT.oracle_ivf_kmeans_centroids(),
         "ann_batch_topk": HT.oracle_ann_batch_topk(),
-        "doc_quality": HT.oracle_doc_quality(),
-        "doc_langid": HT.oracle_doc_langid(),
         "doc_contamination": HT.oracle_doc_contamination(),
         "dedup_clusters": HT.oracle_dedup_clusters(),
-        "doc_split": HT.oracle_doc_split(),
         "doc_curation_lsh": HT.oracle_doc_curation(),
         "events_completeness": HT.oracle_events_completeness(),
         "events_histogram": HT.oracle_events_histogram(),
