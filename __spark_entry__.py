@@ -324,6 +324,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # soft quality-weighted sampling: keep prob ∝ score^gamma via
         # explicit product chain + md5 Bernoulli (zero-shuffle)
         "doc_weighted_sample": HT.q_doc_weighted_sample,
+        # SemDeDup: within-cell semantic near-dup groups, min-id rep
+        # (argmin assignment + rounded-cosine pairs + CC closure)
+        "semdedup": HT.q_semdedup,
         # session-6 rotation swap-outs (each subsumed, see docstring)
         "seq_pack_spans": HT.q_seq_pack_spans,
         "doc_quality": HT.q_doc_quality,
@@ -371,6 +374,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_cluster_split": HT.oracle_dedup_cluster_split(),
         "seq_ntok_outliers": H.oracle_seq_ntok_outliers(),
         "doc_weighted_sample": HT.oracle_doc_weighted_sample(),
+        "semdedup": HT.oracle_semdedup(),
         "seq_pack_spans": HT.oracle_seq_pack_spans(),
         "doc_quality": HT.oracle_doc_quality(),
         "doc_langid": HT.oracle_doc_langid(),

@@ -1244,3 +1244,51 @@ def test_remap_tokens_guards(spark):
     big = spark.createDataFrame([(1 << 25, 5)], "old_id int, new_id int")
     with pytest.raises(ValueError, match="max_vocab"):
         textqc.remap_tokens(df, big)
+
+
+def test_semdedup_keeps_one_rep_per_group(spark):
+    import pytest
+
+    from tokenqc.textops import simsearch
+
+    # two planted near-dup families + singletons; seeds = 2 smallest ids
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (10, [0.999, 0.01, 0.0]),   # ≈ vec 0
+        (11, [0.998, 0.02, 0.0]),   # ≈ vec 0
+        (20, [0.0, 0.999, 0.01]),   # ≈ vec 1
+        (30, [0.5, 0.5, 0.7]),      # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = simsearch.seed_centroids(df, n_cells=2)
+    out = {r.vec_id: r for r in simsearch.semdedup(df, cents, threshold=0.95).collect()}
+    assert len(out) == 6
+    fam0 = {0, 10, 11}
+    assert all(out[i].rep == 0 for i in fam0)
+    assert [out[i].keep for i in sorted(fam0)] == [True, False, False]
+    assert out[1].rep == 1 and out[20].rep == 1 and not out[20].keep
+    assert out[30].keep and out[30].rep == 30
+    with pytest.raises(ValueError, match="threshold"):
+        simsearch.semdedup(df, cents, threshold=0.0)
+    with pytest.raises(ValueError, match="max_cell_rows"):
+        simsearch.semdedup(df, cents, max_cell_rows=2)
+
+
+def test_semdedup_cross_cell_pairs_missed_by_design(spark):
+    """The documented SemDeDup recall tradeoff: near-identical vectors
+    assigned to DIFFERENT cells are not paired."""
+    from tokenqc.textops import simsearch
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        # equidistant-ish twins that split across the two seed cells
+        (2, [0.72, 0.69]),
+        (3, [0.69, 0.72]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = simsearch.seed_centroids(df, n_cells=2)
+    out = {r.vec_id: r for r in simsearch.semdedup(df, cents, threshold=0.9).collect()}
+    if out[2].cell != out[3].cell:
+        assert out[2].keep and out[3].keep  # missed: different cells

@@ -1976,3 +1976,60 @@ SELECT 'pack_fill', count(*),
               OR (pack_id = lastp AND fill > {c}) THEN 1 ELSE 0 END) AS BIGINT)
 FROM packst, lastp
 """
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: 8 seeded cells, within-cell
+    cosine >= 0.45 near-dup groups, min-id representative per group
+    (simsearch.semdedup). The oracle replays the argmin assignment in
+    long format (the ivf_kmeans pattern), the rounded-cosine pair join,
+    and the reachability closure (recursive CTE) end to end."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = simsearch.seed_centroids(emb, n_cells=8)
+    return simsearch.semdedup(emb, cents, threshold=0.45)
+
+
+def oracle_semdedup() -> str:
+    cos = (
+        "round(list_cosine_similarity("
+        "list_transform(ea.embedding, v -> CAST(v AS DOUBLE)), "
+        "list_transform(eb.embedding, v -> CAST(v AS DOUBLE))), 6)"
+    )
+    return f"""
+WITH vdim AS (
+  SELECT vec_id, u[2] - 1 AS dim, CAST(u[1] AS DOUBLE) AS val
+  FROM (SELECT vec_id,
+        unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS u
+        FROM embeddings)
+), seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+), c0 AS (
+  SELECT s.cell, v.dim, v.val AS m FROM seeds s JOIN vdim v USING (vec_id)
+), a1 AS (
+  SELECT v.vec_id, c.cell, sum((v.val - c.m) * (v.val - c.m)) AS d
+  FROM vdim v JOIN c0 c USING (dim) GROUP BY 1, 2
+  QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY d, c.cell) = 1
+), pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  JOIN embeddings ea ON ea.vec_id = x.vec_id
+  JOIN embeddings eb ON eb.vec_id = y.vec_id
+  WHERE {cos} >= 0.45
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), walk AS (
+  WITH RECURSIVE w(src, reach) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT w.src, e.dst FROM w JOIN edges e ON e.src = w.reach)
+  SELECT * FROM w
+), comp AS (
+  SELECT src AS id, min(reach) AS component FROM walk GROUP BY src
+)
+SELECT a1.vec_id, CAST(a1.cell AS INTEGER) AS cell,
+  coalesce(c.component, a1.vec_id) AS rep,
+  (coalesce(c.component, a1.vec_id) = a1.vec_id) AS keep
+FROM a1 LEFT JOIN comp c ON c.id = a1.vec_id
+"""

@@ -457,3 +457,69 @@ def embedding_profile(
         F.round(F.min(F.col("norm")), 6).alias("min_norm"),
         F.round(F.max(F.col("norm")), 6).alias("max_norm"),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_rows: int = 1_000_000,
+    max_iter: int = 25,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic deduplication by
+    embedding — cluster the corpus, then drop all but one member of
+    every within-cell cosine near-dup group. Catches paraphrases and
+    template families that byte/shingle dedup cannot see; the
+    clustering step is what makes it tractable (pairwise cosine runs
+    only INSIDE a cell, never corpus × corpus).
+
+    Pure composition of audited pieces: `assign_ivf_cells` (broadcast
+    centroids, argmin with (dist, cell) tie-break), a per-cell
+    self-join thresholded on cosine rounded to 6 dp (the engine's
+    cross-engine float rule), `dedup.connected_components` min-label
+    propagation, and a min-id representative per group. Output: one
+    row per vector — (id_col, cell, rep, keep) with keep true iff the
+    vector IS its group's representative (singletons keep themselves).
+
+    Scale notes: the self-join is quadratic PER CELL — SemDeDup's own
+    remedy is more cells (k ∝ N / target cell size); `max_cell_rows`
+    enforces it (one partial-agg'd count probe, the asof_join /
+    pack.token_offsets guard pattern) rather than letting one mega-cell
+    plan a 10^12-row join. Near-dups straddling a cell boundary are
+    missed BY DESIGN (the documented SemDeDup recall tradeoff); run
+    `embedding_near_pairs` (multi-table hyperplane LSH) when
+    cross-cell recall matters more than cost.
+    """
+    from tokenqc.textops import dedup
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    assigned = assign_ivf_cells(df, centroids, id_col, vec_col)
+    biggest = assigned.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+    if biggest is not None and biggest > max_cell_rows:
+        raise ValueError(
+            f"largest cell holds {biggest} rows > max_cell_rows={max_cell_rows}: "
+            "refine the centroids (more cells) or raise the bound deliberately"
+        )
+    a = assigned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cell")
+    b = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cell")
+    cos = F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6)
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= float(threshold))
+        .select("id_a", "id_b")
+    )
+    labels = dedup.connected_components(pairs, max_iter=max_iter)
+    out = assigned.select(id_col, "cell").join(
+        labels.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        id_col,
+        "cell",
+        rep.alias("rep"),
+        (rep == F.col(id_col)).alias("keep"),
+    )
