@@ -696,3 +696,61 @@ def test_streaming_degenerate_gate_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert {g[0] for g in got} == {"doc-a", "doc-c"}
+
+
+def test_streaming_pack_matches_batch_complete_packs(spark, tmp_path):
+    """Streaming packing across micro-batches AND a query restart: with
+    doc_id-ordered arrival the emitted packs equal batch pack_tokens'
+    COMPLETE packs byte-exactly; the trailing partial pack stays in
+    state; every emitted pack passes the batch pack audit's bounds."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from tokenqc.textops import pack
+
+    inp = tmp_path / "pack_in"
+    inp.mkdir()
+    out = str(tmp_path / "pack_out")
+    cap = 16
+    docs = [(f"doc-{i:04d}", list(range(i * 100, i * 100 + 3 + (i * 7) % 11)))
+            for i in range(20)]
+
+    def tbl(rows):
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.string()),
+            "tokens": pa.array([r[1] for r in rows], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in rows], pa.int32()),
+            "source": pa.array(["web"] * len(rows), pa.string()),
+        })
+
+    # wave 1: two files -> two micro-batches (cross-batch carry)
+    pq.write_table(tbl(docs[:7]), str(inp / "f1.parquet"))
+    pq.write_table(tbl(docs[7:12]), str(inp / "f2.parquet"))
+    q = streaming.streaming_pack(spark, str(inp), out, cap=cap)
+    q.awaitTermination(120)
+    # wave 2 after a restart on the same checkpoint: state carries over
+    pq.write_table(tbl(docs[12:]), str(inp / "f3.parquet"))
+    q2 = streaming.streaming_pack(spark, str(inp), out, cap=cap)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(f"{out}/packs").orderBy("pack_id").collect()
+    assert all(r.n_tokens == cap and len(r.tokens) == cap for r in got)
+    assert [r.pack_id for r in got] == list(range(len(got)))
+
+    batch_in = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in docs], "doc_id string, tokens array<int>, n_tok int"
+    )
+    want = (
+        pack.pack_tokens(batch_in, cap=cap, order_cols=("doc_id",),
+                         tokens_col="tokens", n_col="n_tok")
+        .orderBy("pack_id").collect()
+    )
+    total = sum(len(t) for _, t in docs)
+    n_complete = total // cap
+    assert len(got) == n_complete
+    # batch emits the trailing partial pack too; compare the complete ones
+    for g, w in zip(got, want[:n_complete]):
+        assert list(g.tokens) == list(w.tokens), g.pack_id
+    # the remainder is exactly what state withholds
+    assert total - n_complete * cap == sum(len(t) for _, t in docs) % cap

@@ -549,3 +549,109 @@ def streaming_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_pack(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    cap: int = 2048,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming sequence packing — the ingest-path twin of the batch
+    `pack.pack_tokens` loader contract: tokens accumulate in arrival
+    order into fixed-`cap` packs; every COMPLETED pack is emitted the
+    micro-batch it fills, and the trailing partial pack lives in
+    checkpointed state (ingest keeps packing across restarts instead
+    of flushing a short batch).
+
+    Semantics, stated honestly: packs are a function of ARRIVAL order
+    (batch packing is a function of `order_cols`); within a micro-batch
+    rows sort by doc_id for determinism. When rows arrive in doc_id
+    order on one stream (e.g. maxFilesPerTrigger=1 over doc_id-sorted
+    files), the emitted packs equal the batch `pack_tokens` output's
+    complete packs BYTE-EXACTLY, with the batch run's final partial
+    pack held in state — pinned in tests across a query restart. Out
+    of order, packs remain valid (every pack exactly `cap` tokens,
+    token-conserving — `pack.pack_audit` passes) but differ from the
+    batch order; same contract as streaming_incremental_dedup's
+    arrival-order note.
+
+    State per stream key: the < cap leftover tokens + the running pack
+    counter — O(cap) bounded, never corpus-sized. Per micro-batch
+    Python work: one sort by rn (determinism within the batch), one
+    concatenate, integer slicing. Output rows append under
+    out_dir/packs as (stream, pack_id, tokens, n_tokens, epoch).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+
+    stream = (
+        spark.readStream.schema(SEQUENCES)
+        .parquet(input_dir)
+        .where(F.col("tokens").isNotNull() & (F.size("tokens") > 0))
+        .select(F.lit("_all").alias("stream"), F.col("doc_id").alias("_ord"), "tokens")
+    )
+
+    def update(key: tuple, pdfs, state: GroupState):
+        if state.exists:
+            next_pack, buf = state.get
+            parts = [np.asarray(buf, dtype=np.int64)]
+        else:
+            next_pack = 0
+            parts = [np.empty(0, dtype=np.int64)]
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("_ord")
+            parts.extend(
+                np.asarray(t, dtype=np.int64)
+                for t in pdf["tokens"]
+                if t is not None and len(t)
+            )
+        flat = np.concatenate(parts)
+        n_full = int(flat.size // cap)
+        rows = []
+        for i in range(n_full):
+            rows.append(
+                {
+                    "stream": key[0],
+                    "pack_id": int(next_pack + i),
+                    "tokens": [int(x) for x in flat[i * cap : (i + 1) * cap]],
+                    "n_tokens": cap,
+                }
+            )
+        rest = flat[n_full * cap :]
+        state.update((int(next_pack + n_full), [int(x) for x in rest]))
+        yield pd.DataFrame(
+            rows,
+            columns=["stream", "pack_id", "tokens", "n_tokens"],
+        )
+
+    packed = stream.groupBy("stream").applyInPandasWithState(
+        update,
+        outputStructType="stream string, pack_id long, tokens array<int>, n_tokens int",
+        stateStructType="next_pack long, buf array<int>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        out_dir, f"_pack_checkpoint_v{STATE_SCHEMA_VERSION}"
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            os.path.join(out_dir, "packs")
+        )
+
+    return (
+        packed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
