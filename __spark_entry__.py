@@ -327,6 +327,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SemDeDup: within-cell semantic near-dup groups, min-id rep
         # (argmin assignment + rounded-cosine pairs + CC closure)
         "semdedup": HT.q_semdedup,
+        # the cluster_split CLAIM measured: leakage matrix of the naive
+        # per-doc splitter vs the cluster-holdout splitter on one graph
+        "split_leakage": HT.q_split_leakage,
         # session-6 rotation swap-outs (each subsumed, see docstring)
         "seq_pack_spans": HT.q_seq_pack_spans,
         "doc_quality": HT.q_doc_quality,
@@ -375,6 +378,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_ntok_outliers": H.oracle_seq_ntok_outliers(),
         "doc_weighted_sample": HT.oracle_doc_weighted_sample(),
         "semdedup": HT.oracle_semdedup(),
+        "split_leakage": HT.oracle_split_leakage(),
         "seq_pack_spans": HT.oracle_seq_pack_spans(),
         "doc_quality": HT.oracle_doc_quality(),
         "doc_langid": HT.oracle_doc_langid(),

@@ -1292,3 +1292,28 @@ def test_semdedup_cross_cell_pairs_missed_by_design(spark):
     out = {r.vec_id: r for r in simsearch.semdedup(df, cents, threshold=0.9).collect()}
     if out[2].cell != out[3].cell:
         assert out[2].keep and out[3].keep  # missed: different cells
+
+
+def test_split_leakage_audit_diagonal_for_cluster_split(spark):
+    """Any pair graph: cluster_split's leakage matrix is purely
+    diagonal, while a splitter that separates a planted pair shows it
+    off-diagonal with the exact count."""
+    from tokenqc.textops import dedup
+
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(8)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("d0", "d1"), ("d2", "d3"), ("d3", "d4")], "id_a string, id_b string"
+    )
+    safe = dedup.cluster_split(docs, pairs)
+    m = dedup.split_leakage_audit(safe, pairs).collect()
+    assert all(r.split_a == r.split_b for r in m), m
+    assert sum(r.n_pairs for r in m) == 3
+    # a hand-made splitter that breaks d0/d1 apart
+    forced = docs.withColumn(
+        "split", F.when(F.col("doc_id") == "d0", "test").otherwise("train")
+    )
+    m2 = {(r.split_a, r.split_b): r.n_pairs
+          for r in dedup.split_leakage_audit(forced, pairs).collect()}
+    assert m2[("test", "train")] == 1 and m2[("train", "train")] == 2

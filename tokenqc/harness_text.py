@@ -2033,3 +2033,67 @@ SELECT a1.vec_id, CAST(a1.cell AS INTEGER) AS cell,
   (coalesce(c.component, a1.vec_id) = a1.vec_id) AS keep
 FROM a1 LEFT JOIN comp c ON c.id = a1.vec_id
 """
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster_split CLAIM, measured (dedup.split_leakage_audit):
+    the same corpus + near-dup pair graph split two ways — the naive
+    per-doc md5 splitter vs the cluster-holdout splitter — and the
+    leakage matrix computed for both. The cluster rows must be purely
+    diagonal (split_a = split_b); the naive rows carry whatever
+    off-diagonal leakage the md5 buckets produce (deterministic, so
+    the oracle reproduces the exact counts)."""
+    corpus = derive_corpus(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.6)
+    naive = textqc.deterministic_split(corpus)
+    safe = dedup.cluster_split(corpus, pairs)
+    a = dedup.split_leakage_audit(naive, pairs).withColumn(
+        "splitter", F.lit("per_doc_md5")
+    )
+    b = dedup.split_leakage_audit(safe, pairs).withColumn(
+        "splitter", F.lit("cluster_holdout")
+    )
+    return a.unionByName(b).select("splitter", "split_a", "split_b", "n_pairs")
+
+
+def oracle_split_leakage() -> str:
+    bdoc = (
+        "CAST(CAST(('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 100 AS INTEGER)"
+    )
+    bgrp = (
+        "CAST(CAST(('0x' || substr(md5('split-v1' || CAST(g AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 100 AS INTEGER)"
+    )
+    case = "CASE WHEN {b} < 95 THEN 'train' WHEN {b} < 99 THEN 'val' ELSE 'test' END"
+    return CORPUS_CTE + _SHINGLE_CTE + f"""
+, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.6),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+walk AS (WITH RECURSIVE w(src, reach) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT w.src, e.dst FROM w JOIN edges e ON e.src = w.reach)
+  SELECT * FROM w),
+comp AS (SELECT src AS id, min(reach) AS component FROM walk GROUP BY src),
+naive AS (SELECT doc_id, {case.format(b=bdoc)} AS split FROM corpus),
+grp AS (SELECT c.doc_id, coalesce(cm.component, c.doc_id) AS g FROM corpus c
+  LEFT JOIN comp cm ON cm.id = c.doc_id),
+safe AS (SELECT doc_id, {case.format(b=bgrp)} AS split FROM grp),
+lk AS (
+  SELECT 'per_doc_md5' AS splitter,
+    least(na.split, nb.split) AS split_a, greatest(na.split, nb.split) AS split_b
+  FROM pairs p JOIN naive na ON na.doc_id = p.id_a JOIN naive nb ON nb.doc_id = p.id_b
+  UNION ALL
+  SELECT 'cluster_holdout',
+    least(sa2.split, sb2.split), greatest(sa2.split, sb2.split)
+  FROM pairs p JOIN safe sa2 ON sa2.doc_id = p.id_a JOIN safe sb2 ON sb2.doc_id = p.id_b
+)
+SELECT splitter, split_a, split_b, count(*) AS n_pairs
+FROM lk GROUP BY 1, 2, 3
+"""

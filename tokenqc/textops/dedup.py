@@ -824,3 +824,34 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def split_leakage_audit(
+    split_df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Split-leakage matrix: for every near-dup pair, which splits do
+    its two members land in? Output (split_a, split_b, n_pairs) with
+    the pair canonicalized (split_a <= split_b) — the off-diagonal
+    rows ARE the leaked eval pairs; a leakage-free split has only
+    diagonal rows. This is the VERIFICATION half of `cluster_split`:
+    run it against any splitter and the matrix is the evidence.
+
+    Two broadcast-eligible joins of the (id, split) dimension onto the
+    pair list (pairs are report-sized relative to the corpus; no hint —
+    AQE decides), then one partial-agg'd count on ≤ splits² keys.
+    """
+    s = split_df.select(F.col(id_col), F.col(split_col))
+    sa = s.select(F.col(id_col).alias("id_a"), F.col(split_col).alias("_sa"))
+    sb = s.select(F.col(id_col).alias("id_b"), F.col(split_col).alias("_sb"))
+    joined = pairs.select("id_a", "id_b").join(sa, "id_a").join(sb, "id_b")
+    return (
+        joined.select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
