@@ -26,7 +26,7 @@ def test_qc_stream_end_to_end(spark, tmp_path, expected):
     q = streaming.qc_stream(
         spark, str(inp), out, _allowed(spark), CheckConfig(n_partitions=8), run_id="s1"
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), 'stream did not finish'
 
     viol = spark.read.parquet(f"{out}/violations_stream")
     exp2k = synth.plan_expected(2000)
@@ -42,7 +42,7 @@ def test_qc_stream_end_to_end(spark, tmp_path, expected):
     q2 = streaming.qc_stream(
         spark, str(inp), out, _allowed(spark), CheckConfig(n_partitions=8), run_id="s1"
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(420), 'stream did not finish'
     assert spark.read.parquet(f"{out}/violations_stream").count() == want
 
 
@@ -53,12 +53,12 @@ def test_incremental_file_arrival(spark, tmp_path):
     seq = synth.generate_sequences(1000, seed=7)
     pq.write_table(seq, str(inp / "f1.parquet"))
     q = streaming.qc_stream(spark, str(inp), out, _allowed(spark), CheckConfig(n_partitions=8))
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), 'stream did not finish'
     n1 = spark.read.parquet(f"{out}/violations_stream").count()
     # a new file lands; only its rows are processed on the next trigger
     pq.write_table(seq, str(inp / "f2.parquet"))
     q2 = streaming.qc_stream(spark, str(inp), out, _allowed(spark), CheckConfig(n_partitions=8))
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(420), 'stream did not finish'
     assert spark.read.parquet(f"{out}/violations_stream").count() == 2 * n1
 
 
@@ -74,7 +74,7 @@ def test_running_source_stats_stateful_across_restart(spark, tmp_path):
     pq.write_table(seq.slice(0, 500), str(inp / "f1.parquet"))
 
     q = streaming.running_source_stats(spark, str(inp), out)
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), 'stream did not finish'
 
     def latest(path):
         df = spark.read.parquet(path)
@@ -90,7 +90,7 @@ def test_running_source_stats_stateful_across_restart(spark, tmp_path):
     # second wave arrives; restart resumes from checkpointed state
     pq.write_table(seq.slice(500, 500), str(inp / "f2.parquet"))
     q2 = streaming.running_source_stats(spark, str(inp), out)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(420), 'stream did not finish'
     second = latest(f"{out}/source_stats")
 
     # ground truth from a plain batch aggregate over both files
@@ -164,7 +164,7 @@ def test_streaming_drift_matches_batch_gate(spark, tmp_path):
     )
 
     q = streaming.streaming_drift(spark, str(inp), out, base, js_max=0.01)
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), 'stream did not finish'
 
     got_df = spark.read.parquet(f"{out}/drift_stream")
     last = got_df.agg(F.max("epoch")).first()[0]
@@ -258,10 +258,10 @@ def test_streaming_drift_restart_under_domain_growth(spark, tmp_path):
     )
 
     q1 = streaming.streaming_drift(spark, str(inp), out, base, js_max=0.02)
-    q1.awaitTermination(120)
+    assert q1.awaitTermination(420), 'stream did not finish'
     pq.write_table(tbl(wave2), str(inp / "f2.parquet"))
     q2 = streaming.streaming_drift(spark, str(inp), out, base, js_max=0.02)  # restart
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(420), 'stream did not finish'
 
     got_df = spark.read.parquet(f"{out}/drift_stream")
     last = got_df.agg(F.max("epoch")).first()[0]
@@ -312,7 +312,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), 'stream did not finish'
     got = spark.read.parquet(out)
     assert got.count() == 2
     assert {r.doc_id for r in got.collect()} == {"a", "b"}
@@ -362,7 +362,7 @@ def test_streaming_token_lints_match_batch(spark, tmp_path):
     )
     allowed = spark.createDataFrame([("web", True)], "source string, active boolean")
     q = streaming.qc_stream(spark, str(inp), out, allowed, cfg, run_id="tok")
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), 'stream did not finish'
 
     def norm(df):
         # violation rows are (partition_id, doc_id, check_name,
@@ -420,12 +420,12 @@ def test_streaming_token_drift_matches_batch_and_restarts(spark, tmp_path):
     base = spark.createDataFrame(base_pa.to_pandas())
 
     q = streaming.streaming_token_drift(spark, str(inp), out, base, js_max=0.05)
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), 'stream did not finish'
 
     # wave 2 + restart: state must resume, not recount wave 1
     pq.write_table(seq.slice(600, 600), str(inp / "f2.parquet"))
     q2 = streaming.streaming_token_drift(spark, str(inp), out, base, js_max=0.05)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(420), 'stream did not finish'
 
     got_df = spark.read.parquet(f"{out}/token_drift_stream")
     last = got_df.agg(F.max("epoch")).first()[0]
@@ -484,7 +484,7 @@ def test_streaming_token_contamination_matches_batch(spark, tmp_path):
     q = streaming.streaming_token_contamination(
         spark, str(inp), out, benchmark=bench, k=k, run_id="c1"
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), 'stream did not finish'
 
     def norm(df):
         return sorted(
@@ -538,13 +538,13 @@ def test_streaming_sessions_match_batch_formulation(spark, tmp_path):
 
     out = str(tmp_path / "sess_out")
     write(wave1, "w1.parquet")
-    streaming.streaming_sessions(spark, str(inp), out).awaitTermination(120)
+    assert streaming.streaming_sessions(spark, str(inp), out).awaitTermination(420), 'stream did not finish'
     write(wave2, "w2.parquet")
-    streaming.streaming_sessions(spark, str(inp), out).awaitTermination(120)
+    assert streaming.streaming_sessions(spark, str(inp), out).awaitTermination(420), 'stream did not finish'
     # flush: a far-future sentinel advances the watermark past everything
     sentinel = [ev(999, 99, 100000)]
     write(sentinel, "w3.parquet")
-    streaming.streaming_sessions(spark, str(inp), out).awaitTermination(120)
+    assert streaming.streaming_sessions(spark, str(inp), out).awaitTermination(420), 'stream did not finish'
 
     got = sorted(
         (r.user_id, r.session_start, r.session_end, r.n_events)
@@ -615,7 +615,7 @@ def test_streaming_incremental_dedup_matches_batch_and_restarts(spark, tmp_path)
     q = streaming.streaming_incremental_dedup(
         spark, str(inp), out, max_files_per_trigger=1
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), 'stream did not finish'
     got1 = {(r.doc_id, r.text_hash is not None) for r in
             spark.read.parquet(f"{out}/admitted_stream").collect()}
     # alpha owned by 1, beta by 2, one null-text row (4)
@@ -626,7 +626,7 @@ def test_streaming_incremental_dedup_matches_batch_and_restarts(spark, tmp_path)
     q2 = streaming.streaming_incremental_dedup(
         spark, str(inp), out, max_files_per_trigger=1
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(420), 'stream did not finish'
     admitted = spark.read.parquet(f"{out}/admitted_stream")
     got = {(r.doc_id, r.text_hash is not None) for r in admitted.collect()}
     # beta NOT re-admitted; gamma owned by 6; null admitted once per batch
@@ -680,7 +680,7 @@ def test_streaming_degenerate_gate_matches_batch(spark, tmp_path):
         max_dup_kgram_frac=0.2,
     )
     q = streaming.qc_stream(spark, str(inp), out, _allowed(spark), cfg, run_id="sdg")
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), 'stream did not finish'
     got = sorted(
         (r.doc_id, r.observed, r.expected)
         for r in spark.read.parquet(f"{out}/violations_stream")
@@ -728,11 +728,11 @@ def test_streaming_pack_matches_batch_complete_packs(spark, tmp_path):
     pq.write_table(tbl(docs[:7]), str(inp / "f1.parquet"))
     pq.write_table(tbl(docs[7:12]), str(inp / "f2.parquet"))
     q = streaming.streaming_pack(spark, str(inp), out, cap=cap)
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), 'stream did not finish'
     # wave 2 after a restart on the same checkpoint: state carries over
     pq.write_table(tbl(docs[12:]), str(inp / "f3.parquet"))
     q2 = streaming.streaming_pack(spark, str(inp), out, cap=cap)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(420), 'stream did not finish'
 
     got = spark.read.parquet(f"{out}/packs").orderBy("pack_id").collect()
     assert all(r.n_tokens == cap and len(r.tokens) == cap for r in got)
