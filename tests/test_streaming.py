@@ -754,3 +754,51 @@ def test_streaming_pack_matches_batch_complete_packs(spark, tmp_path):
         assert list(g.tokens) == list(w.tokens), g.pack_id
     # the remainder is exactly what state withholds
     assert total - n_complete * cap == sum(len(t) for _, t in docs) % cap
+
+
+def test_streaming_pack_per_stream_keys(spark, tmp_path):
+    """stream_col packing: packs never mix sources, per-stream pack ids
+    are dense, and each stream's packs equal its own batch packing."""
+    import pyarrow as pa
+
+    from tokenqc.textops import pack
+
+    inp = tmp_path / "packk_in"
+    inp.mkdir()
+    out = str(tmp_path / "packk_out")
+    cap = 8
+    rows = [(f"doc-{i:03d}", list(range(i * 50, i * 50 + 3 + i % 5)),
+             "web" if i % 2 == 0 else "code") for i in range(14)]
+
+    def tbl(rs):
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rs], pa.string()),
+            "tokens": pa.array([r[1] for r in rs], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in rs], pa.int32()),
+            "source": pa.array([r[2] for r in rs], pa.string()),
+        })
+
+    pq.write_table(tbl(rows), str(inp / "f1.parquet"))
+    q = streaming.streaming_pack(spark, str(inp), out, cap=cap, stream_col="source")
+    assert q.awaitTermination(420), 'stream did not finish'
+    got = spark.read.parquet(f"{out}/packs").collect()
+    by_stream = {}
+    for r in got:
+        by_stream.setdefault(r.stream, []).append(r)
+    assert set(by_stream) <= {"web", "code"}
+    for src, packs in by_stream.items():
+        packs.sort(key=lambda r: r.pack_id)
+        assert [p.pack_id for p in packs] == list(range(len(packs)))
+        assert all(p.n_tokens == cap for p in packs)
+        sub = [(d, t) for d, t, s in rows if s == src]
+        batch_in = spark.createDataFrame(
+            [(d, t, len(t)) for d, t in sub],
+            "doc_id string, tokens array<int>, n_tok int",
+        )
+        want = (pack.pack_tokens(batch_in, cap=cap, order_cols=("doc_id",),
+                                 tokens_col="tokens", n_col="n_tok")
+                .orderBy("pack_id").collect())
+        total = sum(len(t) for _, t in sub)
+        assert len(packs) == total // cap
+        for g, w in zip(packs, want):
+            assert list(g.tokens) == list(w.tokens), (src, g.pack_id)

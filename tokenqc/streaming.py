@@ -557,6 +557,7 @@ def streaming_pack(
     out_dir: str,
     cap: int = 2048,
     checkpoint_dir: str | None = None,
+    stream_col: str | None = None,
 ):
     """Streaming sequence packing — the ingest-path twin of the batch
     `pack.pack_tokens` loader contract: tokens accumulate in arrival
@@ -578,10 +579,14 @@ def streaming_pack(
     arrival-order note.
 
     State per stream key: the < cap leftover tokens + the running pack
-    counter — O(cap) bounded, never corpus-sized. Per micro-batch
-    Python work: one sort by rn (determinism within the batch), one
-    concatenate, integer slicing. Output rows append under
-    out_dir/packs as (stream, pack_id, tokens, n_tokens, epoch).
+    counter — O(cap) bounded per key, never corpus-sized. Per
+    micro-batch Python work: one sort by doc_id (determinism within
+    the batch), one concatenate, integer slicing. `stream_col` packs
+    per key (the batch `pack_tokens(stream_col=...)` contract: packs
+    never mix domains; NULL keys bucket to "_null"); default one
+    global stream. Output rows append under out_dir/packs as
+    (stream, pack_id, tokens, n_tokens, epoch); pack ids are dense
+    PER STREAM.
     """
     import numpy as np
     import pandas as pd
@@ -590,11 +595,16 @@ def streaming_pack(
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
 
+    key_expr = (
+        F.coalesce(F.col(stream_col).cast("string"), F.lit("_null"))
+        if stream_col is not None
+        else F.lit("_all")
+    )
     stream = (
         spark.readStream.schema(SEQUENCES)
         .parquet(input_dir)
         .where(F.col("tokens").isNotNull() & (F.size("tokens") > 0))
-        .select(F.lit("_all").alias("stream"), F.col("doc_id").alias("_ord"), "tokens")
+        .select(key_expr.alias("stream"), F.col("doc_id").alias("_ord"), "tokens")
     )
 
     def update(key: tuple, pdfs, state: GroupState):
