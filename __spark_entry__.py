@@ -330,6 +330,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the cluster_split CLAIM measured: leakage matrix of the naive
         # per-doc splitter vs the cluster-holdout splitter on one graph
         "split_leakage": HT.q_split_leakage,
+        # sliding-window chunking (BERT-style): JVM sequence+explode+
+        # slice, byte-exact md5 per chunk
+        "seq_window_chunks": H.q_seq_window_chunks,
         # session-6 rotation swap-outs (each subsumed, see docstring)
         "seq_pack_spans": HT.q_seq_pack_spans,
         "doc_quality": HT.q_doc_quality,
@@ -379,6 +382,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_weighted_sample": HT.oracle_doc_weighted_sample(),
         "semdedup": HT.oracle_semdedup(),
         "split_leakage": HT.oracle_split_leakage(),
+        "seq_window_chunks": H.oracle_seq_window_chunks(),
         "seq_pack_spans": HT.oracle_seq_pack_spans(),
         "doc_quality": HT.oracle_doc_quality(),
         "doc_langid": HT.oracle_doc_langid(),

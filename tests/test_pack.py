@@ -420,3 +420,41 @@ def test_pack_audit_flags_each_corruption(spark):
 
     with pytest.raises(ValueError):
         pack.pack_audit(sp, src, cap=0)
+
+
+def test_window_chunks_semantics(spark):
+    import pytest
+
+    from tokenqc.textops import pack
+
+    df = spark.createDataFrame(
+        [(0, list(range(10))), (1, list(range(4))), (2, []), (3, None)],
+        "rn long, tokens array<int>",
+    )
+    out = [r for r in pack.window_chunks(df, size=4, stride=3).collect()]
+    by = {}
+    for r in out:
+        by.setdefault(r.rn, []).append(r)
+    # doc 0: starts 0,3,6,9 -> lens 4,4,4,1
+    c0 = sorted(by[0], key=lambda r: r.chunk_id)
+    assert [(r.start, r.chunk_len, list(r.chunk)) for r in c0] == [
+        (0, 4, [0, 1, 2, 3]), (3, 4, [3, 4, 5, 6]), (6, 4, [6, 7, 8, 9]), (9, 1, [9]),
+    ]
+    # coverage: every token in >= 1 chunk; overlap = size - stride
+    seen = sorted({t for r in c0 for t in r.chunk})
+    assert seen == list(range(10))
+    assert by[1][0].chunk_len == 4 and len(by[1]) == 2
+    assert 2 not in by and 3 not in by
+    # drop-last contract
+    full = pack.window_chunks(df, size=4, stride=3, keep_tail=False).collect()
+    assert all(r.chunk_len == 4 for r in full)
+    assert len([r for r in full if r.rn == 0]) == 3
+    # disjoint when stride == size
+    dj = [r for r in pack.window_chunks(df, size=5).collect() if r.rn == 0]
+    assert [list(r.chunk) for r in sorted(dj, key=lambda r: r.chunk_id)] == [
+        [0, 1, 2, 3, 4], [5, 6, 7, 8, 9],
+    ]
+    with pytest.raises(ValueError):
+        pack.window_chunks(df, size=0)
+    with pytest.raises(ValueError):
+        pack.window_chunks(df, size=4, stride=5)

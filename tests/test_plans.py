@@ -503,3 +503,15 @@ def test_remap_tokens_zero_shuffle(spark):
     plan = plan_of(textqc.remap_tokens(df, remap))
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan
+
+
+def test_window_chunks_zero_shuffle_no_python(spark):
+    """Window chunking is sequence+explode+slice — all codegen'd JVM,
+    sliced in the scan stage: no Exchange, no Python nodes."""
+    from tokenqc.textops import pack
+
+    df = spark.createDataFrame([(0, list(range(10)))], "rn long, tokens array<int>")
+    plan = plan_of(pack.window_chunks(df, size=4, stride=3))
+    assert "Exchange" not in plan, plan
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan, plan

@@ -1401,3 +1401,44 @@ SELECT rn, n_tok, tokens_md5 FROM agg
 UNION ALL
 SELECT rn, 0 AS n_tok, md5('') AS tokens_md5 FROM seq WHERE sz = 0
 """
+
+
+def q_seq_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (pack.window_chunks, size=128 stride=96
+    — 32-token overlap, tails kept): every chunk is certified
+    byte-exactly via the md5 of its token string; the oracle re-derives
+    window starts with generate_series and rebuilds each window from
+    re-simulated per-position values."""
+    from tokenqc.textops import pack
+
+    seq = derive_sequences(spark, sf_dir)
+    out = pack.window_chunks(seq, size=128, stride=96, id_col="rn")
+    joined = F.array_join(F.transform("chunk", lambda t: t.cast("string")), " ")
+    return out.select(
+        "rn", "chunk_id", "start", "chunk_len", F.md5(joined).alias("chunk_md5")
+    )
+
+
+def oracle_seq_window_chunks() -> str:
+    return SEQ_CTE + """
+, pos AS (
+  SELECT rn, sz, unnest(generate_series(1, CAST(sz AS BIGINT))) AS x
+  FROM seq WHERE sz IS NOT NULL AND sz >= 1
+), toks AS (
+  SELECT rn, sz, x, (x * 31 + rn) % 50257 AS v FROM pos
+), starts AS (
+  SELECT rn, max(sz) AS sz, unnest(generate_series(0, (max(sz) - 1) // 96)) AS c
+  FROM toks GROUP BY rn
+), win AS (
+  SELECT s.rn, s.c AS chunk_id, s.c * 96 AS start,
+    least(128, s.sz - s.c * 96) AS chunk_len,
+    md5(string_agg(CAST(t.v AS VARCHAR), ' ' ORDER BY t.x)) AS chunk_md5
+  FROM starts s JOIN toks t
+    ON t.rn = s.rn AND t.x > s.c * 96 AND t.x <= s.c * 96 + 128
+  GROUP BY 1, 2, 3, 4
+)
+SELECT rn, CAST(chunk_id AS INTEGER) AS chunk_id,
+  CAST(start AS INTEGER) AS start, CAST(chunk_len AS INTEGER) AS chunk_len,
+  chunk_md5
+FROM win
+"""

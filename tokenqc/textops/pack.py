@@ -684,3 +684,62 @@ def pack_audit(
         .unionByName(pack_tiling)
         .unionByName(pack_fill)
     )
+
+
+def window_chunks(
+    df: DataFrame,
+    size: int,
+    stride: int | None = None,
+    id_col: str = "rn",
+    tokens_col: str = "tokens",
+    keep_tail: bool = True,
+) -> DataFrame:
+    """Sliding-window chunking — the OTHER standard way long documents
+    become training sequences (pack_tokens concatenates across docs;
+    window_chunks splits within one doc into `size`-token windows every
+    `stride` tokens, overlap = size - stride, BERT-style). Document
+    boundaries are never crossed by construction.
+
+    Entirely JVM-side: one `sequence` + `explode` for the window starts
+    and a codegen'd `slice` per window — the token array is sliced in
+    the scan stage, no Python, no shuffle (plan-pinned). Window starts:
+    0, stride, 2·stride, … while start < n_tok (so every token is in
+    ≥ 1 window when stride <= size); with keep_tail=False, windows
+    shorter than `size` (the document tail) are dropped — the
+    drop-last contract a fixed-shape trainer wants.
+
+    Output: (id_col, chunk_id, start, chunk_len, chunk) — chunk_id
+    dense per doc from 0. Rows with NULL/empty tokens are excluded.
+    Lengths come from size(tokens) — the ACTUAL array — never from an
+    n_tok metadata column, which the structural gate exists to distrust
+    (a lying n_tok would emit phantom starts and short slices).
+    """
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    stride = size if stride is None else stride
+    if not (0 < stride <= size):
+        raise ValueError(f"stride must be in (0, size], got {stride}")
+    toks = F.col(tokens_col)
+    n = F.size(toks).cast("long")
+    n_chunks = F.floor((n - 1) / stride) + 1  # starts strictly below n
+    base = df.where(toks.isNotNull() & (F.size(toks) > 0)).select(
+        id_col, tokens_col, n.alias("_n"), n_chunks.alias("_nc")
+    )
+    exploded = base.select(
+        id_col,
+        tokens_col,
+        "_n",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_nc") - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    clen = F.least(F.lit(size).cast("long"), F.col("_n") - start)
+    out = exploded.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start.cast("int").alias("start"),
+        clen.cast("int").alias("chunk_len"),
+        F.slice(F.col(tokens_col), (start + 1).cast("int"), clen.cast("int")).alias("chunk"),
+    )
+    if not keep_tail:
+        out = out.where(F.col("chunk_len") == size)
+    return out
