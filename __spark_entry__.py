@@ -333,6 +333,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sliding-window chunking (BERT-style): JVM sequence+explode+
         # slice, byte-exact md5 per chunk
         "seq_window_chunks": H.q_seq_window_chunks,
+        # vocab pruning plan: top-V by (freq, id), dense renumber —
+        # drops straight into remap_tokens
+        "seq_vocab_prune": H.q_seq_vocab_prune,
         # session-6 rotation swap-outs (each subsumed, see docstring)
         "seq_pack_spans": HT.q_seq_pack_spans,
         "doc_quality": HT.q_doc_quality,
@@ -383,6 +386,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "semdedup": HT.oracle_semdedup(),
         "split_leakage": HT.oracle_split_leakage(),
         "seq_window_chunks": H.oracle_seq_window_chunks(),
+        "seq_vocab_prune": H.oracle_seq_vocab_prune(),
         "seq_pack_spans": HT.oracle_seq_pack_spans(),
         "doc_quality": HT.oracle_doc_quality(),
         "doc_langid": HT.oracle_doc_langid(),

@@ -515,3 +515,16 @@ def test_window_chunks_zero_shuffle_no_python(spark):
     assert "Exchange" not in plan, plan
     for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert node not in plan, plan
+
+
+def test_vocab_prune_plan_partial_agg_and_take_ordered(spark):
+    """Frequency counts partial-aggregate map-side; the top-V is
+    TakeOrderedAndProject (per-task heaps), never a vocab-wide sort."""
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame(
+        [(i, list(range(i % 9))) for i in range(50)], "doc_id long, tokens array<int>"
+    )
+    plan = plan_of(textqc.vocab_prune_plan(df, keep_v=5))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "TakeOrderedAndProject" in plan

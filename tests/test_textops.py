@@ -1317,3 +1317,34 @@ def test_split_leakage_audit_diagonal_for_cluster_split(spark):
     m2 = {(r.split_a, r.split_b): r.n_pairs
           for r in dedup.split_leakage_audit(forced, pairs).collect()}
     assert m2[("test", "train")] == 1 and m2[("train", "train")] == 2
+
+
+def test_vocab_prune_plan_feeds_remap_tokens(spark):
+    """The prune plan's contract: dense new ids by (freq desc, old asc)
+    starting at reserved_ids, and the plan drops straight into
+    remap_tokens — after the rewrite every token is in [0, reserved +
+    V) with un-kept ids collapsed to UNK."""
+    import pytest
+
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame(
+        [(0, [5, 5, 5, 9, 9, 2]), (1, [5, 9, 7]), (2, [2, 7])],
+        "doc_id long, tokens array<int>",
+    )
+    plan = {r.old_id: (r.new_id, r.freq) for r in
+            textqc.vocab_prune_plan(df, keep_v=2).collect()}
+    # freqs: 5->4, 9->3, 2->2, 7->2; top-2 = {5: id 1, 9: id 2}
+    assert plan == {5: (1, 4), 9: (2, 3)}
+    out = {r.doc_id: r.tokens for r in textqc.remap_tokens(
+        df, textqc.vocab_prune_plan(df, keep_v=2).select("old_id", "new_id"),
+        unk_id=0).collect()}
+    assert out[0] == [1, 1, 1, 2, 2, 0]
+    assert out[1] == [1, 2, 0]
+    assert out[2] == [0, 0]
+    # tie-break: equal freqs rank by smaller old id
+    tie = {r.old_id: r.new_id for r in
+           textqc.vocab_prune_plan(df, keep_v=4).collect()}
+    assert tie[2] == 3 and tie[7] == 4
+    with pytest.raises(ValueError):
+        textqc.vocab_prune_plan(df, keep_v=0)

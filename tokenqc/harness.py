@@ -1442,3 +1442,34 @@ SELECT rn, CAST(chunk_id AS INTEGER) AS chunk_id,
   chunk_md5
 FROM win
 """
+
+
+def q_seq_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary pruning plan (textqc.vocab_prune_plan, keep_v=1000,
+    one reserved UNK slot): the top-1000 corpus token ids renumbered
+    densely by (freq DESC, old_id ASC). The oracle recounts frequencies
+    from re-simulated per-position values and re-ranks with QUALIFY."""
+    from tokenqc.textops import textqc
+
+    seq = derive_sequences(spark, sf_dir)
+    return textqc.vocab_prune_plan(seq, keep_v=1000)
+
+
+def oracle_seq_vocab_prune() -> str:
+    return SEQ_CTE + """
+, pos AS (
+  SELECT rn, sz, unnest(generate_series(1, CAST(sz AS BIGINT))) AS x
+  FROM seq WHERE sz IS NOT NULL AND sz >= 1
+), toks AS (
+  SELECT CAST((x * 31 + rn) % 50257 AS INTEGER) AS old_id FROM pos
+), freqs AS (
+  SELECT old_id, count(*) AS freq FROM toks GROUP BY old_id
+), top AS (
+  SELECT old_id, freq,
+    row_number() OVER (ORDER BY freq DESC, old_id ASC) - 1 + 1 AS new_id
+  FROM freqs
+  QUALIFY row_number() OVER (ORDER BY freq DESC, old_id ASC) <= 1000
+)
+SELECT old_id, CAST(new_id AS INTEGER) AS new_id, CAST(freq AS BIGINT) AS freq
+FROM top
+"""

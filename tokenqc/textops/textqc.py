@@ -1396,3 +1396,50 @@ def remap_tokens(
             schema=f"{id_col} {dtypes[id_col]}, {tokens_col} array<int>, n_tok int",
         )
     )
+
+
+def vocab_prune_plan(
+    df: DataFrame,
+    keep_v: int,
+    tokens_col: str = "tokens",
+    reserved_ids: int = 1,
+    max_vocab: int = 1 << 24,
+) -> DataFrame:
+    """Frequency-based vocabulary pruning plan: the remap table that
+    keeps the corpus's `keep_v` most frequent token ids and renumbers
+    them DENSELY by frequency rank (ties to the smaller old id) —
+    exactly the (old_id, new_id) contract `remap_tokens` consumes, so
+    prune-then-rewrite is a two-call pipeline. `reserved_ids` shifts
+    every new id up (default 1 keeps new id 0 free for the UNK that
+    un-kept tokens become).
+
+    Scale shape: ONE explode of the token payload into (token) ints —
+    the token-drift exchange shape, partial-aggregated map-side so the
+    shuffle moves ≤ tasks × vocab rows — then TakeOrderedAndProject
+    for the top-V (per-task V-row heaps, never a global sort of the
+    vocabulary) and one rank window over the V survivors (V is a
+    tokenizer-artifact size, bounded by `max_vocab` like the
+    remap_tokens LUT — the seed_centroids bounded-window pattern).
+
+    Output: (old_id int, new_id int, freq long) — new_id dense in
+    [reserved_ids, reserved_ids + V).
+    """
+    if keep_v <= 0:
+        raise ValueError(f"keep_v must be positive, got {keep_v}")
+    if keep_v + reserved_ids > max_vocab:
+        raise ValueError(f"keep_v + reserved_ids exceeds max_vocab={max_vocab}")
+    if reserved_ids < 0:
+        raise ValueError("reserved_ids must be >= 0")
+    freqs = (
+        df.where(F.col(tokens_col).isNotNull())
+        .select(F.explode(tokens_col).alias("old_id"))
+        .groupBy("old_id")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = freqs.orderBy(F.col("freq").desc(), F.col("old_id").asc()).limit(int(keep_v))
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("freq").desc(), F.col("old_id").asc())
+    return top.select(
+        F.col("old_id").cast("int"),
+        (F.row_number().over(w) - 1 + reserved_ids).cast("int").alias("new_id"),
+        F.col("freq").cast("long"),
+    )
