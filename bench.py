@@ -142,6 +142,7 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     from tokenqc.checks.base import CheckConfig
     from tokenqc.runner import QCRunner
     from tokenqc.textops import dedup, simsearch, textqc
+    from tokenqc.textops import pack as pack_mod
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -369,6 +370,26 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     timed(
         "q_winnow_fps",
         lambda: dedup.winnow_fingerprints(seq, id_col="doc_id").count(),
+        side_trials,
+    )
+    # vocabulary surgery (late r5): the payload-rewrite pass — broadcast
+    # numpy LUT, one Arrow gather per batch; includes the plan-build
+    # collect of the remap table each trial (the real call shape)
+    remap_half = (
+        seq.sparkSession.range(0, 50257)
+        .where(F.col("id") % 2 == 0)
+        .select(F.col("id").cast("int").alias("old_id"),
+                F.expr("id div 2").cast("int").alias("new_id"))
+    )
+    timed(
+        "q_token_remap",
+        lambda: textqc.remap_tokens(seq, remap_half, unk_id=0).count(),
+        side_trials,
+    )
+    # sliding-window chunking (late r5): all-JVM sequence+explode+slice
+    timed(
+        "q_window_chunks",
+        lambda: pack_mod.window_chunks(seq, size=512, stride=384, id_col="doc_id").count(),
         side_trials,
     )
     timed("q_stats_profile", lambda: stats.profile(seq, cfg).count(), side_trials)
