@@ -46,6 +46,24 @@ def test_qc_stream_end_to_end(spark, tmp_path, expected):
     assert spark.read.parquet(f"{out}/violations_stream").count() == want
 
 
+_MTIME_SEQ = [0]
+
+
+def _write_ordered(table, path):
+    """pq.write_table + an explicitly increasing mtime: FileStreamSource
+    orders files by modification time, and two files written within the
+    same timestamp tick tie — under suite load the tie occasionally
+    resolves f2-before-f1, breaking arrival-order assertions (the one
+    intermittent failure across r4/r5 suite runs). Monotonic mtimes
+    make arrival order deterministic."""
+    import os
+
+    pq.write_table(table, path)
+    _MTIME_SEQ[0] += 1
+    t = 1_600_000_000 + _MTIME_SEQ[0] * 10
+    os.utime(path, (t, t))
+
+
 def test_incremental_file_arrival(spark, tmp_path):
     inp = tmp_path / "inc_in"
     inp.mkdir()
@@ -610,8 +628,8 @@ def test_streaming_incremental_dedup_matches_batch_and_restarts(spark, tmp_path)
         })
     # wave 1 split across two files, one file per micro-batch: the
     # within-wave cross-batch path is exercised too
-    pq.write_table(tbl(w1[:2]), str(inp / "f1.parquet"))
-    pq.write_table(tbl(w1[2:]), str(inp / "f2.parquet"))
+    _write_ordered(tbl(w1[:2]), str(inp / "f1.parquet"))
+    _write_ordered(tbl(w1[2:]), str(inp / "f2.parquet"))
     q = streaming.streaming_incremental_dedup(
         spark, str(inp), out, max_files_per_trigger=1
     )
@@ -622,7 +640,7 @@ def test_streaming_incremental_dedup_matches_batch_and_restarts(spark, tmp_path)
     assert got1 == {(1, True), (2, True), (4, False)}
 
     # restart: wave 2 lands, a NEW query on the same checkpoint + store
-    pq.write_table(tbl(w2), str(inp / "f3.parquet"))
+    _write_ordered(tbl(w2), str(inp / "f3.parquet"))
     q2 = streaming.streaming_incremental_dedup(
         spark, str(inp), out, max_files_per_trigger=1
     )
@@ -725,12 +743,12 @@ def test_streaming_pack_matches_batch_complete_packs(spark, tmp_path):
         })
 
     # wave 1: two files -> two micro-batches (cross-batch carry)
-    pq.write_table(tbl(docs[:7]), str(inp / "f1.parquet"))
-    pq.write_table(tbl(docs[7:12]), str(inp / "f2.parquet"))
+    _write_ordered(tbl(docs[:7]), str(inp / "f1.parquet"))
+    _write_ordered(tbl(docs[7:12]), str(inp / "f2.parquet"))
     q = streaming.streaming_pack(spark, str(inp), out, cap=cap)
     assert q.awaitTermination(420), 'stream did not finish'
     # wave 2 after a restart on the same checkpoint: state carries over
-    pq.write_table(tbl(docs[12:]), str(inp / "f3.parquet"))
+    _write_ordered(tbl(docs[12:]), str(inp / "f3.parquet"))
     q2 = streaming.streaming_pack(spark, str(inp), out, cap=cap)
     assert q2.awaitTermination(420), 'stream did not finish'
 
