@@ -336,6 +336,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vocab pruning plan: top-V by (freq, id), dense renumber —
         # drops straight into remap_tokens
         "seq_vocab_prune": H.q_seq_vocab_prune,
+        # event-rate spike gate: trailing-window z over hourly counts
+        # (planted tripled bucket must grade SPIKE)
+        "events_rate_spikes": HT.q_events_rate_spikes,
         # session-6 rotation swap-outs (each subsumed, see docstring)
         "seq_pack_spans": HT.q_seq_pack_spans,
         "doc_quality": HT.q_doc_quality,
@@ -387,6 +390,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "split_leakage": HT.oracle_split_leakage(),
         "seq_window_chunks": H.oracle_seq_window_chunks(),
         "seq_vocab_prune": H.oracle_seq_vocab_prune(),
+        "events_rate_spikes": HT.oracle_events_rate_spikes(),
         "seq_pack_spans": HT.oracle_seq_pack_spans(),
         "doc_quality": HT.oracle_doc_quality(),
         "doc_langid": HT.oracle_doc_langid(),

@@ -183,3 +183,54 @@ def test_time_rollup_levels_consistent(spark):
     # day level covers both hours of Jan 1
     assert by[("day", "a", d1)] == (3, 6.0, 1.0, 3.0)
     assert by[("day", "b", d1)] == (1, 5.0, 5.0, 5.0)
+
+
+def test_rate_spikes_semantics(spark):
+    """Planted burst flags SPIKE; thin history is WARMUP (never graded);
+    a zero-variance baseline is FLAT (no divide-through); steady traffic
+    is OK; window validation raises."""
+    import datetime as dt
+
+    import pytest
+
+    from tokenqc import relops
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 'a': 2/hour for 8 hours, then a 10-event burst in hour 8
+    for h in range(8):
+        rows += [(base + dt.timedelta(hours=h, minutes=m), "a") for m in (5, 35)]
+    rows += [(base + dt.timedelta(hours=8, minutes=m), "a") for m in range(10)]
+    # 'b': counts with real variance, no burst: 1,2,1,2,...
+    for h in range(9):
+        rows += [(base + dt.timedelta(hours=h, minutes=m), "b")
+                 for m in range(1 + h % 2)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {(r.event_type, r.bucket_ts.hour): r for r in
+           relops.rate_spikes(df, window=6).collect()}
+    a8 = out[("a", 8)]
+    assert a8.status == "SPIKE" and a8.cnt == 10 and a8.z is None or a8.status == "FLAT"
+    # constant 2/hour baseline has sd 0 -> the burst grades FLAT, not
+    # SPIKE: zero variance is surfaced, never divided through
+    assert a8.status == "FLAT" and a8.z is None
+    assert out[("a", 3)].status == "WARMUP"
+    b8 = out[("b", 8)]
+    assert b8.status == "OK" and b8.z is not None
+    with pytest.raises(ValueError):
+        relops.rate_spikes(df, window=1)
+
+
+def test_rate_spikes_variance_baseline_spike(spark):
+    """With a non-degenerate baseline the burst actually grades SPIKE."""
+    import datetime as dt
+
+    from tokenqc import relops
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    counts = [2, 3, 2, 3, 2, 3, 20]
+    for h, c in enumerate(counts):
+        rows += [(base + dt.timedelta(hours=h, minutes=m), "a") for m in range(c)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r.bucket_ts.hour: r for r in relops.rate_spikes(df, window=6).collect()}
+    assert out[6].status == "SPIKE" and out[6].z > 3

@@ -2097,3 +2097,63 @@ lk AS (
 SELECT splitter, split_a, split_b, count(*) AS n_pairs
 FROM lk GROUP BY 1, 2, 3
 """
+
+
+def q_events_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate spike gate (relops.rate_spikes): the 12:00 click
+    bucket is tripled (two extra copies of its rows), so the gate must
+    grade that bucket SPIKE against its trailing 6-hour baseline while
+    warmup/flat/ok paths ride the natural data. The oracle replays the
+    planting union, the hourly counts, and the identical rows-based
+    rolling window."""
+    from tokenqc import relops
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    hot = ev.where(
+        (F.date_trunc("hour", F.col("ts")) == F.lit("2024-01-01 12:00:00").cast("timestamp"))
+        & (F.col("event_type") == "click")
+    )
+    planted = ev.unionByName(hot).unionByName(hot)
+    out = relops.rate_spikes(planted, window=6)
+    # pandas renders Spark timestamps at ns and DuckDB's at µs: compare
+    # the bucket as epoch seconds (the events_rollup precedent)
+    return out.withColumn("bucket_ts", F.unix_timestamp("bucket_ts"))
+
+
+def oracle_events_rate_spikes() -> str:
+    return """
+WITH ev AS (
+  SELECT ts, event_type FROM events
+  UNION ALL
+  SELECT ts, event_type FROM events
+  WHERE date_trunc('hour', ts) = TIMESTAMP '2024-01-01 12:00:00'
+    AND event_type = 'click'
+  UNION ALL
+  SELECT ts, event_type FROM events
+  WHERE date_trunc('hour', ts) = TIMESTAMP '2024-01-01 12:00:00'
+    AND event_type = 'click'
+), hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, count(*) AS cnt
+  FROM ev WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), rolled AS (
+  SELECT event_type, bucket_ts, cnt,
+    round(avg(cnt) OVER w, 6) AS baseline_mean,
+    round(stddev(cnt) OVER w, 6) AS baseline_sd,
+    count(*) OVER w AS n_prev,
+    round((cnt - avg(cnt) OVER w) / stddev(cnt) OVER w, 6) AS z_raw,
+    stddev(cnt) OVER w AS sd_raw
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, CAST(epoch(bucket_ts) AS BIGINT) AS bucket_ts, cnt,
+  baseline_mean, baseline_sd, n_prev,
+  CASE WHEN n_prev >= 6 AND sd_raw > 0 THEN z_raw END AS z,
+  CASE WHEN n_prev < 6 THEN 'WARMUP'
+       WHEN baseline_sd = 0 THEN 'FLAT'
+       WHEN (CASE WHEN n_prev >= 6 AND sd_raw > 0 THEN z_raw END) > 3.0
+         THEN 'SPIKE'
+       ELSE 'OK' END AS status
+FROM rolled
+"""

@@ -349,3 +349,71 @@ def time_rollup(
         "min_value",
         "max_value",
     )
+
+
+def rate_spikes(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window: int = 6,
+    z_max: float = 3.0,
+) -> DataFrame:
+    """Event-rate spike gate: per (type, hour) counts graded against a
+    trailing per-type baseline — the ingestion-anomaly question a
+    pipeline asks of its OWN telemetry (a crawler burst, a stuck
+    producer, a replayed partition all show up as rate spikes before
+    they show up as content problems).
+
+    z = (count − mean_prev_W) / stddev_prev_W over the `window`
+    PRECEDING observed buckets (rows-based frame: missing hours
+    compress — the gate grades against recent observed behavior, not
+    calendar adjacency; documented, matched exactly by the oracle).
+    status: SPIKE (z > z_max), OK, WARMUP (< window prior buckets —
+    never graded on a thin baseline), FLAT (zero variance baseline —
+    z undefined, surfaced rather than divided through).
+
+    Scale shape: the only data-sized pass is the partial-aggregated
+    (type, hour) count; the rolling window runs over the
+    metadata-sized hourly table partitioned BY TYPE (bounded groups:
+    hours-per-type is calendar-bounded — never the unpartitioned
+    global window the engine bans). stddev is the sample form in both
+    Spark and DuckDB; z rounds to 6 dp (the cross-engine float rule).
+    Reference analogue: run_tests.py's outcome-count deltas between
+    runs (/root/reference/bin/run_tests.py:131-162), graded per time
+    bucket instead of per run.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    hourly = (
+        df.where(F.col(type_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-window, -1)
+    )
+    mean = F.avg("cnt").over(w)
+    sd = F.stddev("cnt").over(w)
+    n_prev = F.count(F.lit(1)).over(w)
+    z = F.round((F.col("cnt") - mean) / sd, 6)
+    out = hourly.select(
+        "event_type",
+        "bucket_ts",
+        "cnt",
+        F.round(mean, 6).alias("baseline_mean"),
+        F.round(sd, 6).alias("baseline_sd"),
+        n_prev.alias("n_prev"),
+        F.when((n_prev >= window) & (sd > 0), z).alias("z"),
+    )
+    status = (
+        F.when(F.col("n_prev") < window, "WARMUP")
+        .when(F.col("baseline_sd") == 0, "FLAT")
+        .when(F.col("z") > float(z_max), "SPIKE")
+        .otherwise("OK")
+    )
+    return out.withColumn("status", status)
