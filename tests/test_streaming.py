@@ -820,3 +820,59 @@ def test_streaming_pack_per_stream_keys(spark, tmp_path):
         assert len(packs) == total // cap
         for g, w in zip(packs, want):
             assert list(g.tokens) == list(w.tokens), (src, g.pack_id)
+
+
+def test_streaming_rate_spikes_matches_batch(spark, tmp_path):
+    """The merged hourly store grades with the SAME formula as the
+    batch gate: after all waves (including a query restart), the final
+    epoch's verdicts equal relops.rate_spikes over the full input."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from tokenqc import relops
+
+    inp = tmp_path / "spike_in"
+    inp.mkdir()
+    out = str(tmp_path / "spike_out")
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    counts = [2, 3, 2, 3, 2, 3, 20, 2]
+    for h, c in enumerate(counts):
+        rows += [(base + dt.timedelta(hours=h, minutes=m), "a") for m in range(c)]
+        rows += [(base + dt.timedelta(hours=h, minutes=m), "b") for m in range(2)]
+
+    def tbl(rs):
+        n = len(rs)
+        return pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([r[0] for r in rs], pa.timestamp("us")),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array([r[1] for r in rs], pa.string()),
+            "value": pa.array([0.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        })
+
+    half = len(rows) // 2
+    _write_ordered(tbl(rows[:half]), str(inp / "f1.parquet"))
+    q = streaming.streaming_rate_spikes(spark, str(inp), out)
+    assert q.awaitTermination(420), 'stream did not finish'
+    # second wave via a restarted query on the same checkpoint + store
+    _write_ordered(tbl(rows[half:]), str(inp / "f2.parquet"))
+    q2 = streaming.streaming_rate_spikes(spark, str(inp), out)
+    assert q2.awaitTermination(420), 'stream did not finish'
+
+    got_all = spark.read.parquet(f"{out}/rate_spikes_stream")
+    last = got_all.agg(F.max("epoch")).collect()[0][0]
+    got = {(r.event_type, r.bucket_ts, r.cnt, r.baseline_mean, r.baseline_sd,
+            r.n_prev, r.z, r.status)
+           for r in got_all.where(F.col("epoch") == last).collect()}
+    batch = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    want = {(r.event_type, r.bucket_ts, r.cnt, r.baseline_mean, r.baseline_sd,
+             r.n_prev, r.z, r.status)
+            for r in relops.rate_spikes(batch).collect()}
+    assert got == want
+    spikes = {(t, b.hour) for t, b, *_, s in got if s == "SPIKE"}
+    assert ("a", 6) in spikes and not any(t == "b" for t, _ in spikes)

@@ -384,7 +384,17 @@ def rate_spikes(
     """
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
-    hourly = (
+    hourly = hourly_counts(df, ts_col=ts_col, type_col=type_col)
+    return grade_hourly(hourly, window=window, z_max=z_max)
+
+
+def hourly_counts(
+    df: DataFrame, ts_col: str = "ts", type_col: str = "event_type"
+) -> DataFrame:
+    """Per-(type, hour) event counts — the one data-sized pass of the
+    spike gate, partial-aggregated map-side; also the mergeable unit
+    the streaming gate accumulates (counts sum across micro-batches)."""
+    return (
         df.where(F.col(type_col).isNotNull() & F.col(ts_col).isNotNull())
         .groupBy(
             F.col(type_col).alias("event_type"),
@@ -392,6 +402,13 @@ def rate_spikes(
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def grade_hourly(hourly: DataFrame, window: int = 6, z_max: float = 3.0) -> DataFrame:
+    """Grade an (event_type, bucket_ts, cnt) table with the trailing
+    z-score rule — ONE formula shared by the batch gate and
+    `streaming.streaming_rate_spikes` (a stream that has consumed rows
+    X grades identically to a batch run over X)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("bucket_ts")

@@ -665,3 +665,66 @@ def streaming_pack(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_rate_spikes(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    window: int = 6,
+    z_max: float = 3.0,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of the batch event-rate spike gate
+    (relops.rate_spikes): per micro-batch, the batch's hourly counts
+    MERGE into a persistent (event_type, bucket_ts, cnt) store —
+    counts are the mergeable unit, so arrival order and batch
+    boundaries cannot change the accumulated table — and the merged
+    table is re-graded with the SAME `relops.grade_hourly` formula; a
+    stream that has consumed rows X grades identically to a batch run
+    over X (pinned across waves and a query restart). Verdicts append
+    under out_dir/rate_spikes_stream tagged by epoch; the store is
+    metadata-sized (types × observed hours), so the per-batch
+    read-merge-overwrite is a bounded job, the incremental-dedup
+    store pattern with aggregation instead of anti-join.
+    """
+    from tokenqc import relops
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    store = os.path.join(out_dir, "hourly_store")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_hourly = relops.hourly_counts(batch_df)
+        try:
+            prev = batch_df.sparkSession.read.parquet(store)
+        except Exception:
+            prev = None
+        merged = (
+            batch_hourly if prev is None else prev.unionByName(batch_hourly)
+        ).groupBy("event_type", "bucket_ts").agg(F.sum("cnt").alias("cnt"))
+        rows = merged.collect()  # metadata-sized: types x observed hours
+        batch_df.sparkSession.createDataFrame(
+            rows, "event_type string, bucket_ts timestamp, cnt long"
+        ).write.mode("overwrite").parquet(store)
+        verdicts = relops.grade_hourly(
+            batch_df.sparkSession.read.parquet(store), window=window, z_max=z_max
+        )
+        verdicts.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            os.path.join(out_dir, "rate_spikes_stream")
+        )
+
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_rate_spikes_checkpoint")
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
