@@ -156,17 +156,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_vocab_by_source": H.q_seq_vocab_by_source,
         "seq_heavy_hitters": H.q_seq_heavy_hitters,
         "seq_quantiles_approx": HT.q_seq_quantiles_approx,
-        # dedup / similarity / text QC
-        "doc_exact_dup": HT.q_doc_exact_dup,
-        "doc_ngram_jaccard": HT.q_doc_ngram_jaccard,
+        # session-7 rotation: the four strongest session-6 operators as
+        # hard rows — SemDeDup (within-cell semantic near-dup removal),
+        # the split-leakage matrix (the measured cluster-holdout
+        # guarantee), soft quality-weighted sampling, and the event-rate
+        # spike gate (batch twin of the streaming gate); swapped-out
+        # subsumed rows documented in extra_queries
+        "semdedup": HT.q_semdedup,
+        "split_leakage": HT.q_split_leakage,
+        "doc_weighted_sample": HT.q_doc_weighted_sample,
+        "events_rate_spikes": HT.q_events_rate_spikes,
         # late-r5: the iterative trained-IVF row replaces ann_topk
         # (ann_topk ⊂ ivf_ann_topk: the IVF row must recover the exact
         # top-k under the IDENTICAL oracle twin, and the brute scorer is
         # the same cosine_expr path ann_batch_topk also exercises)
         "ivf_kmeans_centroids": HT.q_ivf_kmeans_centroids,
-        "ann_batch_topk": HT.q_ann_batch_topk,
         "doc_contamination": HT.q_doc_contamination,
-        "dedup_clusters": HT.q_dedup_clusters,
         "doc_curation_lsh": HT.q_doc_curation_lsh,
         # QC gates over the TPC-H-ish tables
         "events_completeness": HT.q_events_completeness,
@@ -253,6 +258,30 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             equivalence to the plain splitter is
                             unit-pinned) + doc_weighted_sample /
                             seq_mixture_sample (same md5 idiom)
+
+    Session-7 rotation: semdedup (within-cell semantic near-dup
+    removal), split_leakage (the measured cluster-holdout guarantee),
+    doc_weighted_sample (soft quality-weighted sampling), and
+    events_rate_spikes (the batch rate-anomaly gate) moved into the
+    driver surface for four subsumed rows:
+    - dedup_clusters   ⊂ dedup_keep_best (re-runs the IDENTICAL
+                         ngram_jaccard_pairs graph + connected_components
+                         closure before picking representatives; its
+                         oracle re-derives the same recursive-CTE
+                         closure) + semdedup / dedup_cluster_split /
+                         split_leakage (further CC consumers)
+    - doc_ngram_jaccard ⊂ minhash_lsh_pairs (the MinHash driver row's
+                         oracle IS oracle_doc_ngram_jaccard — the banded
+                         candidates must recover the identical exact
+                         pair set)
+    - doc_exact_dup     ⊂ doc_incremental_dedup (same md5-digest
+                         grouping, seen-set anti-join on the digests) +
+                         doc_datacard (dup tree aggregates the same
+                         (digest, source) counts)
+    - ann_batch_topk    ⊂ ivf_ann_topk (must recover the identical
+                         exact cosine top-k) + pandas_ann_topk extra
+                         (the Arrow batch-scorer path) +
+                         top_violation_examples (per-group rank window)
     """
     hf = _hash_family_queries()
     return {
@@ -321,29 +350,22 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # robust per-source length-outlier gate: discrete quantiles on a
         # bounded histogram (integer-exact fences, no interpolated floats)
         "seq_ntok_outliers": H.q_seq_ntok_outliers,
-        # soft quality-weighted sampling: keep prob ∝ score^gamma via
-        # explicit product chain + md5 Bernoulli (zero-shuffle)
-        "doc_weighted_sample": HT.q_doc_weighted_sample,
-        # SemDeDup: within-cell semantic near-dup groups, min-id rep
-        # (argmin assignment + rounded-cosine pairs + CC closure)
-        "semdedup": HT.q_semdedup,
-        # the cluster_split CLAIM measured: leakage matrix of the naive
-        # per-doc splitter vs the cluster-holdout splitter on one graph
-        "split_leakage": HT.q_split_leakage,
         # sliding-window chunking (BERT-style): JVM sequence+explode+
         # slice, byte-exact md5 per chunk
         "seq_window_chunks": H.q_seq_window_chunks,
         # vocab pruning plan: top-V by (freq, id), dense renumber —
         # drops straight into remap_tokens
         "seq_vocab_prune": H.q_seq_vocab_prune,
-        # event-rate spike gate: trailing-window z over hourly counts
-        # (planted tripled bucket must grade SPIKE)
-        "events_rate_spikes": HT.q_events_rate_spikes,
         # session-6 rotation swap-outs (each subsumed, see docstring)
         "seq_pack_spans": HT.q_seq_pack_spans,
         "doc_quality": HT.q_doc_quality,
         "doc_langid": HT.q_doc_langid,
         "doc_split": HT.q_doc_split,
+        # session-7 rotation swap-outs (each subsumed, see docstring)
+        "dedup_clusters": HT.q_dedup_clusters,
+        "doc_ngram_jaccard": HT.q_doc_ngram_jaccard,
+        "doc_exact_dup": HT.q_doc_exact_dup,
+        "ann_batch_topk": HT.q_ann_batch_topk,
     }
 
 
@@ -385,16 +407,16 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_score_top": H.oracle_seq_score_top(),
         "dedup_cluster_split": HT.oracle_dedup_cluster_split(),
         "seq_ntok_outliers": H.oracle_seq_ntok_outliers(),
-        "doc_weighted_sample": HT.oracle_doc_weighted_sample(),
-        "semdedup": HT.oracle_semdedup(),
-        "split_leakage": HT.oracle_split_leakage(),
         "seq_window_chunks": H.oracle_seq_window_chunks(),
         "seq_vocab_prune": H.oracle_seq_vocab_prune(),
-        "events_rate_spikes": HT.oracle_events_rate_spikes(),
         "seq_pack_spans": HT.oracle_seq_pack_spans(),
         "doc_quality": HT.oracle_doc_quality(),
         "doc_langid": HT.oracle_doc_langid(),
         "doc_split": HT.oracle_doc_split(),
+        "dedup_clusters": HT.oracle_dedup_clusters(),
+        "doc_ngram_jaccard": HT.oracle_doc_ngram_jaccard(),
+        "doc_exact_dup": HT.oracle_doc_exact_dup(),
+        "ann_batch_topk": HT.oracle_ann_batch_topk(),
     }
 
 
@@ -436,12 +458,12 @@ def oracle_sql() -> dict[str, str]:
         "seq_vocab_by_source": H.oracle_seq_vocab_by_source(),
         "seq_heavy_hitters": H.oracle_seq_heavy_hitters(),
         "seq_quantiles_approx": HT.oracle_seq_quantiles_approx(),
-        "doc_exact_dup": HT.oracle_doc_exact_dup(),
-        "doc_ngram_jaccard": HT.oracle_doc_ngram_jaccard(),
+        "semdedup": HT.oracle_semdedup(),
+        "split_leakage": HT.oracle_split_leakage(),
+        "doc_weighted_sample": HT.oracle_doc_weighted_sample(),
+        "events_rate_spikes": HT.oracle_events_rate_spikes(),
         "ivf_kmeans_centroids": HT.oracle_ivf_kmeans_centroids(),
-        "ann_batch_topk": HT.oracle_ann_batch_topk(),
         "doc_contamination": HT.oracle_doc_contamination(),
-        "dedup_clusters": HT.oracle_dedup_clusters(),
         "doc_curation_lsh": HT.oracle_doc_curation(),
         "events_completeness": HT.oracle_events_completeness(),
         "events_histogram": HT.oracle_events_histogram(),
