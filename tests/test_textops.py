@@ -1159,6 +1159,31 @@ def test_corpus_datacard_planted(spark):
     assert web.n_words == 11 + 9 + 3
 
 
+def test_corpus_datacard_persist_projection(spark):
+    """The shared slim projection is persisted by default (both
+    aggregation trees read one cached scan — InMemoryTableScan in the
+    plan); persist_projection=False removes the cache and recomputes,
+    with identical results either way."""
+    from tokenqc.textops import textqc
+
+    rows = [
+        (0, "the cat and the dog sat of to is in that", "web"),
+        (1, "the cat and the dog sat of to is in that", "news"),
+        (2, "der die das und ist nicht ein zu bitte", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # build + plan-check the uncached variant FIRST: Spark's cache
+    # manager substitutes any logically-equal subtree once one exists
+    plain = textqc.corpus_datacard(df, persist_projection=False)
+    assert "InMemoryTableScan" not in plain._jdf.queryExecution().executedPlan().toString()
+    plain_rows = plain.collect()
+    cached = textqc.corpus_datacard(df)
+    assert "InMemoryTableScan" in cached._jdf.queryExecution().executedPlan().toString()
+    key = lambda r: r["source"]  # noqa: E731
+    assert sorted(cached.collect(), key=key) == sorted(plain_rows, key=key)
+    spark.catalog.clearCache()
+
+
 def test_corpus_datacard_quality_matches_quality_score(spark):
     """The card's mean_quality is the mean of quality_score's per-doc
     scores — one formula, no drift."""

@@ -116,6 +116,7 @@ def corpus_datacard(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    persist_projection: bool = True,
 ) -> DataFrame:
     """One-row-per-source corpus data card — the summary table a
     training-data release publishes (docs, volume, mean quality,
@@ -133,8 +134,15 @@ def corpus_datacard(
     the source vocabulary), then re-aggregate per source. A document
     counts as duplicated when its exact text appears more than once
     in the WHOLE corpus (cross-source copies count in both sources).
-    The projection is recomputed by each tree (two scans) — cheaper
-    than persisting a corpus-sized frame at target scale.
+    Because the two trees share the projection, the default persists
+    it (MEMORY_AND_DISK, `persist_projection=True`): the slim frame
+    is ~60 bytes/doc — well under 1% of a text corpus — so spilling
+    it to local disk and reading it back is far cheaper than a second
+    full text scan + md5/regex recompute at target scale. Pass
+    ``persist_projection=False`` to trade the cache for the second
+    scan when executor disk is the scarcer resource; the cached
+    partitions are evicted LRU (or by ``spark.catalog.clearCache()``)
+    once the card materializes.
 
     Rows with NULL text or NULL source are excluded: the card
     summarizes attributable content; completeness gates count the
@@ -153,6 +161,10 @@ def corpus_datacard(
         _lang_pred_expr(text_col).alias("lang_pred"),
         F.md5(F.col(text_col)).alias("digest"),
     )
+    if persist_projection:
+        from pyspark import StorageLevel
+
+        rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
     metrics = rows.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").alias("n_words"),
