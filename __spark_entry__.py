@@ -361,6 +361,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": HT.q_doc_quality,
         "doc_langid": HT.q_doc_langid,
         "doc_split": HT.q_doc_split,
+        # session-7 new operator: cross-document duplicated-span
+        # coverage (exact-substring dedup measure; hash-free oracle)
+        "seq_dup_spans": H.q_seq_dup_spans,
         # session-7 rotation swap-outs (each subsumed, see docstring)
         "dedup_clusters": HT.q_dedup_clusters,
         "doc_ngram_jaccard": HT.q_doc_ngram_jaccard,
@@ -413,6 +416,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_quality": HT.oracle_doc_quality(),
         "doc_langid": HT.oracle_doc_langid(),
         "doc_split": HT.oracle_doc_split(),
+        "seq_dup_spans": H.oracle_seq_dup_spans(),
         "dedup_clusters": HT.oracle_dedup_clusters(),
         "doc_ngram_jaccard": HT.oracle_doc_ngram_jaccard(),
         "doc_exact_dup": HT.oracle_doc_exact_dup(),

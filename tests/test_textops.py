@@ -953,6 +953,61 @@ def test_length_buckets_semantics(spark):
 
 
 # ---------------------------------------------------------------------------
+# cross-document duplicated-span coverage
+# ---------------------------------------------------------------------------
+def test_dup_span_coverage_hand_computed(spark):
+    """Interval-merge arithmetic pinned by hand: overlapping windows
+    merge, disjoint windows add, within-doc-only repeats don't count
+    (min_docs=2 needs DISTINCT docs), docs shorter than k are excluded."""
+    from tokenqc.textops import dedup
+
+    k = 3
+    rows = [
+        # docs 0 and 1 share [10,20,30,40] -> windows at doc0 p=0,1 merge
+        # into one span covering 4 tokens; doc0's tail is unique
+        (0, [10, 20, 30, 40, 99, 98, 97]),
+        (1, [10, 20, 30, 40]),
+        # doc 2 repeats a trigram INTERNALLY only: no cross-doc dup
+        (2, [5, 6, 7, 5, 6, 7]),
+        # doc 3 shares doc0's unique tail NOWHERE; fully clean
+        (3, [71, 72, 73, 74]),
+        # doc 4 too short for any window
+        (4, [1, 2]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r["doc_id"]: r for r in dedup.dup_span_coverage(df, k=k).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_tok"] == 7 and out[0]["n_dup_kgrams"] == 2
+    assert out[0]["covered_tokens"] == 4  # [0,3) U [1,4) merges to [0,4)
+    assert out[0]["dup_span_ppm"] == 4 * 1_000_000 // 7
+    assert out[1]["covered_tokens"] == 4 and out[1]["dup_span_ppm"] == 1_000_000
+
+
+def test_dup_span_coverage_containment_and_min_docs(spark):
+    """A window fully contained in earlier coverage contributes 0 (the
+    sweep clamps at the running max end); min_docs=3 drops pairs."""
+    from tokenqc.textops import dedup
+
+    rows = [
+        (0, [1, 2, 3, 4, 5]),
+        (1, [1, 2, 3, 4, 5]),
+        (2, [3, 4, 5, 9, 9]),  # shares only the suffix trigram [3,4,5]
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r["doc_id"]: r for r in dedup.dup_span_coverage(df, k=3).collect()}
+    # docs 0/1: windows p=0,1,2 all duplicated -> full coverage
+    assert out[0]["covered_tokens"] == 5 and out[1]["covered_tokens"] == 5
+    assert out[2]["covered_tokens"] == 3 and out[2]["n_dup_kgrams"] == 1
+    # min_docs=3: only the [3,4,5] trigram lives in 3 distinct docs
+    strict = {
+        r["doc_id"]: r for r in dedup.dup_span_coverage(df, k=3, min_docs=3).collect()
+    }
+    assert set(strict) == {0, 1, 2}
+    assert strict[0]["covered_tokens"] == 3  # suffix only
+    assert strict[0]["n_dup_kgrams"] == 1
+
+
+# ---------------------------------------------------------------------------
 # cross-source duplicate leakage matrix
 # ---------------------------------------------------------------------------
 def test_cross_source_dup_matrix(spark):

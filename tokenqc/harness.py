@@ -1069,6 +1069,61 @@ FROM st
 """
 
 
+def q_seq_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage (dedup.dup_span_coverage,
+    k=8, min_docs=2) over a systematic rn % 3 = 0 stratum of the
+    sequences table. The generator makes this query carry real variance
+    WITHOUT planting: tokens are (31x + rn) mod 50257, so docs rn and
+    rn + 93 (both in the stratum) share the same progression shifted by
+    3 positions — near-total span overlap where both are long, partial
+    coverage at the boundaries, zero for docs whose stratum neighbours
+    are short. The oracle re-derives the windows as ACTUAL 8-token list
+    slices (no hashing), finds cross-doc duplicates by grouping the
+    materialized window content, and counts coverage as DISTINCT
+    covered positions via generate_series — a formulation disjoint from
+    the engine's xxhash64 windows + sorted interval sweep, so both the
+    64-bit window hashing and the merge arithmetic are certified."""
+    from tokenqc.textops import dedup
+
+    seq = derive_sequences(spark, sf_dir).where(F.col("rn") % 3 == 0)
+    return dedup.dup_span_coverage(seq, id_col="rn", k=8, min_docs=2)
+
+
+def oracle_seq_dup_spans() -> str:
+    return SEQ_CTE + """
+, pos AS (
+  SELECT rn, sz, unnest(generate_series(1, CAST(sz AS BIGINT))) AS x
+  FROM seq WHERE rn % 3 = 0 AND sz IS NOT NULL AND sz >= 8
+), toks AS (
+  SELECT rn, sz, x, (x * 31 + rn) % 50257 AS v FROM pos
+), arrs AS (
+  SELECT rn, max(sz) AS sz, list(v ORDER BY x) AS t FROM toks GROUP BY rn
+), wins AS (
+  SELECT rn, sz, x AS p,
+    array_to_string(t[CAST(x AS INTEGER):CAST(x + 7 AS INTEGER)], ',') AS kg
+  FROM arrs, LATERAL (
+    SELECT unnest(generate_series(1, CAST(sz - 7 AS BIGINT))) AS x
+  ) g
+), duph AS (
+  SELECT kg FROM wins GROUP BY kg HAVING count(DISTINCT rn) >= 2
+), dupw AS (
+  SELECT w.rn, w.sz, w.p FROM wins w JOIN duph USING (kg)
+), cov AS (
+  -- count(DISTINCT p), not count(*): the LATERAL fans each window out
+  -- to its 8 covered positions, so raw row counts are windows x 8
+  SELECT rn, max(sz) AS sz, count(DISTINCT p) AS n_dup_kgrams,
+    count(DISTINCT c) AS covered
+  FROM dupw, LATERAL (SELECT unnest(generate_series(p, p + 7)) AS c) u
+  GROUP BY rn
+)
+SELECT rn, CAST(sz AS INTEGER) AS n_tok,
+  CAST(n_dup_kgrams AS BIGINT) AS n_dup_kgrams,
+  CAST(covered AS BIGINT) AS covered_tokens,
+  CAST(covered AS BIGINT) * 1000000 // sz AS dup_span_ppm
+FROM cov
+"""
+
+
 def q_seq_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching plan (pack.length_buckets) over the
     sequences table: buckets 64..512, so the generator's 1..997 token

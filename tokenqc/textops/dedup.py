@@ -19,7 +19,7 @@ Four tiers, all Spark-first:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Mersenne prime 2^31-1: affine permutation family for minhash. Kept at
 # 31 bits so h*a+b stays < 2^62 (no long overflow under ANSI arithmetic).
@@ -562,6 +562,83 @@ def chunk_dup_stats(
         F.round(
             F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_chunks").cast("double"), 6
         ).alias("dup_chunk_ratio"),
+    )
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN coverage over the token payload —
+    the per-document measurement behind exact-substring training-data
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): what fraction of a document's tokens sits inside
+    at least one k-gram that also occurs in >= `min_docs` distinct
+    documents. `token_kgram_repetition` grades WITHIN-doc repetition;
+    this grades BETWEEN-doc duplication at sub-document granularity,
+    where whole-doc digests and shingle Jaccard both under-report
+    (a unique page quoting a viral paragraph scores 0 on both).
+
+    Scale shape, entirely JVM-side: the scan projects each doc to its
+    window-hash array (`transform` over start positions, `xxhash64` on
+    the codegen'd k-slice — the token array itself never leaves the
+    scan stage), then posexplodes to slim (id, n_tok, p, h) rows. Three
+    keyed exchanges, all on 8-byte-hash/numeric rows: (h, id) partial
+    agg for distinct-doc frequency, the h-equi-join back (no broadcast
+    hint — the dup-hash dimension is data-dependent; AQE upgrades and
+    skew-splits at runtime), and the per-doc interval sweep, a window
+    partitioned BY DOCUMENT so its group size is bounded by n_tok —
+    never by corpus-wide key popularity. Coverage = classic sorted
+    sweep: contribution of window [p, p+k) is the part past the
+    running max end of earlier windows, so overlapping spans are
+    merged without materializing per-token rows.
+
+    Output: (id, n_tok, n_dup_kgrams, covered_tokens, dup_span_ppm)
+    for docs with at least one duplicated window; dup_span_ppm is
+    integer (covered * 10^6 DIV n_tok) — exact cross-engine. Docs
+    shorter than k have no window and are excluded.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = F.col(tokens_col)
+    slim = df.where(toks.isNotNull() & (F.size(toks) >= k)).select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_tok"),
+        toks.alias("_t"),
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - k),
+        lambda p: F.xxhash64(F.slice("_t", p + F.lit(1), F.lit(k))),
+    )
+    wins = slim.select(id_col, "n_tok", F.posexplode(hashes).alias("p", "h"))
+    duph = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    dup_wins = wins.join(duph, "h")
+    w = Window.partitionBy(id_col).orderBy("p")
+    prev_end = F.max(F.col("p") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("p") + k - F.greatest(F.col("p"), F.coalesce(prev_end, F.lit(0))),
+    )
+    return (
+        dup_wins.withColumn("_c", contrib)
+        .groupBy(id_col, "n_tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_kgrams"),
+            F.sum("_c").alias("covered_tokens"),
+        )
+        .withColumn(
+            "dup_span_ppm", F.expr("covered_tokens * 1000000L DIV n_tok")
+        )
     )
 
 
