@@ -528,3 +528,31 @@ def test_vocab_prune_plan_partial_agg_and_take_ordered(spark):
     plan = plan_of(textqc.vocab_prune_plan(df, keep_v=5))
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_boilerplate_scrub_text_crosses_one_exchange(spark):
+    """Line text is hashed in place and only the final doc-side join
+    moves text: every Exchange except the last join's doc side must
+    carry no string line/text payload — the frequency tree and the
+    position collection shuffle (id, source, pos, 16-byte digest) only."""
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", "a\nb\nc") for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    plan = plan_of(textqc.boilerplate_scrub(df, max_df=2))
+    # the in-place hash: a transform(..., md5) projection, no posexplode
+    # of raw line text feeding an exchange
+    assert "md5" in plan
+    # exactly one exchange may reference the doc text column: count the
+    # Exchange operators whose input schema still carries __lines
+    import re
+
+    sections = re.split(r"\n\(\d+\) ", plan)
+    exchanges_with_text = [
+        s for s in sections if s.startswith("Exchange") and "__lines" in s
+    ]
+    n_exch = sum(1 for s in sections if s.startswith("Exchange"))
+    assert n_exch >= 2  # freq agg + collect + final join exist
+    assert len(exchanges_with_text) <= 1, plan

@@ -1428,3 +1428,52 @@ def test_vocab_prune_plan_feeds_remap_tokens(spark):
     assert tie[2] == 3 and tie[7] == 4
     with pytest.raises(ValueError):
         textqc.vocab_prune_plan(df, keep_v=0)
+
+
+def test_boilerplate_scrub_planted_chrome(spark):
+    """Planted chrome: a header shared by all 4 docs of src_a (max_df=2
+    -> boiler) and a footer shared by 3 of them; content lines stay,
+    order is preserved, an all-chrome doc scrubs to ''. Per-source
+    frequency: the same header in src_b appears only twice there and
+    must SURVIVE in src_b docs."""
+    import pytest
+
+    from tokenqc.textops import textqc
+
+    hdr, ftr = "NAV home about", "(c) corp"
+    rows = [
+        (0, "src_a", f"{hdr}\nalpha beta\n{ftr}"),
+        (1, "src_a", f"{hdr}\ngamma\n{ftr}"),
+        (2, "src_a", f"{hdr}\ndelta epsilon\n{ftr}"),
+        (3, "src_a", hdr),  # all-chrome doc
+        (4, "src_b", f"{hdr}\nzeta"),
+        (5, "src_b", f"{hdr}\neta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in textqc.boilerplate_scrub(df, max_df=2).collect()}
+    assert len(out) == 6
+    assert out[0].scrubbed == "alpha beta" and out[0].n_boiler_lines == 2
+    assert out[1].scrubbed == "gamma"
+    assert out[2].scrubbed == "delta epsilon"
+    assert out[3].scrubbed == "" and out[3].n_boiler_lines == 1
+    assert out[3].n_lines == 1
+    # src_b sees the header only twice -> NOT chrome there (per-source df)
+    assert out[4].scrubbed == f"{hdr}\nzeta" and out[4].n_boiler_lines == 0
+    assert out[5].scrubbed == f"{hdr}\neta"
+    assert out[0].n_lines == 3 and out[0].source == "src_a"
+    with pytest.raises(ValueError):
+        textqc.boilerplate_scrub(df, max_df=0)
+
+
+def test_boilerplate_scrub_keeps_duplicate_content_within_one_doc(spark):
+    """A line repeated many times INSIDE one doc counts once toward the
+    document frequency (count_distinct doc_id), so it is not chrome."""
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame(
+        [(0, "s", "x\nx\nx\nx\nx"), (1, "s", "y")],
+        "doc_id long, source string, text string",
+    )
+    out = {r.doc_id: r for r in textqc.boilerplate_scrub(df, max_df=1).collect()}
+    assert out[0].scrubbed == "x\nx\nx\nx\nx" and out[0].n_boiler_lines == 0
+    assert out[1].scrubbed == "y"

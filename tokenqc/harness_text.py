@@ -1641,6 +1641,72 @@ def oracle_doc_chunk_dedup() -> str:
     )
 
 
+def _lined_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic lined view of `documents` for line-level operators:
+    the raw corpus is single-line, so plant the structure a web crawl
+    has — a per-source NAV header on every doc, the words re-wrapped
+    into 10-word lines, and a per-source copyright footer on even
+    doc_ids. With ~25 docs per source both chrome lines exceed any
+    small max_df while content lines stay (almost surely) rare."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(ws) / F.lit(10.0)).cast("int")
+    content = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.array_join(F.slice(ws, i * F.lit(10) + F.lit(1), F.lit(10)), " "),
+    )
+    lined = F.concat_ws(
+        "\n",
+        F.concat(F.lit("NAV | "), F.col("source")),
+        F.array_join(content, "\n"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit("(c) 2026 "), F.col("source"))
+        ),
+    )
+    return docs.select("doc_id", "source", lined.alias("text"))
+
+
+# the identical lined view, replayed in DuckDB for the oracle
+_ORACLE_LINED = (
+    r"w AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws "
+    "FROM documents), "
+    "lc AS (SELECT doc_id, source, 'NAV | ' || source || chr(10) || "
+    "  array_to_string(list_transform("
+    "    range(0, CAST(ceil(len(ws)/10.0) AS BIGINT)), "
+    "    i -> array_to_string(ws[i*10+1:i*10+10], ' ')), chr(10)) || "
+    "  CASE WHEN doc_id % 2 = 0 THEN chr(10) || '(c) 2026 ' || source "
+    "       ELSE '' END AS text "
+    "FROM w)"
+)
+
+
+def q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-frequency boilerplate scrub (CCNet/C4 chrome removal) over
+    the deterministically lined corpus: a line repeated in > 6 distinct
+    docs of the same source is chrome; kept lines re-join in order
+    (textqc.boilerplate_scrub). The planted NAV header (25 docs/source)
+    and even-doc footer (~12/source) must be scrubbed from every doc."""
+    return textqc.boilerplate_scrub(_lined_documents(spark, sf_dir), max_df=6)
+
+
+def oracle_doc_boilerplate() -> str:
+    return (
+        f"WITH {_ORACLE_LINED}, "
+        "l AS (SELECT doc_id, source, ls[i+1] AS line, i AS pos "
+        "  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls "
+        "        FROM lc), unnest(range(0, len(ls))) AS t(i)), "
+        "f AS (SELECT source, line FROM l GROUP BY source, line "
+        "  HAVING count(DISTINCT doc_id) > 6) "
+        "SELECT l.doc_id, l.source, "
+        "  CAST(count(*) AS BIGINT) AS n_lines, "
+        "  CAST(count(f.line) AS BIGINT) AS n_boiler_lines, "
+        "  coalesce(string_agg(CASE WHEN f.line IS NULL THEN l.line END, "
+        "    chr(10) ORDER BY l.pos), '') AS scrubbed "
+        "FROM l LEFT JOIN f ON l.source = f.source AND l.line = f.line "
+        "GROUP BY l.doc_id, l.source"
+    )
+
+
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN classifier-proxy labels: majority label of the 5 nearest
     labeled seeds (vec_id % 5 == 0) by cosine, ties to smaller seed id

@@ -186,6 +186,85 @@ def corpus_datacard(
     return out.withColumn("dup_ppm", F.expr("n_dup_docs * 1000000L DIV n_docs"))
 
 
+def boilerplate_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    max_df: int = 6,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Line-frequency boilerplate removal — the CCNet / C4 web-pipeline
+    stage that drops navigation chrome, cookie banners, and footer
+    legalese BEFORE dedup and quality scoring: a line is boilerplate
+    when it appears in more than `max_df` distinct documents OF THE
+    SAME SOURCE (frequency is per-source, the CCNet shard convention —
+    a phrase ubiquitous on one site is chrome there even if rare
+    globally). Kept lines are re-joined in original order.
+
+    Scale shape: line text NEVER leaves its document row — lines are
+    md5'd in place (`transform` inside the doc) and only the slim
+    (id, source, pos, 16-byte digest) table explodes. The frequency
+    tree, the boiler semi-join, and the per-doc position collection all
+    shuffle slim rows; per-doc groups are bounded by lines-per-doc,
+    never by line popularity (a planet-scale cookie banner adds rows to
+    the partial-agg'd frequency count, not to any single group). Doc
+    text crosses exactly ONE exchange: the final join of the intact doc
+    row against its int-array of boiler positions (no broadcast hint —
+    the position side is data-dependent; AQE upgrades it when small).
+    Scrubbing is then a positional in-row `filter`, so original line
+    order is preserved for free, with no text regroup and no re-sort.
+
+    Output: (id, source, n_lines, n_boiler_lines, scrubbed) — scrubbed
+    is '' when every line was chrome. Reference analogue: the
+    reference's per-field content lints (check_tool.py) decide keep /
+    drop per unit; this lifts the unit to corpus-frequency evidence.
+    """
+    if max_df < 1:
+        raise ValueError("max_df must be >= 1")
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.split(F.col(text_col), line_sep).alias("__lines"),
+    )
+    # Slim line table: (id, source, pos, 16-byte digest) — line TEXT is
+    # hashed in place inside the doc row and never enters any exchange.
+    slim = base.select(
+        F.col(id_col),
+        "source",
+        F.posexplode(F.transform("__lines", F.md5)).alias("__pos", "__lh"),
+    )
+    freq = (
+        slim.groupBy("source", "__lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__n"))
+        .where(F.col("__n") > max_df)
+        .select("source", "__lh")
+    )
+    # Boiler POSITIONS per doc (ints, bounded by lines-per-doc): the
+    # semi-join and group-by shuffle slim rows only.
+    boiler_pos = (
+        slim.join(freq, ["source", "__lh"], "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__bpos"))
+    )
+    # Join back onto the intact doc rows (text moves through exactly
+    # this one exchange; AQE broadcasts the int-array side when small)
+    # and drop flagged positions in place — order needs no re-sort.
+    keep = lambda s, i: F.coalesce(  # noqa: E731
+        ~F.array_contains(F.col("__bpos"), i), F.lit(True)
+    )
+    return (
+        base.join(boiler_pos, [id_col], "left")
+        .select(
+            F.col(id_col),
+            "source",
+            F.size("__lines").cast("long").alias("n_lines"),
+            F.coalesce(F.size("__bpos"), F.lit(0)).cast("long").alias("n_boiler_lines"),
+            F.concat_ws(line_sep, F.filter("__lines", keep)).alias("scrubbed"),
+        )
+    )
+
+
 def outcome_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Count test outcomes in raw runner logs — a direct re-expression of
     the reference's pytest-output parser (/root/reference/bin/
