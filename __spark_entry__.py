@@ -364,9 +364,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-7 new operator: cross-document duplicated-span
         # coverage (exact-substring dedup measure; hash-free oracle)
         "seq_dup_spans": H.q_seq_dup_spans,
-        # session-8 new operator: line-frequency boilerplate scrub
-        # (CCNet/C4 chrome removal) over the planted lined corpus
+        # session-8 new operators: line-frequency boilerplate scrub
+        # (CCNet/C4 chrome removal) over the planted lined corpus, and
+        # DSIR importance weights (hashed-n-gram log-likelihood ratio)
         "doc_boilerplate": HT.q_doc_boilerplate,
+        "doc_dsir": HT.q_doc_dsir,
         # session-7 rotation swap-outs (each subsumed, see docstring)
         "dedup_clusters": HT.q_dedup_clusters,
         "doc_ngram_jaccard": HT.q_doc_ngram_jaccard,
@@ -421,6 +423,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_split": HT.oracle_doc_split(),
         "seq_dup_spans": H.oracle_seq_dup_spans(),
         "doc_boilerplate": HT.oracle_doc_boilerplate(),
+        "doc_dsir": HT.oracle_doc_dsir(),
         "dedup_clusters": HT.oracle_dedup_clusters(),
         "doc_ngram_jaccard": HT.oracle_doc_ngram_jaccard(),
         "doc_exact_dup": HT.oracle_doc_exact_dup(),

@@ -556,3 +556,24 @@ def test_boilerplate_scrub_text_crosses_one_exchange(spark):
     n_exch = sum(1 for s in sections if s.startswith("Exchange"))
     assert n_exch >= 2  # freq agg + collect + final join exist
     assert len(exchanges_with_text) <= 1, plan
+
+
+def test_dsir_weights_broadcast_model_no_text_shuffle(spark):
+    """The bucket models join back broadcast (<= n_buckets rows) and no
+    exchange carries the text column — features hash to longs in-row."""
+    from pyspark.sql import functions as F
+
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame(
+        [(i, "a few plain words here", i % 3 == 0) for i in range(30)],
+        "doc_id long, text string, t boolean",
+    )
+    plan = plan_of(textqc.dsir_weights(df, F.col("t"), n_buckets=64))
+    assert "BroadcastExchange" in plan
+    import re
+
+    sections = re.split(r"\n\(\d+\) ", plan)
+    assert not any(
+        s.startswith("Exchange") and "text" in s for s in sections
+    ), plan

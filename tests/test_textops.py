@@ -1477,3 +1477,38 @@ def test_boilerplate_scrub_keeps_duplicate_content_within_one_doc(spark):
     out = {r.doc_id: r for r in textqc.boilerplate_scrub(df, max_df=1).collect()}
     assert out[0].scrubbed == "x\nx\nx\nx\nx" and out[0].n_boiler_lines == 0
     assert out[1].scrubbed == "y"
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    """A doc made of target-distribution words must out-score a doc of
+    raw-only words; n_feats counts unigrams + bigrams; a one-word doc
+    has no bigrams; n_buckets < 2 raises."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from tokenqc.textops import textqc
+
+    rows = [
+        (0, "good clean prose text", True),
+        (1, "good clean prose text", True),
+        (2, "good clean prose words", True),
+        (3, "spam junk noise blob", False),
+        (4, "spam junk noise blob", False),
+        (5, "good clean prose text", False),   # target-like raw doc
+        (6, "spam junk noise blob", False),
+        (7, "solo", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    out = {r.doc_id: r for r in
+           textqc.dsir_weights(df, F.col("is_tgt")).collect()}
+    assert len(out) == 8
+    # 4 words -> 4 unigrams + 3 bigrams
+    assert out[0].n_feats == 7
+    assert out[7].n_feats == 1  # no bigrams for a single word
+    # identical text scores identically regardless of its own label
+    assert out[5].dsir_logratio == out[0].dsir_logratio
+    # target-like beats raw-only
+    assert out[0].dsir_logratio > out[3].dsir_logratio
+    with pytest.raises(ValueError):
+        textqc.dsir_weights(df, F.col("is_tgt"), n_buckets=1)

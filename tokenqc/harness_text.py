@@ -1707,6 +1707,36 @@ def oracle_doc_boilerplate() -> str:
     )
 
 
+def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights with the English slice as the target
+    distribution (textqc.dsir_weights): hashed word uni+bigram bucket
+    models (4096 buckets, portable md5 hash), Laplace-smoothed
+    log-likelihood ratio per doc."""
+    docs = load(spark, sf_dir, "documents")
+    return textqc.dsir_weights(docs, F.col("lang") == "en")
+
+
+def oracle_doc_dsir() -> str:
+    b = "CAST(('0x' || substr(md5('dsir-v1' || feat), 1, 8)) AS BIGINT) % 4096"
+    return (
+        r"WITH w AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws "
+        "  FROM documents WHERE length(trim(text)) > 0), "
+        "f AS (SELECT doc_id, lang, unnest(list_concat(ws, "
+        "    CASE WHEN len(ws) >= 2 THEN list_transform(range(0, len(ws) - 1), "
+        "      i -> ws[i+1] || ' ' || ws[i+2]) "
+        "    ELSE [] END)) AS feat FROM w), "
+        f"fb AS (SELECT doc_id, lang = 'en' AS tgt, {b} AS bkt FROM f), "
+        "m AS (SELECT bkt, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct, "
+        "  CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY bkt), "
+        "t AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM m), "
+        "lam AS (SELECT bkt, ln(ct + 1) - ln(tt + 4096) - ln(cr + 1) + ln(tr + 4096) "
+        "  AS lam FROM m, t) "
+        "SELECT fb.doc_id, CAST(count(*) AS INTEGER) AS n_feats, "
+        "  round(sum(lam.lam), 5) AS dsir_logratio "
+        "FROM fb JOIN lam USING (bkt) GROUP BY fb.doc_id"
+    )
+
+
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN classifier-proxy labels: majority label of the 5 nearest
     labeled seeds (vec_id % 5 == 0) by cosine, ties to smaller seed id

@@ -420,6 +420,98 @@ def unigram_logprob(
     )
 
 
+def dsir_weights(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the log-likelihood ratio of a TARGET hashed-n-gram
+    unigram model over the RAW-corpus model —
+    ``sum_b n_b(doc) * (ln p_target(b) - ln p_raw(b))`` with hashed
+    word uni+bigram features and Laplace-smoothed bucket models. Docs
+    that look like the target distribution (``target_pred`` rows, e.g.
+    a curated high-quality slice) score high; selection composes with
+    `score_top_sample` (exact top fraction) or `score_weighted_sample`
+    (soft keep) downstream.
+
+    Scale shape: features are hashed to bucket ids IN-ROW (`transform`
+    over the word array — text never enters any exchange); only a slim
+    (id, bucket, is_target) table explodes. Both models come from ONE
+    pass over that table (conditional sums), partial-agg'd map-side and
+    bounded by `n_buckets` rows; totals are a one-row broadcast cross
+    join; the per-bucket log-ratio table (<= n_buckets rows) joins back
+    BROADCAST onto the exploded features; the per-doc sum partial-aggs
+    before its shuffle. Zero Python anywhere.
+
+    The bucket hash is the repo's portable md5 idiom
+    (first-8-hex-chars of md5(salt || feature) mod n_buckets), so the
+    oracle replays it bit-for-bit in DuckDB. The log-ratio rounds to 5
+    decimals: sums of <= ~1e3 float64 log terms agree across engines to
+    ~1e-12 relative (same argument as unigram_logprob).
+
+    Output: (id, n_feats, dsir_logratio), one row per doc with >= 1
+    word. Reference analogue: the reference's scored-curation stages
+    (/root/reference/bin/check_tool.py lints feeding a keep/drop
+    decision) lifted to a corpus-level distribution-matching score.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def bucket(feat: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(salt), feat)), 1, 8), 16, 10)
+            .cast("long")
+            % n_buckets
+        )
+
+    uni = F.transform(ws, bucket)
+    # guard: sequence(0, -1) would DESCEND; docs of one word have no bigrams
+    bi = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - F.lit(2)),
+            lambda i: bucket(
+                F.concat(F.element_at(ws, i + 1), F.lit(" "), F.element_at(ws, i + 2))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    feats = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        target_pred.alias("__tgt"),
+        F.explode(F.concat(uni, bi)).alias("__b"),
+    )
+    model = feats.groupBy("__b").agg(
+        F.sum(F.col("__tgt").cast("long")).alias("__ct"),
+        F.count(F.lit(1)).alias("__cr"),
+    )
+    totals = model.agg(
+        F.sum("__ct").alias("__tt"), F.sum("__cr").alias("__tr")
+    )
+    lam = model.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log(F.col("__ct") + 1)
+            - F.log(F.col("__tt") + n_buckets)
+            - F.log(F.col("__cr") + 1)
+            + F.log(F.col("__tr") + n_buckets)
+        ).alias("__lam"),
+    )
+    return (
+        feats.join(F.broadcast(lam), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_feats"),
+            F.round(F.sum("__lam"), 5).alias("dsir_logratio"),
+        )
+    )
+
+
 def token_entropy(
     df: DataFrame,
     id_col: str = "doc_id",
