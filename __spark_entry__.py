@@ -369,6 +369,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DSIR importance weights (hashed-n-gram log-likelihood ratio)
         "doc_boilerplate": HT.q_doc_boilerplate,
         "doc_dsir": HT.q_doc_dsir,
+        # session-8: contrastive hard-negative mining (top-k non-cluster
+        # neighbours; composition of near-pairs -> CC -> labeled batch_topk)
+        "hard_negatives": HT.q_hard_negatives,
         # session-7 rotation swap-outs (each subsumed, see docstring)
         "dedup_clusters": HT.q_dedup_clusters,
         "doc_ngram_jaccard": HT.q_doc_ngram_jaccard,
@@ -424,6 +427,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_dup_spans": H.oracle_seq_dup_spans(),
         "doc_boilerplate": HT.oracle_doc_boilerplate(),
         "doc_dsir": HT.oracle_doc_dsir(),
+        "hard_negatives": HT.oracle_hard_negatives(),
         "dedup_clusters": HT.oracle_dedup_clusters(),
         "doc_ngram_jaccard": HT.oracle_doc_ngram_jaccard(),
         "doc_exact_dup": HT.oracle_doc_exact_dup(),

@@ -1512,3 +1512,33 @@ def test_dsir_weights_prefers_target_like_docs(spark):
     assert out[0].dsir_logratio > out[3].dsir_logratio
     with pytest.raises(ValueError):
         textqc.dsir_weights(df, F.col("is_tgt"), n_buckets=1)
+
+
+def test_hard_negatives_excludes_cluster_mates_only(spark):
+    """Cluster mates never appear as negatives; singletons (absent from
+    the cluster table) are eligible; labeled batch_topk equals a
+    post-hoc filter of the unlabeled ranking."""
+    import math
+
+    # 2-d unit-ish vectors: 0,1,2 nearly collinear (one cluster),
+    # 3 and 4 further away, 5 opposite
+    vecs = [
+        (0, [1.0, 0.00]), (1, [1.0, 0.01]), (2, [1.0, 0.02]),
+        (3, [1.0, 0.50]), (4, [0.5, 1.00]), (5, [-1.0, 0.1]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "id long, component long"
+    )
+    qs = df.where(F.col("vec_id") == 0)
+    out = [(r.rank, r.vec_id) for r in
+           simsearch.hard_negatives(df, clusters, qs, k=3).collect()]
+    ids = [v for _, v in out]
+    assert 1 not in ids and 2 not in ids and 0 not in ids
+    # nearest eligible is 3, then 4, then 5
+    assert ids == [3, 4, 5]
+    assert [r for r, _ in out] == [1, 2, 3]
+    # sanity vs brute force + filter
+    brute = [(r.vec_id) for r in simsearch.brute_force_topk(df, 0, k=5).collect()
+             if r.vec_id not in (1, 2)]
+    assert brute[:3] == ids

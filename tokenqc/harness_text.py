@@ -1737,6 +1737,53 @@ def oracle_doc_dsir() -> str:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives over the planted-near-dup vector
+    corpus: exact near-pairs (cos >= 0.95) -> connected components ->
+    top-5 most-similar NON-cluster-mates per query (vec_id < 4). Query
+    0's planted twin (vec_id 10000, cos ~0.999) must be absent from its
+    negatives — the false-negative the operator exists to remove."""
+    vecs = derive_vecs(spark, sf_dir)
+    pairs = dedup.embedding_near_pairs(vecs, threshold=0.95, mode="exact")
+    comps = dedup.connected_components(pairs)
+    qs = vecs.where(F.col("vec_id") < 4)
+    return simsearch.hard_negatives(vecs, comps, qs, k=5)
+
+
+def oracle_hard_negatives() -> str:
+    cos_ab = (
+        "list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
+        "list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
+    )
+    cos_lq = (
+        "list_cosine_similarity(list_transform(l.embedding, x -> CAST(x AS DOUBLE)), "
+        "list_transform(q.qvec, x -> CAST(x AS DOUBLE)))"
+    )
+    return _VECS_CTE + (
+        f", pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+        f"  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id WHERE {cos_ab} >= 0.95), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "  UNION SELECT id_b, id_a FROM pairs), "
+        "walk AS (WITH RECURSIVE w(src, reach) AS ("
+        "    SELECT src, src FROM edges "
+        "    UNION "
+        "    SELECT w.src, e.dst FROM w JOIN edges e ON e.src = w.reach) "
+        "  SELECT * FROM w), "
+        "comp AS (SELECT src AS id, min(reach) AS component FROM walk GROUP BY src), "
+        "lab AS (SELECT v.vec_id, v.embedding, coalesce(c.component, v.vec_id) AS cl "
+        "  FROM vecs v LEFT JOIN comp c ON c.id = v.vec_id), "
+        "q AS (SELECT vec_id AS query_id, embedding AS qvec, cl AS qcl "
+        "  FROM lab WHERE vec_id < 4), "
+        f"scored AS (SELECT q.query_id, l.vec_id, {cos_lq} AS cos "
+        "  FROM lab l CROSS JOIN q "
+        "  WHERE l.vec_id <> q.query_id AND l.cl <> q.qcl) "
+        "SELECT query_id, CAST(row_number() OVER "
+        "  (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank, "
+        "  vec_id, round(cos, 6) AS cos "
+        "FROM scored QUALIFY rank <= 5"
+    )
+
+
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN classifier-proxy labels: majority label of the 5 nearest
     labeled seeds (vec_id % 5 == 0) by cosine, ties to smaller seed id

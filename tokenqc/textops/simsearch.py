@@ -171,6 +171,7 @@ def batch_topk(
     df: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
     q_id_col: str = "query_id", q_vec_col: str = "qvec",
+    label_col: str | None = None, q_label_col: str = "qlabel",
 ) -> DataFrame:
     """Top-k neighbours for a BATCH of query vectors in one pass:
     broadcast the query set (bounded), score corpus × queries in the
@@ -184,14 +185,28 @@ def batch_topk(
     per-query heap per partition) bounds the exchange to
     queries × partitions × k rows, and the final window sorts at most
     partitions × k rows per query. Ties break by id, exactly as the
-    naive plan did, so results are identical."""
+    naive plan did, so results are identical.
+
+    When `label_col` is given (a column of `df`, with the query side's
+    value in `queries[q_label_col]`), corpus rows whose label
+    null-safe-equals the query's label are excluded IN THE SCAN — the
+    hook hard-negative mining uses to skip a query's own near-dup
+    cluster before anything is scored or shuffled."""
     import pandas as pd
 
-    q = F.broadcast(queries.select(F.col(q_id_col), F.col(q_vec_col)))
+    qcols = [F.col(q_id_col), F.col(q_vec_col)]
+    if label_col is not None:
+        qcols.append(F.col(q_label_col))
+    q = F.broadcast(queries.select(*qcols))
     cos = cosine_expr(F.col(vec_col), F.col(q_vec_col))
+    cond = F.col(id_col) != F.col(q_id_col)
+    if label_col is not None:
+        # null-safe: a NULL label matches nothing, so unlabeled corpus
+        # rows are never excluded
+        cond = cond & ~F.col(label_col).eqNullSafe(F.col(q_label_col))
     scored = (
         df.crossJoin(q)
-        .where(F.col(id_col) != F.col(q_id_col))
+        .where(cond)
         .select(F.col(q_id_col), F.col(id_col), cos.alias("cos"))
     )
 
@@ -226,6 +241,56 @@ def batch_topk(
             F.col(id_col),
             F.round("cos", 6).alias("cos"),
         )
+    )
+
+
+def hard_negatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_id_col: str = "id",
+    cluster_label_col: str = "component",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the
+    top-k most-similar corpus vectors that are NOT in the query's
+    near-dup cluster (and not itself) — the highest-value negatives for
+    training embedding/retrieval models, where a same-cluster "negative"
+    would be a false negative that poisons the contrastive loss.
+
+    `clusters` is dedup.connected_components output (id, component) over
+    any near-pair graph (embedding_near_pairs, minhash_lsh_pairs, ...);
+    vectors absent from it are singletons and get their own id as label,
+    so only true cluster-mates are ever excluded. `queries` supplies the
+    query ids (any frame carrying `id_col`; other columns ignored).
+
+    Scale shape: one left join stamps the cluster label onto the corpus
+    (the cluster table is dup-bounded; AQE broadcasts it when small),
+    the query side is a bounded broadcast, and the same-cluster filter
+    runs INSIDE the scan via batch_topk's label exclusion — excluded
+    rows are never scored, never enter the map-side heap, never shuffle.
+    Everything downstream inherits batch_topk's bounded-exchange shape.
+
+    Output: (query_id, rank, vec_id, cos).
+    """
+    lab = df.join(
+        clusters.select(
+            F.col(cluster_id_col).alias(id_col),
+            F.col(cluster_label_col).alias("__cl"),
+        ),
+        id_col,
+        "left",
+    ).withColumn("__cl", F.coalesce("__cl", F.col(id_col)))
+    q = lab.join(queries.select(id_col), id_col, "left_semi").select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("__cl").alias("__qcl"),
+    )
+    return batch_topk(
+        lab, q, k=k, id_col=id_col, vec_col=vec_col,
+        label_col="__cl", q_label_col="__qcl",
     )
 
 
