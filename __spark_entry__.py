@@ -372,6 +372,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-8: contrastive hard-negative mining (top-k non-cluster
         # neighbours; composition of near-pairs -> CC -> labeled batch_topk)
         "hard_negatives": HT.q_hard_negatives,
+        # session-8: per-source characteristic terms (TF-IDF, doc-level
+        # idf, vocab-bounded past the explode)
+        "source_tfidf": HT.q_source_tfidf,
         # session-7 rotation swap-outs (each subsumed, see docstring)
         "dedup_clusters": HT.q_dedup_clusters,
         "doc_ngram_jaccard": HT.q_doc_ngram_jaccard,
@@ -428,6 +431,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_boilerplate": HT.oracle_doc_boilerplate(),
         "doc_dsir": HT.oracle_doc_dsir(),
         "hard_negatives": HT.oracle_hard_negatives(),
+        "source_tfidf": HT.oracle_source_tfidf(),
         "dedup_clusters": HT.oracle_dedup_clusters(),
         "doc_ngram_jaccard": HT.oracle_doc_ngram_jaccard(),
         "doc_exact_dup": HT.oracle_doc_exact_dup(),

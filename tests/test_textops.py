@@ -1542,3 +1542,25 @@ def test_hard_negatives_excludes_cluster_mates_only(spark):
     brute = [(r.vec_id) for r in simsearch.brute_force_topk(df, 0, k=5).collect()
              if r.vec_id not in (1, 2)]
     assert brute[:3] == ids
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    """A word unique to one source out-scores a corpus-wide word there
+    (its idf is ln(3/1) vs ln(3/3)=0); ties break by word ascending;
+    k < 1 raises."""
+    import pytest
+
+    rows = [
+        (0, "sa", "common rare common"),
+        (1, "sb", "common common"),
+        (2, "sc", "common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.source, r.rank): r for r in
+           textqc.tfidf_top_terms(df, k=2).collect()}
+    assert out[("sa", 1)].word == "rare" and out[("sa", 1)].tf == 1
+    # 'common' is in every doc -> idf 0 -> tfidf 0 everywhere
+    assert out[("sa", 2)].word == "common" and out[("sa", 2)].tfidf == 0.0
+    assert out[("sb", 1)].word == "common"
+    with pytest.raises(ValueError):
+        textqc.tfidf_top_terms(df, k=0)

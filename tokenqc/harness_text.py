@@ -1784,6 +1784,32 @@ def oracle_hard_negatives() -> str:
     )
 
 
+def q_source_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per source by TF-IDF with doc-level
+    idf (textqc.tfidf_top_terms); ranking happens over the 6-dp-rounded
+    score so tie order is engine-independent."""
+    return textqc.tfidf_top_terms(load(spark, sf_dir, "documents"), k=5)
+
+
+def oracle_source_tfidf() -> str:
+    return (
+        r"WITH w AS (SELECT doc_id, source, "
+        r"    unnest(string_split_regex(trim(text), '\s+')) AS word "
+        "  FROM documents), "
+        "tf AS (SELECT source, word, CAST(count(*) AS BIGINT) AS tf "
+        "  FROM w GROUP BY source, word), "
+        "df AS (SELECT word, count(DISTINCT doc_id) AS dfreq FROM w GROUP BY word), "
+        "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), "
+        "scored AS (SELECT tf.source, tf.word, tf.tf, "
+        "    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.dfreq), 6) AS tfidf "
+        "  FROM tf JOIN df USING (word), n) "
+        "SELECT source, CAST(row_number() OVER "
+        "  (PARTITION BY source ORDER BY tfidf DESC, word) AS INTEGER) AS rank, "
+        "  word, tf, tfidf "
+        "FROM scored QUALIFY rank <= 5"
+    )
+
+
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN classifier-proxy labels: majority label of the 5 nearest
     labeled seeds (vec_id % 5 == 0) by cosine, ties to smaller seed id

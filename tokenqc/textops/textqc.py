@@ -512,6 +512,64 @@ def dsir_weights(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Characteristic terms per source by classic TF-IDF: for each
+    (source, word), score = tf(source, word) * ln(N_docs / df(word))
+    with document-level idf, ranked top-k per source (ties by word
+    ascending) — the corpus-summarization companion to the datacard: a
+    human (or a contamination reviewer) reads WHAT a source actually
+    contains without sampling it.
+
+    Scale shape: the word explode is the only data-sized pass, and both
+    frequency trees come off it map-side partial-agg'd — per-(source,
+    word) tf and per-word distinct-doc df are each VOCAB-bounded after
+    the partial (same argument as vocab_topk). The doc total is a
+    one-row broadcast; the idf table (<= |vocab| rows) joins back
+    BROADCAST; the top-k window runs per source over the vocab-bounded
+    (source, word) table, so nothing downstream of the explode scales
+    with the corpus. Zero Python.
+
+    Output: (source, rank, word, tf, tfidf) — tfidf rounds to 6
+    decimals (one ln and one multiply per value; cross-engine agreement
+    ~1e-15 relative).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    words = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__w"),
+    )
+    tf = words.groupBy("source", "__w").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = words.groupBy("__w").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("__n"))
+    idf = docfreq.crossJoin(F.broadcast(n_docs)).select(
+        "__w", F.log(F.col("__n").cast("double") / F.col("__df")).alias("__idf")
+    )
+    scored = tf.join(F.broadcast(idf), "__w").select(
+        "source",
+        F.col("__w").alias("word"),
+        "tf",
+        F.round(F.col("tf") * F.col("__idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("tfidf"), F.col("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("source", F.col("rank").cast("int").alias("rank"), "word", "tf", "tfidf")
+    )
+
+
 def token_entropy(
     df: DataFrame,
     id_col: str = "doc_id",
