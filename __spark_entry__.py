@@ -364,6 +364,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-7 new operator: cross-document duplicated-span
         # coverage (exact-substring dedup measure; hash-free oracle)
         "seq_dup_spans": H.q_seq_dup_spans,
+        # session-9: the removal counterpart — exact-substring scrub
+        # certified byte-exactly per rewritten array (md5 idiom)
+        "seq_dup_scrub": H.q_seq_dup_scrub,
+        # session-9: structural snapshot diff (table-level row inventory
+        # + schema movement; the STRUCTURE complement of drift's VALUES)
+        "seq_snapshot_diff": H.q_seq_snapshot_diff,
         # session-8 new operators: line-frequency boilerplate scrub
         # (CCNet/C4 chrome removal) over the planted lined corpus, and
         # DSIR importance weights (hashed-n-gram log-likelihood ratio)
@@ -428,6 +434,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_langid": HT.oracle_doc_langid(),
         "doc_split": HT.oracle_doc_split(),
         "seq_dup_spans": H.oracle_seq_dup_spans(),
+        "seq_dup_scrub": H.oracle_seq_dup_scrub(),
+        "seq_snapshot_diff": H.oracle_seq_snapshot_diff(),
         "doc_boilerplate": HT.oracle_doc_boilerplate(),
         "doc_dsir": HT.oracle_doc_dsir(),
         "hard_negatives": HT.oracle_hard_negatives(),

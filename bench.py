@@ -406,6 +406,27 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     # per-source corpus data card (late r5): two aggregation trees off
     # one narrow projection; dup tree joins (digest, source) aggregates
     timed("q_datacard", lambda: textqc.corpus_datacard(docs).count(), side_trials)
+    # DSIR importance weights (late r5): one word-explode pass, both
+    # bucket models from one conditional-sum agg, broadcast log-ratio
+    # join-back — target slice is the wiki source
+    # heavy entries (>=10 s at sf0.1): min-of-2 keeps the suite wall
+    # bounded; the plan shape under measurement is identical
+    heavy_trials = min(side_trials, 2)
+    timed(
+        "q_dsir",
+        lambda: textqc.dsir_weights(docs, F.col("source") == "wiki").count(),
+        heavy_trials,
+    )
+    # cross-doc duplicated-span coverage (late r5) on an EXPLICIT 1/10
+    # doc stratum (named _s10; the full pass is ~10x this): the one
+    # window-hash family member whose slim hash rows genuinely shuffle
+    # (3 keyed exchanges), unlike the zero-shuffle Arrow k-gram passes
+    seq_s10 = seq.where(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0)
+    timed(
+        "q_dup_spans_s10",
+        lambda: dedup.dup_span_coverage(seq_s10, id_col="doc_id").count(),
+        heavy_trials,
+    )
 
     # sequence packing over the bench token table (distributed prefix
     # sum + span explode); the synthetic unique key stands in for the

@@ -368,3 +368,54 @@ def test_robust_outliers_discrete_fences(spark):
     # k=0: fence collapses to [q1, q3]; web flags 1,2 (<3) and 8,100 (>7)
     web = {r.doc_id for r in tight if r.source == "web"}
     assert web == {0, 1, 7, 8}
+
+
+# ---------------------------------------------------------------------------
+# structural snapshot diff
+# ---------------------------------------------------------------------------
+def test_table_diff_all_verdicts(spark):
+    """Every verdict branch + the __null__ sentinel, hand-computed."""
+    from tokenqc.checks import snapshot
+
+    cur = spark.createDataFrame(
+        [("web",)] * 10 + [("spam",)] * 9 + [("books",)] * 3
+        + [("code",)] * 4 + [(None,)] * 2,
+        "source string",
+    )
+    base = spark.createDataFrame(
+        [("web",)] * 10 + [("spam",)] * 4 + [("code",)] * 6
+        + [("legacy",)] * 5 + [(None,)] * 2,
+        "source string",
+    )
+    out = {r["key"]: r for r in snapshot.table_diff(cur, base).collect()}
+    assert out["web"]["verdict"] == "STABLE" and out["web"]["delta"] == 0
+    # spam 4 -> 9: +125% > the 50% warn threshold
+    assert out["spam"]["verdict"] == "GROWN"
+    assert out["spam"]["delta_ppm"] == 5 * 1_000_000 // 4
+    assert out["books"]["verdict"] == "NEW_KEY"
+    assert out["books"]["n_base"] is None and out["books"]["delta_ppm"] is None
+    assert out["code"]["verdict"] == "SHRUNK" and out["code"]["delta"] == -2
+    assert out["legacy"]["verdict"] == "DROPPED_KEY" and out["legacy"]["delta"] == -5
+    assert out["__null__"]["verdict"] == "STABLE"
+    # threshold is a parameter: at 10% warn, web's 0% stays STABLE but
+    # a +25% source would flag — verify via grow_warn_ppm=200_000 on spam
+    loose = {
+        r["key"]: r["verdict"]
+        for r in snapshot.table_diff(cur, base, grow_warn_ppm=2_000_000).collect()
+    }
+    assert loose["spam"] == "STABLE"
+
+
+def test_schema_diff_metadata_only(spark):
+    from tokenqc.checks import snapshot
+
+    cur = spark.createDataFrame([], "a int, b string, c double")
+    base = spark.createDataFrame([], "a bigint, b string, d string")
+    out = {r["column"]: r for r in snapshot.schema_diff(cur, base).collect()}
+    assert out["a"]["change"] == "TYPE_CHANGED"
+    assert (out["a"]["cur_type"], out["a"]["base_type"]) == ("int", "bigint")
+    assert out["c"]["change"] == "ADDED" and out["c"]["base_type"] is None
+    assert out["d"]["change"] == "DROPPED" and out["d"]["cur_type"] is None
+    assert "b" not in out
+    # identical schemas -> empty diff
+    assert snapshot.schema_diff(cur, cur).count() == 0

@@ -1007,6 +1007,51 @@ def test_dup_span_coverage_containment_and_min_docs(spark):
     assert strict[0]["n_dup_kgrams"] == 1
 
 
+def test_dup_span_scrub_hand_computed(spark):
+    """Scrub removes exactly the merged covered intervals; pass-through
+    rows (short, clean, empty) keep their arrays; a fully-duplicated
+    doc collapses to []."""
+    from tokenqc.textops import dedup
+
+    rows = [
+        # shares the [10,20,30,40] 4-gram region with doc 1 -> positions
+        # [0,4) drop, the unique tail [99,98,97] stays
+        (0, [10, 20, 30, 40, 99, 98, 97]),
+        (1, [10, 20, 30, 40]),  # fully covered -> []
+        (2, [5, 6, 7, 5, 6, 7]),  # internal repeat only -> untouched
+        (3, [71, 72, 73, 74]),  # clean -> untouched
+        (4, [1, 2]),  # shorter than k -> untouched
+        (5, []),  # empty -> untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r["doc_id"]: r for r in dedup.dup_span_scrub(df, k=3).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    assert out[0]["tokens_clean"] == [99, 98, 97]
+    assert out[0]["n_tok"] == 7 and out[0]["n_kept"] == 3
+    assert out[1]["tokens_clean"] == [] and out[1]["n_kept"] == 0
+    assert out[2]["tokens_clean"] == [5, 6, 7, 5, 6, 7]
+    assert out[3]["tokens_clean"] == [71, 72, 73, 74]
+    assert out[4]["tokens_clean"] == [1, 2]
+    assert out[5]["tokens_clean"] == [] and out[5]["n_tok"] == 0
+
+
+def test_dup_span_scrub_disjoint_intervals(spark):
+    """Two disjoint shared spans in one doc scrub independently (the
+    gaps-and-islands merge keeps them separate islands)."""
+    from tokenqc.textops import dedup
+
+    rows = [
+        (0, [1, 2, 3, 50, 51, 52, 7, 8, 9]),  # shares head AND tail trigrams
+        (1, [1, 2, 3]),
+        (2, [7, 8, 9]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r["doc_id"]: r for r in dedup.dup_span_scrub(df, k=3).collect()}
+    assert out[0]["tokens_clean"] == [50, 51, 52]
+    assert out[0]["n_kept"] == 3
+    assert out[1]["tokens_clean"] == [] and out[2]["tokens_clean"] == []
+
+
 # ---------------------------------------------------------------------------
 # cross-source duplicate leakage matrix
 # ---------------------------------------------------------------------------

@@ -1,0 +1,113 @@
+"""Snapshot-to-snapshot STRUCTURAL validation — the table-level diff a
+corpus pipeline runs between two versions of the same training table
+(yesterday's Iceberg snapshot vs today's) BEFORE any per-row gate: did a
+source vanish, did one shrink (append-only corpora treat any shrink as
+upstream data loss), did one double overnight (a re-crawled dump
+ingested twice), did the schema itself move?
+
+Reference analogue: the reference workflow re-runs its per-tool checks
+on every sync and compares against the previous report
+(/root/reference/bin/analyze_joss.py writes per-run CSVs; the operator
+here is the diff between two such runs, keyed by partition instead of
+tool). Distribution drift (KS/chi-square, checks/drift.py) grades VALUE
+distributions; this module grades STRUCTURE — row inventory per key and
+the column set — which is cheaper (two key-bounded partial aggs) and
+catches a different failure class (lost partitions, double ingests,
+silent schema evolution).
+
+Scale shape: `table_diff` runs one partial-aggregated count per side —
+the exchanges carry at most tasks x |keys| rows — then a full-outer
+join of two key-bounded frames (AQE broadcasts the smaller). No row
+data ever shuffles. `schema_diff` touches only driver-side metadata
+(zero jobs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+NULL_KEY = "__null__"
+
+
+def table_diff(
+    cur: DataFrame,
+    base: DataFrame,
+    key_col: str = "source",
+    grow_warn_ppm: int = 500_000,
+) -> DataFrame:
+    """Per-key row-inventory diff of two snapshots of the same table.
+
+    Verdicts (append-only corpus expectations):
+      NEW_KEY      key absent from the baseline snapshot
+      DROPPED_KEY  key absent from the current snapshot  (hard fail)
+      SHRUNK       fewer rows than baseline               (hard fail)
+      GROWN        growth beyond `grow_warn_ppm` vs base  (warn: double
+                   ingest / re-crawl suspicion)
+      STABLE       everything else
+
+    NULL keys count under the ``__null__`` sentinel so a nulled-out
+    partition column shows up as a key movement, not a silent drop.
+    ``delta_ppm`` is integer (delta * 10^6 DIV n_base, truncating
+    toward zero — identical in Spark and DuckDB), NULL for NEW_KEY.
+
+    Output: (key, n_cur, n_base, delta, delta_ppm, verdict).
+    """
+    def counted(df: DataFrame, out: str) -> DataFrame:
+        k = F.coalesce(F.col(key_col).cast("string"), F.lit(NULL_KEY))
+        return (
+            df.select(k.alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    j = counted(cur, "n_cur").join(counted(base, "n_base"), "key", "full_outer")
+    delta = F.coalesce(F.col("n_cur"), F.lit(0)) - F.coalesce(
+        F.col("n_base"), F.lit(0)
+    )
+    out = j.select(
+        "key",
+        "n_cur",
+        "n_base",
+        delta.alias("delta"),
+        F.when(F.col("n_base").isNotNull(), 1).otherwise(0).alias("_hb"),
+    ).withColumn(
+        "delta_ppm",
+        F.when(
+            F.col("_hb") == 1, F.expr("delta * 1000000L DIV n_base")
+        ),
+    )
+    verdict = (
+        F.when(F.col("n_base").isNull(), F.lit("NEW_KEY"))
+        .when(F.col("n_cur").isNull(), F.lit("DROPPED_KEY"))
+        .when(F.col("delta") < 0, F.lit("SHRUNK"))
+        .when(F.col("delta_ppm") > grow_warn_ppm, F.lit("GROWN"))
+        .otherwise(F.lit("STABLE"))
+    )
+    return out.select(
+        "key", "n_cur", "n_base", "delta", "delta_ppm", verdict.alias("verdict")
+    )
+
+
+def schema_diff(cur: DataFrame, base: DataFrame) -> DataFrame:
+    """Column-set diff of two snapshots — driver-side metadata only
+    (zero Spark jobs; at 10^12 rows the schema is still just the
+    catalog entry). Nullability is deliberately ignored: writers
+    commonly tighten it without a semantic change.
+
+    Output: (column, change in {ADDED, DROPPED, TYPE_CHANGED},
+    cur_type, base_type) — empty when the schemas agree.
+    """
+    cur_t = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
+    base_t = {f.name: f.dataType.simpleString() for f in base.schema.fields}
+    rows = []
+    for name in sorted(set(cur_t) | set(base_t)):
+        c, b = cur_t.get(name), base_t.get(name)
+        if c is None:
+            rows.append((name, "DROPPED", None, b))
+        elif b is None:
+            rows.append((name, "ADDED", c, None))
+        elif c != b:
+            rows.append((name, "TYPE_CHANGED", c, b))
+    return cur.sparkSession.createDataFrame(
+        rows, "column string, change string, cur_type string, base_type string"
+    )

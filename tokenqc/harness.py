@@ -1124,6 +1124,132 @@ FROM cov
 """
 
 
+def q_seq_dup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup removal (dedup.dup_span_scrub, k=8,
+    min_docs=2) over the same rn % 3 = 0 stratum as seq_dup_spans —
+    the docs rn / rn+93 share a shifted token progression, so real
+    spans get scrubbed. Every rewritten array is certified byte-exactly
+    (the token_remap idiom): the oracle re-derives duplicated windows
+    as ACTUAL 8-token list slices (no hashing), marks covered
+    positions via generate_series, anti-joins them out, and compares
+    the md5 of each kept-token string — fully-scrubbed and empty docs
+    survive as md5(''). Certifies the window hashing, the
+    gaps-and-islands interval merge, AND the in-row positional filter
+    in one row per doc."""
+    from tokenqc.textops import dedup
+
+    seq = derive_sequences(spark, sf_dir).where(
+        (F.col("rn") % 3 == 0) & F.col("tokens").isNotNull()
+    )
+    out = dedup.dup_span_scrub(seq, id_col="rn", k=8, min_docs=2)
+    joined = F.array_join(
+        F.transform("tokens_clean", lambda t: t.cast("string")), " "
+    )
+    return out.select("rn", "n_tok", "n_kept", F.md5(joined).alias("tokens_md5"))
+
+
+def oracle_seq_dup_scrub() -> str:
+    return SEQ_CTE + """
+, pos AS (
+  SELECT rn, sz, unnest(generate_series(1, CAST(sz AS BIGINT))) AS x
+  FROM seq WHERE rn % 3 = 0 AND sz IS NOT NULL AND sz >= 1
+), toks AS (
+  SELECT rn, sz, x, (x * 31 + rn) % 50257 AS v FROM pos
+), arrs AS (
+  SELECT rn, max(sz) AS sz, list(v ORDER BY x) AS t FROM toks GROUP BY rn
+), wins AS (
+  SELECT rn, x AS p,
+    array_to_string(t[CAST(x AS INTEGER):CAST(x + 7 AS INTEGER)], ',') AS kg
+  FROM arrs, LATERAL (
+    SELECT unnest(generate_series(1, CAST(sz - 7 AS BIGINT))) AS x
+  ) g
+  WHERE sz >= 8
+), duph AS (
+  SELECT kg FROM wins GROUP BY kg HAVING count(DISTINCT rn) >= 2
+), covpos AS (
+  SELECT DISTINCT w.rn, c
+  FROM wins w JOIN duph USING (kg),
+       LATERAL (SELECT unnest(generate_series(p, p + 7)) AS c) u
+), kept AS (
+  SELECT t.rn, t.x, t.v
+  FROM toks t LEFT JOIN covpos cp ON cp.rn = t.rn AND cp.c = t.x
+  WHERE cp.c IS NULL
+), agg AS (
+  SELECT rn, CAST(count(*) AS INTEGER) AS n_kept,
+    md5(string_agg(CAST(v AS VARCHAR), ' ' ORDER BY x)) AS tokens_md5
+  FROM kept GROUP BY rn
+)
+SELECT s.rn, CAST(s.sz AS INTEGER) AS n_tok,
+  coalesce(a.n_kept, 0) AS n_kept,
+  coalesce(a.tokens_md5, md5('')) AS tokens_md5
+FROM seq s LEFT JOIN agg a USING (rn)
+WHERE s.rn % 3 = 0 AND s.sz IS NOT NULL
+"""
+
+
+def q_seq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural snapshot diff (checks/snapshot.table_diff) between two
+    deterministic versions of the sequences table, planted to hit every
+    verdict branch at sf0.001 and sf0.01:
+      - baseline drops every rn % 23 = 0 row and the whole *books*
+        source -> books is NEW_KEY, everything else grew ~4.3% (STABLE);
+      - baseline adds a relabeled *legacy* slice (rn % 29 = 0) absent
+        from current -> DROPPED_KEY;
+      - current drops 1/5 of *code* rows (> the 1/23 baseline trim) ->
+        SHRUNK;
+      - current double-ingests the *spam9* slice -> ~+109% -> GROWN;
+      - NULL sources ride under the __null__ sentinel key.
+    Only the key column is projected — the diff never touches tokens."""
+    from tokenqc.checks import snapshot
+
+    seq = derive_sequences(spark, sf_dir).select("rn", "source")
+    src = F.col("source")
+    cur = seq.where(
+        ~(src.isNotNull() & (src == "code") & (F.col("rn") % 5 == 0))
+    ).unionAll(seq.where(src.isNotNull() & (src == "spam9")))
+    base = seq.where(
+        (F.col("rn") % 23 != 0) & (src.isNull() | (src != "books"))
+    ).unionAll(
+        seq.where(F.col("rn") % 29 == 0).select("rn", F.lit("legacy").alias("source"))
+    )
+    return snapshot.table_diff(cur, base, key_col="source")
+
+
+def oracle_seq_snapshot_diff() -> str:
+    return SEQ_CTE + """
+, slim AS (SELECT rn, source FROM seq)
+, cur AS (
+  SELECT coalesce(source, '__null__') AS key FROM slim
+  WHERE NOT (source IS NOT NULL AND source = 'code' AND rn % 5 = 0)
+  UNION ALL
+  SELECT source AS key FROM slim WHERE source = 'spam9'
+), basex AS (
+  SELECT coalesce(source, '__null__') AS key FROM slim
+  WHERE rn % 23 <> 0 AND (source IS NULL OR source <> 'books')
+  UNION ALL
+  SELECT 'legacy' AS key FROM slim WHERE rn % 29 = 0
+), c AS (SELECT key, count(*) AS n_cur FROM cur GROUP BY key)
+, b AS (SELECT key, count(*) AS n_base FROM basex GROUP BY key)
+, j AS (
+  SELECT coalesce(c.key, b.key) AS key, n_cur, n_base,
+    coalesce(n_cur, 0) - coalesce(n_base, 0) AS delta
+  FROM c FULL OUTER JOIN b ON c.key = b.key
+), d AS (
+  SELECT key, n_cur, n_base, delta,
+    CASE WHEN n_base IS NOT NULL THEN delta * 1000000 // n_base END AS delta_ppm
+  FROM j
+)
+SELECT key, n_cur, n_base, CAST(delta AS BIGINT) AS delta,
+  CAST(delta_ppm AS BIGINT) AS delta_ppm,
+  CASE WHEN n_base IS NULL THEN 'NEW_KEY'
+       WHEN n_cur IS NULL THEN 'DROPPED_KEY'
+       WHEN delta < 0 THEN 'SHRUNK'
+       WHEN delta_ppm > 500000 THEN 'GROWN'
+       ELSE 'STABLE' END AS verdict
+FROM d
+"""
+
+
 def q_seq_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching plan (pack.length_buckets) over the
     sequences table: buckets 64..512, so the generator's 1..997 token

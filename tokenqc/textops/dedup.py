@@ -603,24 +603,7 @@ def dup_span_coverage(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    toks = F.col(tokens_col)
-    slim = df.where(toks.isNotNull() & (F.size(toks) >= k)).select(
-        F.col(id_col),
-        F.size(toks).cast("int").alias("n_tok"),
-        toks.alias("_t"),
-    )
-    hashes = F.transform(
-        F.sequence(F.lit(0), F.size("_t") - k),
-        lambda p: F.xxhash64(F.slice("_t", p + F.lit(1), F.lit(k))),
-    )
-    wins = slim.select(id_col, "n_tok", F.posexplode(hashes).alias("p", "h"))
-    duph = (
-        wins.groupBy("h")
-        .agg(F.count_distinct(id_col).alias("n_docs"))
-        .where(F.col("n_docs") >= min_docs)
-        .select("h")
-    )
-    dup_wins = wins.join(duph, "h")
+    dup_wins = _dup_window_rows(df, id_col, tokens_col, k, min_docs)
     w = Window.partitionBy(id_col).orderBy("p")
     prev_end = F.max(F.col("p") + k).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -638,6 +621,109 @@ def dup_span_coverage(
         )
         .withColumn(
             "dup_span_ppm", F.expr("covered_tokens * 1000000L DIV n_tok")
+        )
+    )
+
+
+def _dup_window_rows(
+    df: DataFrame, id_col: str, tokens_col: str, k: int, min_docs: int
+) -> DataFrame:
+    """Shared front half of the exact-substring dedup pair
+    (`dup_span_coverage` / `dup_span_scrub`): slim (id, n_tok, p, h)
+    rows for every k-gram window whose xxhash64 occurs in >= `min_docs`
+    distinct documents. The token array never leaves the scan stage —
+    windows hash in-row; only 8-byte-hash rows explode and shuffle. No
+    broadcast hint on the dup-hash dimension: its cardinality is
+    data-dependent, AQE upgrades/skew-splits at runtime."""
+    toks = F.col(tokens_col)
+    slim = df.where(toks.isNotNull() & (F.size(toks) >= k)).select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_tok"),
+        toks.alias("_t"),
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - k),
+        lambda p: F.xxhash64(F.slice("_t", p + F.lit(1), F.lit(k))),
+    )
+    wins = slim.select(id_col, "n_tok", F.posexplode(hashes).alias("p", "h"))
+    duph = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    return wins.join(duph, "h")
+
+
+def dup_span_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL (the action `dup_span_coverage`
+    measures): drop every token that sits inside a k-gram shared by
+    >= `min_docs` distinct documents — the Lee et al. 2022 scrub that
+    removes the viral paragraph from every page quoting it while
+    keeping each page's unique prose. Rows whose tokens are shorter
+    than k (or carry no duplicated window) pass through untouched;
+    null-token rows pass through with a null clean array.
+
+    Scale shape: shares `_dup_window_rows` (in-row window hashing, slim
+    8-byte exchanges). Duplicated windows merge into disjoint intervals
+    per doc via gaps-and-islands — BOTH windows partition BY DOCUMENT
+    and order by position, so group size is bounded by n_tok, never by
+    corpus-wide window popularity (the viral paragraph adds interval
+    rows to every quoting doc's own group, not to one hot group). The
+    interval lists then join back onto the intact doc rows — the ONE
+    exchange the token arrays cross (no broadcast hint: the interval
+    side is data-dependent; AQE upgrades it when small) — and the scrub
+    itself is an in-row positional `filter` over the merged-interval
+    array: O(n_tok * n_islands) per row, with n_islands <= n_tok/(k+1)+1
+    by disjointness.
+
+    Output: df's id column + (n_tok, n_kept, tokens_clean).
+    Reference analogue: the scrubbing half of the reference's
+    fix-what-you-flag loop (/root/reference/bin/analyze_joss.py flags;
+    here the flagged spans are removed, not just counted)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    dup_wins = _dup_window_rows(df, id_col, tokens_col, k, min_docs)
+    w = Window.partitionBy(id_col).orderBy("p")
+    prev_end = F.max(F.col("p") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        F.col("p") > F.coalesce(prev_end, F.lit(-1)), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = (
+        dup_wins.withColumn("_new", is_new)
+        .withColumn(
+            "_isl", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy(id_col, "_isl")
+        .agg(F.min("p").alias("s"), (F.max("p") + k).alias("e"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_ivs"))
+    )
+    toks = F.col(tokens_col)
+    clean = F.when(F.col("_ivs").isNull(), toks).otherwise(
+        F.filter(
+            toks,
+            lambda t, i: ~F.exists(
+                F.col("_ivs"), lambda iv: (i >= iv["s"]) & (i < iv["e"])
+            ),
+        )
+    )
+    return (
+        df.join(islands, on=id_col, how="left")
+        .withColumn("tokens_clean", clean)
+        .select(
+            id_col,
+            F.size(toks).cast("int").alias("n_tok"),
+            F.size("tokens_clean").cast("int").alias("n_kept"),
+            "tokens_clean",
         )
     )
 
