@@ -370,6 +370,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-9: structural snapshot diff (table-level row inventory
         # + schema movement; the STRUCTURE complement of drift's VALUES)
         "seq_snapshot_diff": H.q_seq_snapshot_diff,
+        # session-9: interpolated bigram perplexity gate (one rung above
+        # seq_unigram_logprob; model join is shuffle-by-design — |V|^2)
+        "seq_bigram_logprob": HT.q_seq_bigram_logprob,
+        # session-9: int8 scalar quantization of the embedding store
+        # (byte-exact codes; one slim codebook pass + in-row transform)
+        "embed_quantize": HT.q_embed_quantize,
         # session-8 new operators: line-frequency boilerplate scrub
         # (CCNet/C4 chrome removal) over the planted lined corpus, and
         # DSIR importance weights (hashed-n-gram log-likelihood ratio)
@@ -436,6 +442,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_dup_spans": H.oracle_seq_dup_spans(),
         "seq_dup_scrub": H.oracle_seq_dup_scrub(),
         "seq_snapshot_diff": H.oracle_seq_snapshot_diff(),
+        "seq_bigram_logprob": HT.oracle_seq_bigram_logprob(),
+        "embed_quantize": HT.oracle_embed_quantize(),
         "doc_boilerplate": HT.oracle_doc_boilerplate(),
         "doc_dsir": HT.oracle_doc_dsir(),
         "hard_negatives": HT.oracle_hard_negatives(),

@@ -1609,3 +1609,91 @@ def test_tfidf_top_terms_ranks_distinctive_words(spark):
     assert out[("sb", 1)].word == "common"
     with pytest.raises(ValueError):
         textqc.tfidf_top_terms(df, k=0)
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Interpolated bigram math pinned against a numpy replay."""
+    import math
+    from collections import Counter
+    from tokenqc.textops import textqc
+
+    rows = [
+        (0, [1, 2, 1, 2, 3]),
+        (1, [2, 3, 2, 3]),
+        (2, [7]),          # single token: no pairs -> excluded
+        (3, None),         # null: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r["doc_id"]: r for r in textqc.bigram_logprob(df, lam=0.75).collect()}
+    assert set(out) == {0, 1}
+    # replay
+    toks = {0: [1, 2, 1, 2, 3], 1: [2, 3, 2, 3], 2: [7]}
+    pairs = {d: list(zip(t, t[1:])) for d, t in toks.items()}
+    bg = Counter(p for ps in pairs.values() for p in ps)
+    pt = Counter()
+    for (a, _), c in bg.items():
+        pt[a] += c
+    uni = Counter(x for t in toks.values() for x in t)
+    T = sum(uni.values())
+    for d in (0, 1):
+        lps = [
+            math.log2(0.75 * bg[p] / pt[p[0]] + 0.25 * uni[p[1]] / T)
+            for p in pairs[d]
+        ]
+        assert out[d]["n_scored"] == len(pairs[d])
+        assert abs(out[d]["mean_logp"] - sum(lps) / len(lps)) < 1e-5
+    # repeated bigram in one doc weights by count, not distinct pairs
+    assert out[0]["n_scored"] == 4
+
+
+def test_bigram_logprob_lam_guard(spark):
+    import pytest
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame([(0, [1, 2])], "doc_id long, tokens array<int>")
+    with pytest.raises(ValueError):
+        textqc.bigram_logprob(df, lam=0.0)
+    with pytest.raises(ValueError):
+        textqc.bigram_logprob(df, lam=1.5)
+
+
+def test_scalar_quantize_hand_computed(spark):
+    """Affine codes + reconstruction error against a numpy replay;
+    constant dims code to 0 with zero error; NaN/null/empty excluded."""
+    import numpy as np
+    from tokenqc.textops import simsearch
+
+    rows = [
+        (0, [0.0, 10.0, 5.0]),
+        (1, [1.0, 10.0, 5.0]),
+        (2, [0.5, 20.0, 5.0]),
+        (3, None),
+        (4, [float("nan"), 1.0, 1.0]),
+        (5, []),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in simsearch.scalar_quantize(df).collect()}
+    assert set(out) == {0, 1, 2}
+    # dim0: lo=0, hi=1 -> codes 0, 255, round(0.5*255+0.5)=floor(128)=128
+    # dim1: lo=10, hi=20 -> codes 0, 0, 255 ; dim2 constant -> 0
+    assert out[0]["qvec"] == [0, 0, 0]
+    assert out[1]["qvec"] == [255, 0, 0]
+    assert out[2]["qvec"] == [128, 255, 0]  # floor(0.5*255 + 0.5) = 128
+    # mse replay for vec 2
+    lo = np.array([0.0, 10.0, 5.0]); hi = np.array([1.0, 20.0, 5.0])
+    q = np.array([128, 255, 0], dtype=float)
+    scale = np.where(hi > lo, hi - lo, 1.0)
+    recon = lo + q / 255.0 * (hi - lo)
+    v = np.array([0.5, 20.0, 5.0])
+    mse = float(((v - recon) ** 2).mean())
+    assert abs(out[2]["mse"] - mse) < 1e-9
+    assert out[0]["mse"] == 0.0 and out[1]["mse"] == 0.0
+
+
+def test_scalar_quantize_levels_guard(spark):
+    import pytest
+    from tokenqc.textops import simsearch
+
+    df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        simsearch.scalar_quantize(df, levels=1)

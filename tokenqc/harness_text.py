@@ -1293,6 +1293,49 @@ FROM tk JOIN m USING (tok) GROUP BY rn
 """
 
 
+def q_seq_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence mean log2-probability under the interpolated BIGRAM
+    model (textqc.bigram_logprob, lam=0.75) — the next perplexity-
+    filter rung above seq_unigram_logprob. The oracle rebuilds pairs,
+    both count trees, and the interpolation formula from the
+    closed-form token values; identical left-associated arithmetic
+    keeps engine agreement ~1e-13, far inside the 5-decimal round."""
+    from tokenqc.harness import derive_sequences
+
+    seq = (
+        derive_sequences(spark, sf_dir)
+        .where(F.col("tokens").isNotNull())
+        .select("rn", "tokens")
+    )
+    return textqc.bigram_logprob(seq, id_col="rn")
+
+
+def oracle_seq_bigram_logprob() -> str:
+    from tokenqc.harness import SEQ_CTE
+
+    return SEQ_CTE + """
+, tk AS (
+  SELECT rn, x, CAST((x*31 + rn) % 50257 AS INTEGER) AS tok
+  FROM (SELECT rn, unnest(generate_series(1, CAST(sz AS BIGINT))) AS x
+        FROM seq WHERE sz IS NOT NULL AND sz > 0) s),
+ pr AS (
+  SELECT a.rn, a.tok AS prev, b.tok AS cur
+  FROM tk a JOIN tk b ON a.rn = b.rn AND b.x = a.x + 1),
+ dp AS (SELECT rn, prev, cur, count(*) AS n FROM pr GROUP BY 1, 2, 3),
+ bg AS (SELECT prev, cur, count(*) AS cb FROM pr GROUP BY 1, 2),
+ pt AS (SELECT prev, sum(cb) AS cp FROM bg GROUP BY 1),
+ un AS (SELECT tok AS cur, count(*) AS cu FROM tk GROUP BY 1),
+ tt AS (SELECT sum(cu) AS t FROM un),
+ m AS (
+  SELECT bg.prev, bg.cur,
+    log2(0.75 * cb / cp + 0.25 * cu / t) AS logp
+  FROM bg JOIN pt USING (prev) JOIN un USING (cur), tt)
+SELECT rn, CAST(sum(n) AS INTEGER) AS n_scored,
+  round(sum(n * logp) / sum(n), 5) AS mean_logp
+FROM dp JOIN m USING (prev, cur) GROUP BY rn
+"""
+
+
 def q_seq_pack_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-shuffle keys over the pack ids (portable md5,
     so the oracle recomputes every key byte-for-byte)."""
@@ -1837,6 +1880,47 @@ def oracle_knn_label_vote() -> str:
         "  SELECT vec_id, slabel, votes, row_number() OVER ("
         "    PARTITION BY vec_id ORDER BY votes DESC, slabel) AS rn FROM v) z "
         "WHERE rn = 1"
+    )
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (simsearch.scalar_quantize, 256 levels)
+    over the embeddings table. Codes are certified byte-exactly (md5 of
+    the code string — floor(x+0.5) affine math is deterministic IEEE in
+    both engines); the reconstruction MSE rounds at 9 decimals, ~7
+    orders above engine sum-order noise."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = simsearch.scalar_quantize(emb)
+    joined = F.array_join(F.transform("qvec", lambda q: q.cast("string")), " ")
+    return out.select("vec_id", F.md5(joined).alias("qvec_md5"), "mse")
+
+
+def oracle_embed_quantize() -> str:
+    nan_max = (
+        "list_aggregate(list_transform(embedding, "
+        "x -> CAST(isnan(CAST(x AS DOUBLE)) AS INTEGER)), 'max') = 1"
+    )
+    recon = "(lo + (q / 255.0) * (hi - lo))"
+    return (
+        "WITH valid AS ("
+        "  SELECT vec_id, embedding FROM embeddings "
+        "  WHERE embedding IS NOT NULL AND len(embedding) > 0 "
+        f"    AND NOT coalesce({nan_max}, FALSE)"
+        "), dims AS ("
+        "  SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
+        "    CAST(unnest(embedding) AS DOUBLE) AS v FROM valid"
+        "), rng AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM dims GROUP BY 1), "
+        "qd AS ("
+        "  SELECT d.vec_id, d.dim, d.v, r.lo, r.hi, "
+        "    CASE WHEN r.hi = r.lo THEN 0 "
+        "      ELSE CAST(least(255.0, greatest(0.0, "
+        "        floor((d.v - r.lo) / (r.hi - r.lo) * 255.0 + 0.5))) AS INTEGER) "
+        "    END AS q "
+        "  FROM dims d JOIN rng r USING (dim)) "
+        "SELECT vec_id, "
+        "  md5(string_agg(CAST(q AS VARCHAR), ' ' ORDER BY dim)) AS qvec_md5, "
+        f"  round(sum((v - {recon}) * (v - {recon})) / count(*), 9) AS mse "
+        "FROM qd GROUP BY vec_id"
     )
 
 

@@ -294,6 +294,95 @@ def hard_negatives(
     )
 
 
+def scalar_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """Per-dimension scalar quantization of an embedding column to
+    `levels` integer codes (default 256 = int8) — the standard 4x
+    memory cut before ANN at corpus scale (a 10^12 x 1k-dim float32
+    store is 4 PB; int8 codes are 1 PB and brute-force/IVF distance
+    kernels run on them directly). Affine per-dim codebook from the
+    GLOBAL min/max of each dimension:
+
+        q_i = floor((v_i - lo_i) / (hi_i - lo_i) * (levels-1) + 0.5)
+
+    floor(x + 0.5) (not round()) keeps ties identical across engines;
+    every op is deterministic IEEE double math, so codes are EXACTLY
+    reproducible. Constant dimensions (hi = lo) code to 0.
+
+    Scale shape: the codebook pass posexplodes to slim (dim, v) rows,
+    partial-aggregated min/max — the exchange carries at most
+    tasks x ndim rows — and collapses to ONE row of (lo[], hi[])
+    arrays that broadcasts back (a codebook is ndim doubles, bytes);
+    the quantize itself is a single in-row `transform`, zero further
+    shuffles. Null / NaN / empty vectors are excluded (they are
+    embed_profile violations upstream).
+
+    Output: (id, qvec array<int>, mse double) — mse is the per-vector
+    mean squared reconstruction error (rounded to 9 decimals; values
+    sit ~1e-3..1e-7, engine sum-order noise ~1e-16 relative).
+    """
+    if levels < 2:
+        raise ValueError("levels must be >= 2")
+    vec = F.col(vec_col)
+    no_nan = ~F.exists(vec, lambda x: F.isnan(x))
+    valid = df.where(vec.isNotNull() & (F.size(vec) > 0) & no_nan)
+    dims = valid.select(
+        F.posexplode(vec).alias("dim", "v")
+    ).groupBy("dim").agg(
+        F.min(F.col("v").cast("double")).alias("lo"),
+        F.max(F.col("v").cast("double")).alias("hi"),
+    )
+    codebook = (
+        dims.groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "lo", "hi"))).alias("r"))
+        .select(
+            F.transform("r", lambda s: s["lo"]).alias("_lo"),
+            F.transform("r", lambda s: s["hi"]).alias("_hi"),
+        )
+    )
+    hi_of = lambda i: F.element_at(F.col("_hi"), i + 1)
+    lo_of = lambda i: F.element_at(F.col("_lo"), i + 1)
+    top = float(levels - 1)
+    qexpr = F.transform(
+        vec,
+        lambda v, i: F.when(hi_of(i) == lo_of(i), F.lit(0)).otherwise(
+            F.least(
+                F.lit(top),
+                F.greatest(
+                    F.lit(0.0),
+                    F.floor(
+                        (v.cast("double") - lo_of(i))
+                        / (hi_of(i) - lo_of(i))
+                        * F.lit(top)
+                        + F.lit(0.5)
+                    ),
+                ),
+            )
+        ).cast("int"),
+    )
+    out = valid.crossJoin(F.broadcast(codebook)).withColumn("qvec", qexpr)
+    # zip_with gives (v_i, q_i) but no index; the reconstruction needs
+    # lo_i/hi_i too, so rebuild the error in-row with transform's index
+    recon = lambda v, i: v.cast("double") - (
+        lo_of(i)
+        + (F.element_at(F.col("qvec"), i + 1) / F.lit(top))
+        * (hi_of(i) - lo_of(i))
+    )
+    # e*e, not pow(e, 2): pow implementations may differ across engines
+    err2 = F.transform(vec, lambda v, i: recon(v, i) * recon(v, i))
+    return out.select(
+        F.col(id_col),
+        "qvec",
+        F.round(
+            F.aggregate(err2, F.lit(0.0), lambda a, x: a + x) / F.size(vec), 9
+        ).alias("mse"),
+    )
+
+
 def hyperplane_lsh_bucket(
     df: DataFrame, n_planes: int = 16, seed: int = 11,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,

@@ -420,6 +420,87 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document mean log2-probability under an interpolated BIGRAM
+    model of the corpus itself — one rung up the perplexity-filtering
+    ladder from `unigram_logprob` (CCNet trains a real LM; the bigram
+    with unigram interpolation is the largest model that still
+    aggregates exactly in SQL):
+
+        p(t_i | t_{i-1}) = lam * c(prev,cur)/c(prev) + (1-lam) * c(cur)/T
+
+    scored over positions i >= 1 (the first token has no history).
+    Self-scored, so the bigram term is never zero; the unigram
+    interpolation still matters (it damps scores for docs whose
+    transitions are unique but whose tokens are common).
+
+    Scale shape: pairs form IN-ROW (`arrays_zip` of two slices — the
+    token array never leaves the scan), then collapse to per-(doc,
+    prev, cur) counts with map-side partial agg BEFORE any join. The
+    bigram model is observed-bigram-bounded — up to |V|^2, far past
+    broadcast range at web scale — so the model join is a plain
+    shuffle on (prev, cur) of two already-aggregated frames (AQE
+    handles skew; the hot English-bigram keys are exactly why the
+    per-doc pre-aggregation matters: one row per doc per bigram, not
+    per occurrence). Prev-totals derive off the bigram table (vocab-
+    bounded), the unigram model reuses the vocab-bounded tree, and the
+    final per-doc mean partial-aggregates. Zero Python.
+
+    Output: (id, n_scored, mean_logp) for docs with >= 2 tokens;
+    mean_logp rounds to 5 decimals (engine log2/sum-order agreement
+    ~1e-13 relative).
+    """
+    if not (0.0 < lam <= 1.0):
+        raise ValueError("lam must be in (0, 1]")
+    toks = F.col(tokens_col)
+    base = df.where(toks.isNotNull() & (F.size(toks) >= 2))
+    prev = F.slice(toks, 1, F.size(toks) - 1)
+    cur = F.slice(toks, 2, F.size(toks) - 1)
+    pairs = base.select(
+        F.col(id_col), F.explode(F.arrays_zip(prev.alias("p"), cur.alias("c"))).alias("z")
+    ).select(id_col, F.col("z.p").alias("__prev"), F.col("z.c").alias("__cur"))
+    doc_pairs = pairs.groupBy(id_col, "__prev", "__cur").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    big = pairs.groupBy("__prev", "__cur").agg(F.count(F.lit(1)).alias("cb"))
+    prev_tot = big.groupBy("__prev").agg(F.sum("cb").alias("cp"))
+    uni = (
+        df.where(toks.isNotNull() & (F.size(toks) > 0))
+        .select(F.explode(toks).alias("__cur"))
+        .groupBy("__cur")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    total = uni.agg(F.sum("cu").alias("t"))
+    model = (
+        big.join(prev_tot, "__prev")
+        .join(F.broadcast(uni), "__cur")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__prev",
+            "__cur",
+            F.log2(
+                F.lit(lam) * F.col("cb") / F.col("cp")
+                + F.lit(1.0 - lam) * F.col("cu") / F.col("t")
+            ).alias("__logp"),
+        )
+    )
+    return (
+        doc_pairs.join(model, ["__prev", "__cur"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").cast("int").alias("n_scored"),
+            F.round(
+                F.sum(F.col("__n") * F.col("__logp")) / F.sum("__n"), 5
+            ).alias("mean_logp"),
+        )
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     target_pred: Column,
