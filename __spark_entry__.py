@@ -376,6 +376,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-9: int8 scalar quantization of the embedding store
         # (byte-exact codes; one slim codebook pass + in-row transform)
         "embed_quantize": HT.q_embed_quantize,
+        # session-9: PSI drift gate (third drift statistic family
+        # member; graded PASS/WARN/FAIL on the rounded value)
+        "seq_drift_psi": H.q_seq_drift_psi,
+        # session-9: recall@k index-quality evaluation (set coverage of
+        # a candidate-restricted top-k vs exact ground truth)
+        "ann_recall": HT.q_ann_recall,
         # session-8 new operators: line-frequency boilerplate scrub
         # (CCNet/C4 chrome removal) over the planted lined corpus, and
         # DSIR importance weights (hashed-n-gram log-likelihood ratio)
@@ -444,6 +450,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_snapshot_diff": H.oracle_seq_snapshot_diff(),
         "seq_bigram_logprob": HT.oracle_seq_bigram_logprob(),
         "embed_quantize": HT.oracle_embed_quantize(),
+        "seq_drift_psi": H.oracle_seq_drift_psi(),
+        "ann_recall": HT.oracle_ann_recall(),
         "doc_boilerplate": HT.oracle_doc_boilerplate(),
         "doc_dsir": HT.oracle_doc_dsir(),
         "hard_negatives": HT.oracle_hard_negatives(),

@@ -204,3 +204,40 @@ def test_token_js_divergence_planted_skew(spark):
 
     want = 0.5 * math.log2(1.6) + 0.5 * (0.25 * math.log2(0.4) + 0.75)
     assert abs(js - round(want, 6)) < 1e-9
+
+
+def test_psi_from_histograms_hand_computed(spark):
+    """PSI math + graded statuses pinned by a numpy replay; eps clamp
+    keeps disjoint-support finite; missing baseline -> UNKNOWN."""
+    import math
+    from tokenqc.checks import drift
+
+    hist = spark.createDataFrame(
+        [("a", 0, 50), ("a", 1, 50),
+         ("b", 0, 90), ("b", 1, 10),
+         ("c", 5, 100),            # disjoint from baseline support
+         ("d", 0, 10)],            # no baseline row -> UNKNOWN
+        "source string, bucket int, cnt long",
+    )
+    base = spark.createDataFrame(
+        [("a", 0, 0.5), ("a", 1, 0.5),
+         ("b", 0, 0.5), ("b", 1, 0.5),
+         ("c", 0, 1.0)],
+        "source string, bucket int, p double",
+    )
+    out = {r["source"]: r for r in
+           drift.psi_from_histograms(hist, base, psi_warn=0.1, psi_fail=0.25).collect()}
+    assert out["a"]["psi"] == 0.0 and out["a"]["status"] == "PASS"
+    exp_b = (0.9 - 0.5) * math.log(0.9 / 0.5) + (0.1 - 0.5) * math.log(0.1 / 0.5)
+    assert abs(out["b"]["psi"] - exp_b) < 1e-6
+    assert out["b"]["status"] == "FAIL"  # ~0.879 >= 0.25
+    # c: observed all in bucket 5 (baseline eps), baseline all in bucket 0
+    eps = 1e-6
+    exp_c = (1.0 - eps) * math.log(1.0 / eps) + (eps - 1.0) * math.log(eps / 1.0)
+    assert abs(out["c"]["psi"] - exp_c) < 1e-4
+    assert out["c"]["status"] == "FAIL"
+    assert out["d"]["status"] == "UNKNOWN"
+    # WARN band: grade b's 0.879 against a higher fail threshold
+    warn = {r["source"]: r["status"] for r in
+            drift.psi_from_histograms(hist, base, psi_warn=0.1, psi_fail=5.0).collect()}
+    assert warn["b"] == "WARN"

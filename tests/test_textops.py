@@ -1697,3 +1697,27 @@ def test_scalar_quantize_levels_guard(spark):
     df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         simsearch.scalar_quantize(df, levels=1)
+
+
+def test_topk_recall_hand_computed(spark):
+    """Set-coverage math: partial overlap, zero overlap, rank>k rows
+    ignored, missing query in candidates -> 0 hits."""
+    from tokenqc.textops import simsearch
+
+    truth = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 11), (0, 3, 12),
+         (1, 1, 20), (1, 2, 21),
+         (2, 1, 30)],
+        "query_id long, rank int, vec_id long",
+    )
+    cand = spark.createDataFrame(
+        [(0, 1, 11), (0, 2, 99), (0, 3, 12), (0, 4, 10),  # rank 4 > k
+         (1, 1, 77), (1, 2, 78)],
+        "query_id long, rank int, vec_id long",
+    )
+    out = {r["query_id"]: r for r in
+           simsearch.topk_recall(cand, truth, k=3).collect()}
+    assert out[0]["n_truth"] == 3 and out[0]["n_hit"] == 2
+    assert out[0]["recall_ppm"] == 2 * 1_000_000 // 3
+    assert out[1]["n_hit"] == 0 and out[1]["recall_ppm"] == 0
+    assert out[2]["n_truth"] == 1 and out[2]["n_hit"] == 0

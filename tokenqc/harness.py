@@ -714,6 +714,71 @@ def oracle_seq_drift_js() -> str:
     )
 
 
+def q_seq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift gate (drift.psi_from_histograms,
+    warn=0.05 / fail=0.5): baseline = web's histogram applied to every
+    source except code (withheld -> UNKNOWN). books is planted with a
+    +512 n_tok shift, pushing its whole histogram 8 buckets off the
+    baseline support — every bucket pair degenerates to the eps clamp,
+    PSI explodes, hard FAIL. At sf0.01 spam9's real off-shape lands in
+    [0.05, 0.5) -> WARN, wiki tracks web -> PASS — all four statuses
+    from one plant. The gate grades on the 6-decimal-rounded statistic,
+    so Spark and DuckDB verdicts agree exactly at any scale."""
+    from tokenqc.checks import drift
+
+    seq = derive_sequences(spark, sf_dir)
+    planted = seq.withColumn(
+        "n_tok",
+        F.when(
+            F.col("source") == "books", F.col("n_tok") + 512
+        ).otherwise(F.col("n_tok")),
+    )
+    hist = drift.observed_histogram(planted, CFG)
+    web = hist.where(F.col("source") == "web").select("bucket", "cnt")
+    wtot = web.agg(F.sum("cnt").alias("bt"))
+    base = (
+        hist.select("source").distinct()
+        .where(F.col("source") != "code")
+        .crossJoin(
+            web.crossJoin(wtot).select(
+                "bucket", (F.col("cnt") / F.col("bt")).alias("p")
+            )
+        )
+    )
+    return drift.psi_from_histograms(hist, base, psi_warn=0.05, psi_fail=0.5)
+
+
+def oracle_seq_drift_psi() -> str:
+    psi = (
+        "sum((greatest(q, 0.000001) - greatest(p, 0.000001)) "
+        "* ln(greatest(q, 0.000001) / greatest(p, 0.000001)))"
+    )
+    return SEQ_CTE + (
+        ", pl AS (SELECT source, "
+        "    CASE WHEN source = 'books' THEN n_tok + 512 ELSE n_tok END AS nt "
+        "  FROM seq), "
+        "hist AS (SELECT source, CAST(floor(nt/64) AS INTEGER) AS bucket, count(*) AS cnt "
+        "  FROM pl WHERE source IS NOT NULL AND nt > 0 GROUP BY source, bucket), "
+        "wt AS (SELECT sum(cnt) AS bt FROM hist WHERE source = 'web'), "
+        "pb AS (SELECT s.source, h.bucket, h.cnt * 1.0 / (SELECT bt FROM wt) AS p "
+        "  FROM (SELECT DISTINCT source FROM hist WHERE source <> 'code') s, "
+        "       (SELECT bucket, cnt FROM hist WHERE source = 'web') h), "
+        "tot AS (SELECT source, sum(cnt) AS n FROM hist GROUP BY source), "
+        "obs AS (SELECT h.source, h.bucket, h.cnt * 1.0 / t.n AS q, t.n AS n "
+        "  FROM hist h JOIN tot t USING (source)), "
+        "j AS (SELECT coalesce(o.source, b.source) AS source, "
+        "             coalesce(o.q, 0) AS q, b.p AS bp, coalesce(b.p, 0) AS p, o.n AS n "
+        "  FROM obs o FULL OUTER JOIN pb b ON o.source = b.source AND o.bucket = b.bucket) "
+        "SELECT source, CAST(coalesce(max(n), 0) AS BIGINT) AS n_rows, "
+        f"round({psi}, 6) AS psi, "
+        "CASE WHEN max(CASE WHEN bp IS NOT NULL THEN 1 ELSE 0 END) = 0 THEN 'UNKNOWN' "
+        f"     WHEN round({psi}, 6) >= 0.5 THEN 'FAIL' "
+        f"     WHEN round({psi}, 6) >= 0.05 THEN 'WARN' "
+        "     ELSE 'PASS' END AS status "
+        "FROM j GROUP BY source"
+    )
+
+
 def q_seq_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOKEN-unigram drift gate (drift.token_histogram +
     js_from_histograms): JS divergence per source between token-id

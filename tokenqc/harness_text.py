@@ -195,6 +195,52 @@ def oracle_ann_batch_topk() -> str:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation (simsearch.topk_recall): ground truth =
+    exact top-5 over the full corpus; candidates = exact top-5 over the
+    even-vec_id half (a deterministic stand-in for any candidate-
+    restricting index — IVF probe set, LSH bucket union). Per-query
+    recall@5 is then a pure set-coverage measure, integer-exact in both
+    engines; queries whose true neighbours are mostly odd ids score
+    low, so the metric carries real variance."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    truth = simsearch.batch_topk(emb, qs, k=5)
+    cand = simsearch.batch_topk(
+        emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 0), qs, k=5
+    )
+    return simsearch.topk_recall(cand, truth, k=5)
+
+
+def oracle_ann_recall() -> str:
+    cos = (
+        "list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+        "list_transform(q.qvec, x -> CAST(x AS DOUBLE)))"
+    )
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8), "
+        f"st AS (SELECT query_id, vec_id FROM (SELECT q.query_id, e.vec_id, {cos} AS cos, "
+        "    row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        f"      {cos} DESC, e.vec_id) AS rnk "
+        "  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id) z WHERE rnk <= 5), "
+        f"sc AS (SELECT query_id, vec_id FROM (SELECT q.query_id, e.vec_id, {cos} AS cos, "
+        "    row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        f"      {cos} DESC, e.vec_id) AS rnk "
+        "  FROM embeddings e CROSS JOIN q "
+        "  WHERE e.vec_id <> q.query_id AND e.vec_id % 2 = 0) z WHERE rnk <= 5), "
+        "tot AS (SELECT query_id, count(*) AS n_truth FROM st GROUP BY 1), "
+        "hit AS (SELECT st.query_id, count(*) AS n_hit "
+        "  FROM st JOIN sc ON st.query_id = sc.query_id AND st.vec_id = sc.vec_id "
+        "  GROUP BY 1) "
+        "SELECT t.query_id, CAST(n_truth AS BIGINT) AS n_truth, "
+        "  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit, "
+        "  CAST(coalesce(n_hit, 0) AS BIGINT) * 1000000 // n_truth AS recall_ppm "
+        "FROM tot t LEFT JOIN hit h ON t.query_id = h.query_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # text QC
 # ---------------------------------------------------------------------------

@@ -294,6 +294,49 @@ def hard_negatives(
     )
 
 
+def topk_recall(
+    result: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k of a candidate retrieval against ground truth — the
+    evaluation loop every approximate index (IVF probe budget, LSH
+    bands, quantized store) is tuned with: for each query, what
+    fraction of the true top-k did the candidate list surface? Both
+    inputs are ranked frames carrying (query_col, id_col, rank) —
+    batch_topk / ivf_topk output shape; only membership matters, rank
+    order inside the top-k does not.
+
+    Scale shape: both inputs are k-bounded per query BY CONSTRUCTION
+    (<= |queries| x k rows — evaluation data, not corpus data), so the
+    semi-join and both aggregations are query-set-sized; nothing here
+    scales with the corpus. recall_ppm is integer (hits * 10^6 DIV
+    truth-size) — exact cross-engine.
+
+    Output: (query_col, n_truth, n_hit, recall_ppm)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    t = truth.where(F.col("rank") <= k).select(query_col, id_col)
+    r = result.where(F.col("rank") <= k).select(query_col, id_col)
+    hits = (
+        t.join(r, [query_col, id_col], "left_semi")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    tot = t.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        tot.join(hits, query_col, "left")
+        .select(
+            query_col,
+            "n_truth",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        )
+        .withColumn("recall_ppm", F.expr("n_hit * 1000000L DIV n_truth"))
+    )
+
+
 def scalar_quantize(
     df: DataFrame,
     id_col: str = "vec_id",
