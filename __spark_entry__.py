@@ -382,6 +382,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-9: recall@k index-quality evaluation (set coverage of
         # a candidate-restricted top-k vs exact ground truth)
         "ann_recall": HT.q_ann_recall,
+        # session-9: row-granularity snapshot churn (digest add/remove
+        # per key — catches same-size silent row swaps table_diff can't)
+        "seq_row_diff": H.q_seq_row_diff,
         # session-8 new operators: line-frequency boilerplate scrub
         # (CCNet/C4 chrome removal) over the planted lined corpus, and
         # DSIR importance weights (hashed-n-gram log-likelihood ratio)
@@ -452,6 +455,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "embed_quantize": HT.oracle_embed_quantize(),
         "seq_drift_psi": H.oracle_seq_drift_psi(),
         "ann_recall": HT.oracle_ann_recall(),
+        "seq_row_diff": H.oracle_seq_row_diff(),
         "doc_boilerplate": HT.oracle_doc_boilerplate(),
         "doc_dsir": HT.oracle_doc_dsir(),
         "hard_negatives": HT.oracle_hard_negatives(),

@@ -419,3 +419,33 @@ def test_schema_diff_metadata_only(spark):
     assert "b" not in out
     # identical schemas -> empty diff
     assert snapshot.schema_diff(cur, cur).count() == 0
+
+
+def test_row_diff_hand_computed(spark):
+    """Added/removed/common per key; duplicate ingests collapse under
+    DISTINCT; no-baseline key has NULL churn; all-removed key churns
+    at exactly 10^6."""
+    from tokenqc.checks import snapshot
+
+    cur = spark.createDataFrame(
+        [("web", 1), ("web", 2), ("web", 2), ("web", 3),
+         ("new", 9),
+         (None, 5)],
+        "source string, rid long",
+    )
+    base = spark.createDataFrame(
+        [("web", 2), ("web", 3), ("web", 4),
+         ("gone", 7), ("gone", 8),
+         (None, 5)],
+        "source string, rid long",
+    )
+    out = {r["key"]: r for r in
+           snapshot.row_diff(cur, base, digest_col="rid").collect()}
+    w = out["web"]
+    assert (w["n_added"], w["n_removed"], w["n_common"]) == (1, 1, 2)
+    assert w["churn_ppm"] == 2 * 1_000_000 // 3
+    assert out["new"]["churn_ppm"] is None and out["new"]["n_added"] == 1
+    g = out["gone"]
+    assert (g["n_added"], g["n_removed"], g["n_common"]) == (0, 2, 0)
+    assert g["churn_ppm"] == 1_000_000
+    assert out["__null__"]["n_common"] == 1 and out["__null__"]["churn_ppm"] == 0

@@ -213,6 +213,81 @@ def test_streaming_drift_matches_batch_gate(spark, tmp_path):
     assert all(v[2] == "UNKNOWN" for s, v in got.items() if s not in ("web", "books"))
 
 
+def test_streaming_drift_psi_matches_batch_gate(spark, tmp_path):
+    """stat='psi' grades the SAME stream state with the batch PSI
+    formula (one shared psi_from_histograms): final-epoch verdicts —
+    statuses AND psi values — equal a batch run over the clamped full
+    histograms, including the graded WARN/FAIL bands and UNKNOWN."""
+    import pyspark.sql.functions as F
+
+    from tokenqc.checks import drift
+    from tokenqc.checks.base import CheckConfig
+
+    inp = tmp_path / "psi_in"
+    inp.mkdir()
+    out = str(tmp_path / "psi_out")
+    seq = synth.generate_sequences(1200, seed=11)
+    pq.write_table(seq.slice(0, 600), str(inp / "f1.parquet"))
+    pq.write_table(seq.slice(600, 600), str(inp / "f2.parquet"))
+
+    cfg = CheckConfig()
+    static = spark.createDataFrame(seq.to_pandas())
+    hist = drift.observed_histogram(
+        static.where(F.col("source").isNotNull() & (F.col("n_tok") > 0)), cfg
+    )
+    web_n = hist.where("source = 'web'").agg(F.sum("cnt")).first()[0]
+    base = hist.where("source = 'web'").select(
+        "source", "bucket", (F.col("cnt") / F.lit(float(web_n))).alias("p")
+    ).unionByName(
+        spark.createDataFrame(
+            [("books", b, 1.0 / 32) for b in range(32)],
+            "source string, bucket int, p double",
+        )
+    )
+
+    q = streaming.streaming_drift(
+        spark, str(inp), out, base, stat="psi", psi_warn=0.01, psi_fail=10.0
+    )
+    assert q.awaitTermination(420), "stream did not finish"
+
+    got_df = spark.read.parquet(f"{out}/drift_stream")
+    last = got_df.agg(F.max("epoch")).first()[0]
+    got = {
+        r.source: (r.n_rows, r.psi, r.status)
+        for r in got_df.where(F.col("epoch") == last).collect()
+    }
+
+    def clamp_hist(h):
+        return (
+            h.select("source", F.least(F.col("bucket"), F.lit(31)).alias("bucket"), "cnt")
+            .groupBy("source", "bucket").agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def clamp_base(b):
+        return (
+            b.select("source", F.least(F.col("bucket"), F.lit(31)).alias("bucket"), "p")
+            .groupBy("source", "bucket").agg(F.sum("p").alias("p"))
+        )
+
+    want = {
+        r.source: (r.n_rows, r.psi, r.status)
+        for r in drift.psi_from_histograms(
+            clamp_hist(hist), clamp_base(base), psi_warn=0.01, psi_fail=10.0
+        ).collect()
+    }
+    assert got == want
+    assert got["web"][2] == "PASS"
+    # books vs a flat baseline is drifted but finite: the wide fail bar
+    # keeps it in the graded WARN band
+    assert got["books"][2] == "WARN"
+    assert all(v[2] == "UNKNOWN" for s, v in got.items() if s not in ("web", "books"))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming.streaming_drift(spark, str(inp), out, base, stat="nope")
+
+
 def test_streaming_drift_restart_under_domain_growth(spark, tmp_path):
     """Verdict stability when the live data GROWS out of the fixed
     bucket domain across a restart (r4 verdict #7): wave 1 is

@@ -88,6 +88,57 @@ def table_diff(
     )
 
 
+def row_diff(
+    cur: DataFrame,
+    base: DataFrame,
+    digest_col: str,
+    key_col: str = "source",
+) -> DataFrame:
+    """Row-granularity snapshot diff: per key, how many distinct row
+    identities (a content digest or stable id column) were ADDED,
+    REMOVED, or kept between two snapshots — `table_diff` says a source
+    shrank by 2%; this says WHICH 2% churned (a same-size source that
+    silently swapped half its rows is invisible to row counts but is a
+    retraining-scale event).
+
+    Scale shape: each side collapses to DISTINCT (key, digest) with
+    map-side partial aggregation, then ONE full-outer join keyed on
+    (key, digest) — slim digest rows only, AQE skew-splits hot keys;
+    the per-key rollup partial-aggregates again. Row payloads never
+    shuffle. `churn_ppm` = (added + removed) * 10^6 DIV base-size,
+    NULL for keys with no baseline rows.
+
+    Output: (key, n_added, n_removed, n_common, churn_ppm).
+    """
+    def side(df: DataFrame, flag: str) -> DataFrame:
+        k = F.coalesce(F.col(key_col).cast("string"), F.lit(NULL_KEY))
+        return (
+            df.select(k.alias("key"), F.col(digest_col).alias("dg"))
+            .distinct()
+            .withColumn(flag, F.lit(1))
+        )
+
+    j = side(cur, "_c").join(side(base, "_b"), ["key", "dg"], "full_outer")
+    agg = j.groupBy("key").agg(
+        F.sum(
+            F.when(F.col("_c").isNotNull() & F.col("_b").isNull(), 1).otherwise(0)
+        ).alias("n_added"),
+        F.sum(
+            F.when(F.col("_b").isNotNull() & F.col("_c").isNull(), 1).otherwise(0)
+        ).alias("n_removed"),
+        F.sum(
+            F.when(F.col("_c").isNotNull() & F.col("_b").isNotNull(), 1).otherwise(0)
+        ).alias("n_common"),
+    )
+    return agg.withColumn(
+        "churn_ppm",
+        F.when(
+            F.col("n_removed") + F.col("n_common") > 0,
+            F.expr("(n_added + n_removed) * 1000000L DIV (n_removed + n_common)"),
+        ),
+    )
+
+
 def schema_diff(cur: DataFrame, base: DataFrame) -> DataFrame:
     """Column-set diff of two snapshots — driver-side metadata only
     (zero Spark jobs; at 10^12 rows the schema is still just the

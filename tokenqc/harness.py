@@ -1315,6 +1315,64 @@ FROM d
 """
 
 
+def q_seq_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-granularity snapshot diff (checks/snapshot.row_diff) over
+    the SAME two planted snapshot versions as seq_snapshot_diff, with
+    rn as the row identity: books is all-added with NO baseline ->
+    churn_ppm NULL; legacy is all-removed -> churn exactly 10^6; code
+    churns both ways (1/5 removed, 1/23 added back); and spam9's
+    double-ingest — GROWN in table_diff — collapses under DISTINCT to
+    zero added rows here, pinning the complementarity of the two
+    diffs."""
+    from tokenqc.checks import snapshot
+
+    seq = derive_sequences(spark, sf_dir).select("rn", "source")
+    src = F.col("source")
+    cur = seq.where(
+        ~(src.isNotNull() & (src == "code") & (F.col("rn") % 5 == 0))
+    ).unionAll(seq.where(src.isNotNull() & (src == "spam9")))
+    base = seq.where(
+        (F.col("rn") % 23 != 0) & (src.isNull() | (src != "books"))
+    ).unionAll(
+        seq.where(F.col("rn") % 29 == 0).select("rn", F.lit("legacy").alias("source"))
+    )
+    return snapshot.row_diff(cur, base, digest_col="rn", key_col="source")
+
+
+def oracle_seq_row_diff() -> str:
+    return SEQ_CTE + """
+, slim AS (SELECT rn, source FROM seq)
+, cur AS (
+  SELECT DISTINCT key, rn FROM (
+    SELECT coalesce(source, '__null__') AS key, rn FROM slim
+    WHERE NOT (source IS NOT NULL AND source = 'code' AND rn % 5 = 0)
+    UNION ALL
+    SELECT source AS key, rn FROM slim WHERE source = 'spam9') u
+), basex AS (
+  SELECT DISTINCT key, rn FROM (
+    SELECT coalesce(source, '__null__') AS key, rn FROM slim
+    WHERE rn % 23 <> 0 AND (source IS NULL OR source <> 'books')
+    UNION ALL
+    SELECT 'legacy' AS key, rn FROM slim WHERE rn % 29 = 0) u
+), j AS (
+  SELECT coalesce(c.key, b.key) AS key,
+    CASE WHEN c.rn IS NOT NULL AND b.rn IS NULL THEN 1 ELSE 0 END AS a,
+    CASE WHEN b.rn IS NOT NULL AND c.rn IS NULL THEN 1 ELSE 0 END AS r,
+    CASE WHEN c.rn IS NOT NULL AND b.rn IS NOT NULL THEN 1 ELSE 0 END AS k
+  FROM cur c FULL OUTER JOIN basex b ON c.key = b.key AND c.rn = b.rn
+), agg AS (
+  SELECT key, CAST(sum(a) AS BIGINT) AS n_added,
+    CAST(sum(r) AS BIGINT) AS n_removed,
+    CAST(sum(k) AS BIGINT) AS n_common
+  FROM j GROUP BY key
+)
+SELECT key, n_added, n_removed, n_common,
+  CASE WHEN n_removed + n_common > 0
+       THEN (n_added + n_removed) * 1000000 // (n_removed + n_common) END AS churn_ppm
+FROM agg
+"""
+
+
 def q_seq_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching plan (pack.length_buckets) over the
     sequences table: buckets 64..512, so the generator's 1..997 token

@@ -208,6 +208,9 @@ def streaming_drift(
     bucket_width: int = 64,
     n_buckets: int = 32,
     js_max: float = 0.1,
+    stat: str = "js",
+    psi_warn: float = 0.1,
+    psi_fail: float = 0.25,
 ):
     """The streaming half of the drift GATE (not just the profile):
     every micro-batch folds into the same checkpointed per-source
@@ -231,8 +234,18 @@ def streaming_drift(
     per-epoch grading explodes only the updated sources' histograms
     (≤ sources × n_buckets rows) and joins the baseline — a metadata
     join.
+
+    ``stat`` selects the grading formula over the SAME state: "js"
+    (drift.js_from_histograms, binary gate at `js_max`) or "psi"
+    (drift.psi_from_histograms, graded PASS/WARN/FAIL at
+    `psi_warn`/`psi_fail`) — both shared with the batch gates, so
+    stream and batch verdicts stay definitionally identical per
+    statistic.
     """
     from tokenqc.checks import drift as drift_mod
+
+    if stat not in ("js", "psi"):
+        raise ValueError("stat must be 'js' or 'psi'")
 
     updated = _stats_update_stream(spark, input_dir, bucket_width, n_buckets)
     checkpoint_dir = checkpoint_dir or os.path.join(
@@ -252,7 +265,12 @@ def streaming_drift(
         hist = batch_df.select(
             "source", F.posexplode("hist").alias("bucket", "cnt")
         ).where(F.col("cnt") > 0)
-        verdicts = drift_mod.js_from_histograms(hist, clamped_base, js_max)
+        if stat == "psi":
+            verdicts = drift_mod.psi_from_histograms(
+                hist, clamped_base, psi_warn, psi_fail
+            )
+        else:
+            verdicts = drift_mod.js_from_histograms(hist, clamped_base, js_max)
         verdicts.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
             os.path.join(out_dir, "drift_stream")
         )
