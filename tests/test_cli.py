@@ -204,3 +204,51 @@ def test_cli_degenerate_gate(spark, synth_dir, tmp_path, capsys):
         if ent < 3.0:
             want_low += 1
     assert got_low == want_low and got_low > 0
+
+
+def test_cli_prev_input_snapshot_diff(spark, synth_dir, tmp_path, capsys):
+    """--prev-input runs the structural snapshot diff alongside the QC
+    gates: a previous snapshot missing one source and trimmed 10% shows
+    NEW_KEY + growth verdicts, churn, and zero schema changes; outputs
+    land under out/snapshot_diff and out/snapshot_row_diff."""
+    import pyspark.sql.functions as F
+
+    seq = spark.read.parquet(f"{synth_dir}/sequences.parquet")
+    prev_dir = str(tmp_path / "prev")
+    prev = seq.where(
+        (F.col("source").isNull() | (F.col("source") != "books"))
+        & (F.pmod(F.xxhash64("doc_id"), F.lit(10)) != 0)
+    )
+    prev.write.parquet(prev_dir)
+
+    rc = cli.main(
+        [
+            "--input", f"{synth_dir}/sequences.parquet",
+            "--out", str(tmp_path / "out"),
+            "--run-id", "snap-test",
+            "--partitions", "8",
+            "--prev-input", prev_dir,
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    snap = out["snapshot"]
+    assert snap["by_verdict"].get("NEW_KEY", 0) >= 1  # books reappeared
+    assert snap["schema_changes"] == 0
+    assert snap["max_churn_ppm"] is not None and snap["max_churn_ppm"] > 0
+    tdiff = spark.read.parquet(str(tmp_path / "out" / "snapshot_diff"))
+    assert {"key", "n_cur", "n_base", "delta", "delta_ppm", "verdict"} <= set(tdiff.columns)
+    books = tdiff.where("key = 'books'").first()
+    assert books["verdict"] == "NEW_KEY"
+    rdiff = spark.read.parquet(str(tmp_path / "out" / "snapshot_row_diff"))
+    # removed rows can only come from identity hashing, never negative
+    assert rdiff.where("n_removed < 0").count() == 0
+    # a missing --prev-input path is a clean user error
+    rc2 = cli.main(
+        [
+            "--input", f"{synth_dir}/sequences.parquet",
+            "--out", str(tmp_path / "out2"),
+            "--prev-input", str(tmp_path / "nope"),
+        ]
+    )
+    assert rc2 == 2

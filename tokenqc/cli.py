@@ -98,6 +98,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="FAIL threshold on the token-unigram JS divergence",
     )
     ap.add_argument(
+        "--prev-input", default=None, metavar="PATH",
+        help="previous snapshot of the SAME table: run the structural "
+        "snapshot diff (per-source row inventory, row-identity churn, "
+        "schema diff) alongside the QC gates; writes out/snapshot_diff "
+        "+ out/snapshot_row_diff and adds a summary block",
+    )
+    ap.add_argument(
         "--diff-against", default=None, metavar="RUN_ID",
         help="after the run, diff this run's verdicts against a previous "
         "run's (REGRESSED/IMPROVED/NEW/GONE) and include the counts + "
@@ -164,6 +171,17 @@ def main(argv: list[str] | None = None) -> int:
         cond = e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
         print(f"tokenqc: error: cannot read --input {args.input}: {cond or e}", file=sys.stderr)
         return 2
+    prev = None
+    if args.prev_input:
+        try:
+            prev = spark.read.parquet(args.prev_input)
+        except AnalysisException as e:
+            cond = e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+            print(
+                f"tokenqc: error: cannot read --prev-input {args.prev_input}: {cond or e}",
+                file=sys.stderr,
+            )
+            return 2
     runner = QCRunner(spark, cfg, out_dir=args.out, n_batches=args.batches)
     res = runner.run(
         seq,
@@ -186,6 +204,32 @@ def main(argv: list[str] | None = None) -> int:
         )
         qio.write_batch(dups, args.out, "dup_rows", res.run_id, 0)
         dup_rows = dups.count()
+    snap_summary = None
+    if prev is not None:
+        from pyspark.sql import functions as F
+
+        from tokenqc import io as qio
+        from tokenqc.checks import snapshot as snap
+
+        tdiff = snap.table_diff(seq, prev)
+        # row identity = hash of the business key + payload, so an
+        # in-place token rewrite counts as remove+add, not "kept"
+        dg = F.xxhash64("doc_id", "tokens")
+        rdiff = snap.row_diff(
+            seq.withColumn("_dg", dg), prev.withColumn("_dg", dg), digest_col="_dg"
+        )
+        sdiff = snap.schema_diff(seq, prev)
+        qio.write_batch(tdiff, args.out, "snapshot_diff", res.run_id, 0)
+        qio.write_batch(rdiff, args.out, "snapshot_row_diff", res.run_id, 0)
+        by_verdict = {
+            r["verdict"]: r["n"]
+            for r in tdiff.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        snap_summary = {
+            "by_verdict": by_verdict,
+            "schema_changes": sdiff.count(),
+            "max_churn_ppm": rdiff.agg(F.max("churn_ppm")).first()[0],
+        }
     summary = {
         "run_id": res.run_id,
         **({"report": report_path} if report_path else {}),
@@ -193,6 +237,7 @@ def main(argv: list[str] | None = None) -> int:
         "verdicts": res.verdicts.count(),
         "violations": res.violations.count(),
         **({"dup_rows": dup_rows} if dup_rows is not None else {}),
+        **({"snapshot": snap_summary} if snap_summary is not None else {}),
         "failed_partitions": res.state.where("status = 'FAIL'").count(),
         "errors": res.errors,
     }
