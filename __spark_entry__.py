@@ -385,6 +385,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-9: row-granularity snapshot churn (digest add/remove
         # per key — catches same-size silent row swaps table_diff can't)
         "seq_row_diff": H.q_seq_row_diff,
+        # session-9: table-layout validation — partition range-overlap
+        # audit (pruning health) + Morton/Z-order sort key (the repair)
+        "seq_clustering_audit": H.q_seq_clustering_audit,
+        "seq_zorder_key": H.q_seq_zorder_key,
         # session-8 new operators: line-frequency boilerplate scrub
         # (CCNet/C4 chrome removal) over the planted lined corpus, and
         # DSIR importance weights (hashed-n-gram log-likelihood ratio)
@@ -456,6 +460,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_drift_psi": H.oracle_seq_drift_psi(),
         "ann_recall": HT.oracle_ann_recall(),
         "seq_row_diff": H.oracle_seq_row_diff(),
+        "seq_clustering_audit": H.oracle_seq_clustering_audit(),
+        "seq_zorder_key": H.oracle_seq_zorder_key(),
         "doc_boilerplate": HT.oracle_doc_boilerplate(),
         "doc_dsir": HT.oracle_doc_dsir(),
         "hard_negatives": HT.oracle_hard_negatives(),

@@ -1373,6 +1373,98 @@ FROM agg
 """
 
 
+def q_seq_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruning health audit (layout.clustering_audit) of the
+    SAME data under two layouts at once: 'hash' partitions by rn % 16
+    (every partition spans nearly the full n_tok domain -> ~15 overlaps
+    each, pruning-hostile) vs 'range' partitions by n_tok DIV 64
+    (disjoint closed ranges -> 0 overlaps, pruning-perfect) — the audit
+    must read maximally bad and maximally good off the same rows."""
+    from tokenqc import layout
+
+    seq = derive_sequences(spark, sf_dir).select("rn", "partition_id", "n_tok")
+    hash_l = layout.clustering_audit(
+        seq.select(F.col("partition_id").alias("p"), "n_tok"), "p", "n_tok"
+    ).withColumn("layout", F.lit("hash"))
+    range_l = layout.clustering_audit(
+        seq.where(F.col("n_tok").isNotNull()).select(
+            F.expr("n_tok DIV 64").cast("int").alias("p"), "n_tok"
+        ),
+        "p",
+        "n_tok",
+    ).withColumn("layout", F.lit("range"))
+    return hash_l.unionByName(range_l)
+
+
+def oracle_seq_clustering_audit() -> str:
+    return SEQ_CTE + """
+, src AS (
+  SELECT 'hash' AS layout, CAST(rn % 16 AS INTEGER) AS part, n_tok
+  FROM seq WHERE n_tok IS NOT NULL
+  UNION ALL
+  SELECT 'range' AS layout, CAST(n_tok // 64 AS INTEGER) AS part, n_tok
+  FROM seq WHERE n_tok IS NOT NULL
+), rng AS (
+  SELECT layout, part, min(n_tok) AS lo, max(n_tok) AS hi,
+    CAST(count(*) AS BIGINT) AS n_rows
+  FROM src GROUP BY 1, 2
+), ov AS (
+  SELECT a.layout, a.part, CAST(count(b.part) AS BIGINT) AS n_overlaps
+  FROM rng a LEFT JOIN rng b
+    ON a.layout = b.layout AND a.lo <= b.hi AND b.lo <= a.hi AND a.part <> b.part
+  GROUP BY 1, 2
+)
+SELECT r.part, r.lo, r.hi, r.n_rows, o.n_overlaps, r.layout
+FROM rng r JOIN ov o ON r.layout = o.layout AND r.part = o.part
+"""
+
+
+_Z_BITS = 8
+
+
+def q_seq_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order sort key (layout.zorder_key, 8 bits per column)
+    over (n_tok, rn % 251): integer-exact bit interleaving after the
+    floor(x+0.5) affine cell mapping, certified value-for-value; rows
+    with NULL n_tok pin the NULL-key branch."""
+    from tokenqc import layout
+
+    seq = derive_sequences(spark, sf_dir).select(
+        "rn", "n_tok", (F.col("rn") % 251).cast("int").alias("r2")
+    )
+    out = layout.zorder_key(seq, cols=("n_tok", "r2"), bits=_Z_BITS)
+    return out.select("rn", "zkey")
+
+
+def oracle_seq_zorder_key() -> str:
+    mx = (1 << _Z_BITS) - 1
+    cell = (
+        "CASE WHEN {hi} = {lo} THEN 0 "
+        "ELSE CAST(least({mx}.0, greatest(0.0, "
+        "floor((CAST({v} AS DOUBLE) - {lo}) / ({hi} - {lo}) * {mx}.0 + 0.5))) AS BIGINT) END"
+    )
+    c0 = cell.format(v="n_tok", lo="b.lo0", hi="b.hi0", mx=mx)
+    c1 = cell.format(v="r2", lo="b.lo1", hi="b.hi1", mx=mx)
+    terms = " + ".join(
+        f"(((c{ci} >> {i}) & 1) << {i * 2 + ci})"
+        for i in range(_Z_BITS)
+        for ci in range(2)
+    )
+    return SEQ_CTE + f"""
+, src AS (SELECT rn, n_tok, CAST(rn % 251 AS INTEGER) AS r2 FROM seq)
+, b AS (
+  SELECT min(CAST(n_tok AS DOUBLE)) AS lo0, max(CAST(n_tok AS DOUBLE)) AS hi0,
+         min(CAST(r2 AS DOUBLE)) AS lo1, max(CAST(r2 AS DOUBLE)) AS hi1
+  FROM src
+), cells AS (
+  SELECT rn, n_tok, {c0} AS c0, {c1} AS c1 FROM src, b
+)
+SELECT rn,
+  CASE WHEN n_tok IS NULL THEN NULL ELSE CAST({terms} AS BIGINT) END AS zkey
+FROM cells
+"""
+
+
 def q_seq_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching plan (pack.length_buckets) over the
     sequences table: buckets 64..512, so the generator's 1..997 token
