@@ -389,6 +389,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # audit (pruning health) + Morton/Z-order sort key (the repair)
         "seq_clustering_audit": H.q_seq_clustering_audit,
         "seq_zorder_key": H.q_seq_zorder_key,
+        # session-9: ordered conversion funnel (chained min-after-anchor
+        # aggregations; per-user state is one timestamp, never a list)
+        "events_funnel": HT.q_events_funnel,
         # session-8 new operators: line-frequency boilerplate scrub
         # (CCNet/C4 chrome removal) over the planted lined corpus, and
         # DSIR importance weights (hashed-n-gram log-likelihood ratio)
@@ -462,6 +465,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_row_diff": H.oracle_seq_row_diff(),
         "seq_clustering_audit": H.oracle_seq_clustering_audit(),
         "seq_zorder_key": H.oracle_seq_zorder_key(),
+        "events_funnel": HT.oracle_events_funnel(),
         "doc_boilerplate": HT.oracle_doc_boilerplate(),
         "doc_dsir": HT.oracle_doc_dsir(),
         "hard_negatives": HT.oracle_hard_negatives(),

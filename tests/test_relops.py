@@ -234,3 +234,37 @@ def test_rate_spikes_variance_baseline_spike(spark):
     df = spark.createDataFrame(rows, "ts timestamp, event_type string")
     out = {r.bucket_ts.hour: r for r in relops.rate_spikes(df, window=6).collect()}
     assert out[6].status == "SPIKE" and out[6].z > 3
+
+
+def test_funnel_counts_hand_computed(spark):
+    """Strictly-after anchoring: a click BEFORE the first view doesn't
+    count; a later one does; purchases need a qualifying click first;
+    same-timestamp events don't satisfy 'after'."""
+    import datetime as dt
+    from tokenqc import relops
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # u1: full funnel in order
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: click precedes the first view -> stops at view
+        (2, t(5), "click"), (2, t(6), "view"),
+        # u3: view then purchase but NO click between -> stops at view
+        (3, t(1), "view"), (3, t(2), "purchase"),
+        # u4: click at the SAME second as view -> not strictly after
+        (4, t(1), "view"), (4, t(1), "click"),
+        # u5: never views
+        (5, t(1), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["step"]: r for r in
+           relops.funnel_counts(ev, steps=("view", "click", "purchase")).collect()}
+    assert out[1]["n_users"] == 4 and out[1]["conv_ppm"] is None
+    assert out[2]["n_users"] == 1
+    assert out[2]["conv_ppm"] == 1 * 1_000_000 // 4
+    assert out[3]["n_users"] == 1 and out[3]["conv_ppm"] == 1_000_000
+    assert out[1]["event_type"] == "view" and out[3]["event_type"] == "purchase"
+
+    import pytest
+    with pytest.raises(ValueError):
+        relops.funnel_counts(ev, steps=("view",))

@@ -448,6 +448,48 @@ def oracle_customer_format() -> str:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (relops.funnel_counts) view -> click ->
+    purchase over the events stream: each stage anchors at the user's
+    earliest qualifying event strictly after the previous anchor.
+    Counts are integer-exact; conv_ppm uses integer DIV. Restricted to
+    each user's FIRST 8 events (row_number over (ts, event_id)) so the
+    funnel has real drop-off — with the full ~70-event histories every
+    ordering exists for every user and all conversions read 100%. The
+    oracle replays the rank filter and the three chained
+    min-after-anchor aggregations."""
+    from tokenqc import relops
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev8 = ev.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= 8)
+    return relops.funnel_counts(ev8, steps=("view", "click", "purchase"))
+
+
+def oracle_events_funnel() -> str:
+    return (
+        "WITH ev8 AS (SELECT * FROM (SELECT user_id, ts, event_type, "
+        "    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk "
+        "  FROM events) z WHERE rk <= 8), "
+        "s1 AS (SELECT user_id, min(epoch(ts)) AS t FROM ev8 "
+        "  WHERE event_type = 'view' GROUP BY 1), "
+        "s2 AS (SELECT e.user_id, min(epoch(e.ts)) AS t FROM ev8 e "
+        "  JOIN s1 ON e.user_id = s1.user_id AND epoch(e.ts) > s1.t "
+        "  WHERE e.event_type = 'click' GROUP BY 1), "
+        "s3 AS (SELECT e.user_id, min(epoch(e.ts)) AS t FROM ev8 e "
+        "  JOIN s2 ON e.user_id = s2.user_id AND epoch(e.ts) > s2.t "
+        "  WHERE e.event_type = 'purchase' GROUP BY 1), "
+        "c AS ("
+        "  SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1 "
+        "  UNION ALL SELECT 2, 'click', count(*) FROM s2 "
+        "  UNION ALL SELECT 3, 'purchase', count(*) FROM s3) "
+        "SELECT CAST(step AS INTEGER) AS step, event_type, n_users, "
+        "  CASE WHEN lag(n_users) OVER (ORDER BY step) > 0 "
+        "    THEN n_users * 1000000 // lag(n_users) OVER (ORDER BY step) END AS conv_ppm "
+        "FROM c"
+    )
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per-user sessions split on >30-min gaps (window
     lag + running sum of gap flags — the classic batch formulation;

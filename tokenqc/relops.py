@@ -434,3 +434,68 @@ def grade_hourly(hourly: DataFrame, window: int = 6, z_max: float = 3.0) -> Data
         .otherwise("OK")
     )
     return out.withColumn("status", status)
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: tuple[str, ...] | list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel over the event stream: how many users performed
+    step 1, then step 2 STRICTLY AFTER their first step 1, then step 3
+    strictly after that first qualifying step 2, ... — the classic
+    conversion funnel (view -> click -> purchase) over pipeline/user
+    telemetry. "First qualifying" semantics: each stage anchors at the
+    user's EARLIEST event of that type after the previous anchor, the
+    standard unordered-window funnel definition.
+
+    Scale shape: one pass per step — a type-filtered, partial-aggregated
+    min-timestamp groupBy on the user key, joined to the previous
+    stage's user-bounded anchor frame (the per-user state is ONE
+    timestamp, never an event list; AQE broadcasts the shrinking anchor
+    side when small). len(steps) is a query constant, so the whole plan
+    is len(steps) scans — no window over the raw stream, no event
+    materialization per user. Timestamps compare at epoch-second
+    granularity; same-second events do NOT satisfy "strictly after"
+    (deterministic in both engines).
+
+    Output: (step, event_type, n_users, conv_ppm) — conv_ppm relative
+    to the PREVIOUS step (NULL for step 1), monotone by construction.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs >= 2 steps")
+    ep = F.unix_timestamp(F.col(ts_col))
+    reached = (
+        df.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ep).alias("_t"))
+    )
+    stages = [reached]
+    for s in steps[1:]:
+        nxt = (
+            df.where(F.col(type_col) == s)
+            .select(F.col(user_col), ep.alias("_e"))
+            .join(reached, user_col)
+            .where(F.col("_e") > F.col("_t"))
+            .groupBy(user_col)
+            .agg(F.min("_e").alias("_t"))
+        )
+        stages.append(nxt)
+        reached = nxt
+    summary = None
+    for i, (s, frame) in enumerate(zip(steps, stages)):
+        row = frame.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("step"), F.lit(s).alias("event_type"), "n_users"
+        )
+        summary = row if summary is None else summary.unionByName(row)
+    w = Window.orderBy("step")
+    return (
+        summary.withColumn("_prev", F.lag("n_users").over(w))
+        .withColumn(
+            "conv_ppm",
+            F.expr("CASE WHEN _prev > 0 THEN n_users * 1000000L DIV _prev END"),
+        )
+        .drop("_prev")
+    )
