@@ -392,6 +392,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-9: ordered conversion funnel (chained min-after-anchor
         # aggregations; per-user state is one timestamp, never a list)
         "events_funnel": HT.q_events_funnel,
+        # session-9: PMI collocations (which token pairs travel
+        # together — BPE merge candidates / templated boilerplate)
+        "seq_pmi_pairs": HT.q_seq_pmi_pairs,
+        # session-9: Gopher hard-filter rule bundle (named per-rule
+        # attribution; booleans only — exact by construction)
+        "doc_gopher": HT.q_doc_gopher,
         # session-8 new operators: line-frequency boilerplate scrub
         # (CCNet/C4 chrome removal) over the planted lined corpus, and
         # DSIR importance weights (hashed-n-gram log-likelihood ratio)
@@ -466,6 +472,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_clustering_audit": H.oracle_seq_clustering_audit(),
         "seq_zorder_key": H.oracle_seq_zorder_key(),
         "events_funnel": HT.oracle_events_funnel(),
+        "seq_pmi_pairs": HT.oracle_seq_pmi_pairs(),
+        "doc_gopher": HT.oracle_doc_gopher(),
         "doc_boilerplate": HT.oracle_doc_boilerplate(),
         "doc_dsir": HT.oracle_doc_dsir(),
         "hard_negatives": HT.oracle_hard_negatives(),

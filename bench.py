@@ -162,6 +162,11 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     # spanned 1.94–4.35 s in one process, and min-of-3 has only ~50%
     # chance of drawing a sub-2.1 s trial from that distribution
     side_trials = int(os.environ.get("TOKENQC_SIDE_TRIALS", "6"))
+    # the multi-minute full-payload passes (15-60 s EACH at sf0.1) run
+    # min-of-3 — min-of-6 there costs ~7.5 min/run for no extra
+    # precision (their trial spread is <10%, unlike q_invariant's
+    # bimodal 2x); sub-second queries keep the full 6
+    mid_trials = min(side_trials, 3)
     if os.environ.get("TOKENQC_SKIP_SIDE") != "1":
         # non-scaling artifacts keep the detailed compute/write split
         # (the attribution pass is measurement overhead, excluded from
@@ -307,7 +312,7 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     timed(
         "q_degen_gate",
         lambda: degeneracy.violations(degen_in, degen_cfg).count(),
-        side_trials,
+        mid_trials,
     )
     timed("q_uniqueness", lambda: uniqueness.violations(seq, cfg).count(), side_trials)
     timed("q_uniqueness_salted", lambda: uniqueness.violations(seq, cfg, salt=16).count(), side_trials)
@@ -346,7 +351,7 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
         lambda: textqc.token_contamination_flags(
             contam_train, contam_bench, k=8
         ).count(),
-        side_trials,
+        mid_trials,
     )
     # token entropy (late r5): third full-payload pass — flattened
     # lexsort/run-length per Arrow batch, one output row per doc, zero
@@ -354,7 +359,7 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     timed(
         "q_token_entropy",
         lambda: textqc.token_entropy(seq, id_col="doc_id").count(),
-        side_trials,
+        mid_trials,
     )
     # duplicated k-gram fraction (late r5): fourth full-payload pass —
     # window hashing + per-row distinct via lexsort/run-length inside
@@ -362,7 +367,7 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     timed(
         "q_kgram_rep",
         lambda: textqc.token_kgram_repetition(seq, id_col="doc_id").count(),
-        side_trials,
+        mid_trials,
     )
     # winnowed fingerprints (late r5): fifth full-payload pass — mod-P
     # window hashes + O(n) block sliding min inside one Arrow stage,
@@ -370,7 +375,7 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
     timed(
         "q_winnow_fps",
         lambda: dedup.winnow_fingerprints(seq, id_col="doc_id").count(),
-        side_trials,
+        mid_trials,
     )
     # vocabulary surgery (late r5): the payload-rewrite pass — broadcast
     # numpy LUT, one Arrow gather per batch; includes the plan-build

@@ -1721,3 +1721,66 @@ def test_topk_recall_hand_computed(spark):
     assert out[0]["recall_ppm"] == 2 * 1_000_000 // 3
     assert out[1]["n_hit"] == 0 and out[1]["recall_ppm"] == 0
     assert out[2]["n_truth"] == 1 and out[2]["n_hit"] == 0
+
+
+def test_pmi_top_pairs_hand_computed(spark):
+    """PMI formula + min_count guard against a numpy replay."""
+    import math
+    from collections import Counter
+    from tokenqc.textops import textqc
+
+    # pair (7,8) occurs 6x and only with each other -> high PMI;
+    # (1,2) occurs 6x but 1 and 2 are everywhere -> lower PMI;
+    # (3,4) occurs once -> dropped by min_count=5
+    docs = [
+        [7, 8] * 3 + [1, 2] * 3 + [1, 1, 2, 2, 1, 2],
+        [7, 8] * 3 + [1, 2] * 3 + [3, 4],
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, tokens array<int>"
+    )
+    out = textqc.pmi_top_pairs(df, k=5, min_count=5).collect()
+    pairs = Counter()
+    uni = Counter()
+    for d in docs:
+        uni.update(d)
+        pairs.update(zip(d, d[1:]))
+    tb, tu = sum(pairs.values()), sum(uni.values())
+
+    def pmi(a, b):
+        return (math.log(pairs[(a, b)] / tb) - math.log(uni[a] / tu)
+                - math.log(uni[b] / tu))
+
+    got = {(r["prev"], r["cur"]): (r["rank"], r["pmi"], r["n_pair"]) for r in out}
+    assert (3, 4) not in got  # min_count
+    assert (7, 8) in got and (1, 2) in got
+    assert got[(7, 8)][0] < got[(1, 2)][0]  # tighter pair ranks higher
+    for p in ((7, 8), (1, 2)):
+        assert abs(got[p][1] - pmi(*p)) < 1e-5
+    assert got[(7, 8)][2] == pairs[(7, 8)]
+
+
+def test_gopher_rules_hand_computed(spark):
+    """Each rule flips on its planted violation; keep is the
+    conjunction; ratio rules on empty docs coalesce to False."""
+    from tokenqc.textops import textqc
+
+    good = ("the quick brown fox jumps over that lazy dog and it runs off "
+            "to be with a friend of mine having . " * 5).strip()
+    rows = [
+        (0, good),                                   # passes everything
+        (1, "short text"),                           # fails word_count
+        (2, "\n".join(["- item one here now ok"] * 30)),  # bullet wall
+        (3, good.replace(" ", " ### ")),             # symbol spam
+        (4, " ".join(["12345"] * 80)),               # no alpha, no stops
+        (5, ""),                                     # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textqc.gopher_rules(df).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["rule_word_count"] is False and out[1]["keep"] is False
+    assert out[2]["rule_bullet_lines"] is False
+    assert out[3]["rule_symbol_ratio"] is False
+    assert out[4]["rule_alpha_words"] is False
+    assert out[4]["rule_stop_words"] is False
+    assert out[5]["keep"] is False

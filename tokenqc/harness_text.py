@@ -261,6 +261,57 @@ def _stoplist_sql(stops: list[str]) -> str:
     return ", ".join(f"'{s}'" for s in stops)
 
 
+def q_doc_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher hard-filter rule bundle (textqc.gopher_rules): seven
+    named boolean rules + keep, all in-row over one scan. Booleans
+    only — no float columns — so the oracle comparison is exact by
+    construction; the oracle re-derives every rule from the same
+    word/line splits."""
+    return textqc.gopher_rules(load(spark, sf_dir, "documents"))
+
+
+def oracle_doc_gopher() -> str:
+    stops = " + ".join(
+        f"CAST(list_contains(lw, '{s}') AS INTEGER)"
+        for s in textqc.GOPHER_STOPWORDS
+    )
+    return (
+        "WITH f AS (SELECT doc_id, text, "
+        "  string_split_regex(trim(text), '\\s+') AS w, "
+        "  string_split(text, chr(10)) AS lines, "
+        "  string_split_regex(lower(text), '\\s+') AS lw "
+        "  FROM documents), "
+        "g AS (SELECT doc_id, len(w) AS n_words, "
+        "  CAST(len(w) AS DOUBLE) AS nwd, "
+        "  CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) AS wlen_sum, "
+        "  CAST(len(regexp_extract_all(text, '#')) "
+        "     + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) AS sym, "
+        "  CAST(len(list_filter(lines, l -> starts_with(l, '- ') "
+        "     OR starts_with(l, '* ') OR starts_with(l, '•'))) AS DOUBLE) AS bullet, "
+        "  CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE) AS ell, "
+        "  CAST(len(lines) AS DOUBLE) AS n_lines, "
+        "  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS alpha, "
+        f"  ({stops}) AS n_stop "
+        "  FROM f) "
+        "SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, "
+        "  coalesce(n_words >= 50 AND n_words <= 100000, FALSE) AS rule_word_count, "
+        "  coalesce(wlen_sum / nwd >= 3.0 AND wlen_sum / nwd <= 10.0, FALSE) AS rule_mean_word_len, "
+        "  coalesce(sym / nwd <= 0.1, FALSE) AS rule_symbol_ratio, "
+        "  coalesce(bullet / n_lines <= 0.9, FALSE) AS rule_bullet_lines, "
+        "  coalesce(ell / n_lines <= 0.3, FALSE) AS rule_ellipsis_lines, "
+        "  coalesce(alpha / nwd >= 0.8, FALSE) AS rule_alpha_words, "
+        "  coalesce(n_stop >= 2, FALSE) AS rule_stop_words, "
+        "  coalesce(n_words >= 50 AND n_words <= 100000, FALSE) "
+        "  AND coalesce(wlen_sum / nwd >= 3.0 AND wlen_sum / nwd <= 10.0, FALSE) "
+        "  AND coalesce(sym / nwd <= 0.1, FALSE) "
+        "  AND coalesce(bullet / n_lines <= 0.9, FALSE) "
+        "  AND coalesce(ell / n_lines <= 0.3, FALSE) "
+        "  AND coalesce(alpha / nwd >= 0.8, FALSE) "
+        "  AND coalesce(n_stop >= 2, FALSE) AS keep "
+        "FROM g"
+    )
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textqc.quality_score(load(spark, sf_dir, "documents"))
 
@@ -1421,6 +1472,53 @@ def oracle_seq_bigram_logprob() -> str:
 SELECT rn, CAST(sum(n) AS INTEGER) AS n_scored,
   round(sum(n * logp) / sum(n), 5) AS mean_logp
 FROM dp JOIN m USING (prev, cur) GROUP BY rn
+"""
+
+
+def q_seq_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token collocations by PMI (textqc.pmi_top_pairs,
+    min_count=5). Ranking runs on the 6-decimal-ROUNDED pmi with
+    (prev, cur) tie-breaks, so the top-k set and order are exactly
+    reproducible cross-engine; the oracle replays pair/unigram counts
+    and the identical left-associated formula."""
+    from tokenqc.harness import derive_sequences
+
+    seq = (
+        derive_sequences(spark, sf_dir)
+        .where(F.col("tokens").isNotNull())
+        .select("rn", "tokens")
+    )
+    return textqc.pmi_top_pairs(seq, k=20, min_count=5)
+
+
+def oracle_seq_pmi_pairs() -> str:
+    from tokenqc.harness import SEQ_CTE
+
+    return SEQ_CTE + """
+, tk AS (
+  SELECT rn, x, CAST((x*31 + rn) % 50257 AS INTEGER) AS tok
+  FROM (SELECT rn, unnest(generate_series(1, CAST(sz AS BIGINT))) AS x
+        FROM seq WHERE sz IS NOT NULL AND sz > 0) s),
+ pr AS (
+  SELECT a.tok AS prev, b.tok AS cur
+  FROM tk a JOIN tk b ON a.rn = b.rn AND b.x = a.x + 1),
+ bg AS (SELECT prev, cur, count(*) AS n_pair FROM pr GROUP BY 1, 2),
+ un AS (SELECT tok, count(*) AS cu FROM tk GROUP BY 1),
+ tb AS (SELECT sum(n_pair) AS tb FROM bg),
+ tu AS (SELECT sum(cu) AS tu FROM un),
+ scored AS (
+  SELECT bg.prev, bg.cur, bg.n_pair,
+    round(ln(CAST(bg.n_pair AS DOUBLE) / tb.tb)
+        - ln(CAST(up.cu AS DOUBLE) / tu.tu)
+        - ln(CAST(uc.cu AS DOUBLE) / tu.tu), 6) AS pmi
+  FROM bg
+  JOIN un up ON up.tok = bg.prev
+  JOIN un uc ON uc.tok = bg.cur, tb, tu
+  WHERE bg.n_pair >= 5)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, prev, cur) AS INTEGER) AS rank,
+  prev, cur, n_pair, pmi
+FROM scored
+QUALIFY rank <= 20
 """
 
 

@@ -501,6 +501,162 @@ def bigram_logprob(
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The Gopher quality-rule bundle (Rae et al. 2021, "Scaling
+    Language Models", table A1 — simplified thresholds) as one
+    single-scan gate of named boolean rules; `quality_score` grades a
+    smooth 0..1, this gives the industry-standard HARD filter with
+    per-rule attribution (which rule killed the doc):
+
+      word_count      50 <= n_words <= 100000
+      mean_word_len   3 <= mean word length <= 10
+      symbol_ratio    ('#' + '...') occurrences / n_words <= 0.1
+      bullet_lines    fraction of lines starting with a bullet <= 0.9
+      ellipsis_lines  fraction of lines ending with '...' <= 0.3
+      alpha_words     fraction of words containing a letter >= 0.8
+      stop_words      >= 2 DISTINCT Gopher stop words present
+
+    Every rule is an in-row expression over ONE scan (split to words,
+    split to lines, a few regexp_counts — whole-stage codegen, zero
+    shuffles, zero Python); `keep` is the conjunction. Empty/whitespace
+    docs fail word_count and every ratio rule coalesces to False
+    rather than dividing by zero.
+
+    Output: (id, n_words, rule columns..., keep)."""
+    text = F.col(text_col)
+    w = words_expr(text_col)
+    n_words = F.size(w)
+    nwd = n_words.cast("double")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    wlen_sum = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wlen = wlen_sum.cast("double") / nwd
+    sym = F.regexp_count(text, F.lit(r"#")) + F.regexp_count(
+        text, F.lit(r"\.\.\.")
+    )
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("•"),
+        )
+    )
+    ell = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    low = F.lower(text)
+    stops = None
+    for s in GOPHER_STOPWORDS:
+        present = F.array_contains(F.split(low, r"\s+"), s).cast("int")
+        stops = present if stops is None else (stops + present)
+
+    def ok(cond: Column) -> Column:
+        return F.coalesce(cond, F.lit(False))
+
+    rules = {
+        "rule_word_count": ok((n_words >= 50) & (n_words <= 100000)),
+        "rule_mean_word_len": ok((mean_wlen >= 3.0) & (mean_wlen <= 10.0)),
+        "rule_symbol_ratio": ok(sym.cast("double") / nwd <= 0.1),
+        "rule_bullet_lines": ok(
+            bullet.cast("double") / n_lines.cast("double") <= 0.9
+        ),
+        "rule_ellipsis_lines": ok(
+            ell.cast("double") / n_lines.cast("double") <= 0.3
+        ),
+        "rule_alpha_words": ok(alpha.cast("double") / nwd >= 0.8),
+        "rule_stop_words": ok(stops >= 2),
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        *[v.alias(k) for k, v in rules.items()],
+        keep.alias("keep"),
+    )
+
+
+def pmi_top_pairs(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual
+    information — the corpus-analysis companion to `tfidf_top_terms`
+    (what terms characterize a source) asking instead WHICH TOKEN PAIRS
+    travel together (multi-word entities, templated boilerplate, BPE
+    merge candidates):
+
+        pmi = ln(c(a,b)/Tb) - ln(c(a)/Tu) - ln(c(b)/Tu)
+
+    with Tb/Tu the bigram/unigram totals. `min_count` drops pairs seen
+    fewer than that many times (raw PMI is maximized by hapax pairs —
+    the standard guard).
+
+    Scale shape: reuses the bigram machinery (in-row arrays_zip pair
+    formation, map-side partial agg); the pair table is
+    observed-bigram-bounded, the unigram table vocab-bounded and
+    broadcast onto it twice (prev, cur); totals are one broadcast row;
+    the global top-k is a TakeOrderedAndProject over the min_count-
+    filtered pair table — no full sort. Zero Python.
+
+    Output: (rank, prev, cur, n_pair, pmi) — pmi rounded to 6 decimals,
+    ties broken by (prev, cur) ascending for exact reproducibility.
+    """
+    if k < 1 or min_count < 1:
+        raise ValueError("k and min_count must be >= 1")
+    toks = F.col(tokens_col)
+    base = df.where(toks.isNotNull() & (F.size(toks) >= 2))
+    prev = F.slice(toks, 1, F.size(toks) - 1)
+    cur = F.slice(toks, 2, F.size(toks) - 1)
+    pairs = base.select(
+        F.explode(F.arrays_zip(prev.alias("p"), cur.alias("c"))).alias("z")
+    ).select(F.col("z.p").alias("prev"), F.col("z.c").alias("cur"))
+    big = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = (
+        df.where(toks.isNotNull() & (F.size(toks) > 0))
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    totals = big.agg(F.sum("n_pair").alias("tb")).crossJoin(
+        uni.agg(F.sum("cu").alias("tu"))
+    )
+    scored = (
+        big.where(F.col("n_pair") >= min_count)
+        .join(F.broadcast(uni.selectExpr("tok as prev", "cu as cu_p")), "prev")
+        .join(F.broadcast(uni.selectExpr("tok as cur", "cu as cu_c")), "cur")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "prev",
+            "cur",
+            "n_pair",
+            F.round(
+                F.log(F.col("n_pair") / F.col("tb"))
+                - F.log(F.col("cu_p") / F.col("tu"))
+                - F.log(F.col("cu_c") / F.col("tu")),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    # global top-k as orderBy+limit -> TakeOrderedAndProject (heap per
+    # partition + driver merge, no full sort); the rank window then runs
+    # over k rows only
+    top = scored.orderBy(F.desc("pmi"), F.asc("prev"), F.asc("cur")).limit(k)
+    w = Window.orderBy(F.desc("pmi"), F.asc("prev"), F.asc("cur"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "prev", "cur", "n_pair", "pmi"
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     target_pred: Column,
