@@ -252,3 +252,19 @@ def test_cli_prev_input_snapshot_diff(spark, synth_dir, tmp_path, capsys):
         ]
     )
     assert rc2 == 2
+    # --report + --prev-input: the HTML artifact carries the section
+    rc3 = cli.main(
+        [
+            "--input", f"{synth_dir}/sequences.parquet",
+            "--out", str(tmp_path / "out3"),
+            "--run-id", "snap-rep",
+            "--partitions", "8",
+            "--prev-input", prev_dir,
+            "--report",
+        ]
+    )
+    assert rc3 == 0
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    with open(out3["report"]) as f:
+        html = f.read()
+    assert "Snapshot diff vs previous table version" in html

@@ -226,6 +226,21 @@ def test_html_report_artifact(spark, tmp_path, tables):
     bare = report.render_html("x", None, None, None, scale_evidence=None)
     assert "Scale evidence" not in bare
     assert runner.write_report("never-ran") is None
+    # snapshot-diff section (cli --prev-input --report path): the run
+    # artifact carries the structural diff vs the previous version
+    from pyspark.sql import functions as F
+
+    from tokenqc.checks import snapshot
+
+    seq = tables["sequences"]
+    prev = seq.where(F.col("source").isNull() | (F.col("source") != "books"))
+    tdiff = snapshot.table_diff(seq, prev)
+    path2 = runner.write_report("rep1", snapshot_diff=tdiff)
+    with open(path2) as f:
+        html2 = f.read()
+    assert "Snapshot diff vs previous table version" in html2
+    assert "NEW_KEY" in html2 and "keys STABLE" in html2
+    assert "Snapshot diff" not in html  # absent without --prev-input
 
 
 def test_diff_runs_classifies_changes(spark, tmp_path):

@@ -191,7 +191,6 @@ def main(argv: list[str] | None = None) -> int:
         run_id=args.run_id,
         token_baseline_hist=read(args.token_baseline),
     )
-    report_path = runner.write_report(res.run_id) if args.report else None
     dup_rows = None
     if args.enumerate_dups:
         from tokenqc import io as qio
@@ -205,6 +204,7 @@ def main(argv: list[str] | None = None) -> int:
         qio.write_batch(dups, args.out, "dup_rows", res.run_id, 0)
         dup_rows = dups.count()
     snap_summary = None
+    tdiff = None
     if prev is not None:
         from pyspark.sql import functions as F
 
@@ -230,6 +230,9 @@ def main(argv: list[str] | None = None) -> int:
             "schema_changes": sdiff.count(),
             "max_churn_ppm": rdiff.agg(F.max("churn_ppm")).first()[0],
         }
+    report_path = (
+        runner.write_report(res.run_id, snapshot_diff=tdiff) if args.report else None
+    )
     summary = {
         "run_id": res.run_id,
         **({"report": report_path} if report_path else {}),

@@ -167,6 +167,7 @@ def render_html(
     text_qc: list[dict] | None = None,
     pack_stats: dict | None = None,
     scale_evidence: dict | None = None,
+    snapshot_diff: DataFrame | None = None,
 ) -> str:
     """Assemble the report page from the run's result frames.
 
@@ -223,6 +224,17 @@ def render_html(
     if pack_stats:
         parts.append("<h2>Packing summary</h2>")
         parts.append(_table([pack_stats], ["cap", "n_packs", "n_full_packs", "n_tokens"]))
+    if snapshot_diff is not None:
+        rows = [r.asDict() for r in snapshot_diff.orderBy("key").collect()]
+        bad = sum(1 for r in rows if r["verdict"] not in ("STABLE",))
+        parts.append("<h2>Snapshot diff vs previous table version</h2>")
+        parts.append(
+            _table(rows, ["key", "n_cur", "n_base", "delta", "delta_ppm", "verdict"])
+        )
+        parts.append(
+            f'<p><span class="score">{len(rows) - bad}/{len(rows)}</span> '
+            "keys STABLE.</p>"
+        )
     if scale_evidence:
         parts.append("<h2>Scale evidence (measured)</h2>")
         scaling = scale_evidence.get("scaling")

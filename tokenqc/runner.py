@@ -605,6 +605,7 @@ class QCRunner:
         js_drift: DataFrame | None = None,
         text_qc: list | None = None,
         pack_stats: dict | None = None,
+        snapshot_diff: DataFrame | None = None,
     ) -> str | None:
         """Render the run's human-readable HTML artifact (reference
         analogue: test-results/POT_ai_analysis.html) to
@@ -627,6 +628,7 @@ class QCRunner:
             run_id, rep, verd, viol,
             js_drift=js_drift, text_qc=text_qc, pack_stats=pack_stats,
             scale_evidence=qreport.load_scale_evidence(),
+            snapshot_diff=snapshot_diff,
         )
         path = os.path.join(self.out_dir, "reports", f"run_id={run_id}", "report.html")
         return qreport.write_text(self.spark, path, html)
