@@ -577,3 +577,52 @@ def test_dsir_weights_broadcast_model_no_text_shuffle(spark):
     assert not any(
         s.startswith("Exchange") and "text" in s for s in sections
     ), plan
+
+
+def test_zorder_key_no_shuffle_beyond_broadcast(spark, synth_dir):
+    """zorder_key = one broadcast bounds row + in-row bit math: the
+    key projection adds NO Exchange over the scan (the only exchange
+    is the broadcast of the 1-row global min/max aggregate)."""
+    from tokenqc import layout
+
+    df = spark.read.parquet(f"{synth_dir}/sequences.parquet").select(
+        "n_tok", F.pmod(F.xxhash64("doc_id"), F.lit(251)).cast("int").alias("r2")
+    )
+    plan = plan_of(layout.zorder_key(df, cols=("n_tok", "r2"), bits=8))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no key-based shuffle of the data side anywhere: the only
+    # exchanges are the codebook broadcast and the 1-row bounds
+    # aggregate (SinglePartition)
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_funnel_no_window_over_raw_stream(spark):
+    """funnel_counts never runs a Window over the event stream — each
+    stage is a partial-aggregated min; the only Window in the plan is
+    the conv_ppm lag over the len(steps)-row summary."""
+    import datetime as dt
+
+    from tokenqc import relops
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1), "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    plan = plan_of(relops.funnel_counts(ev, steps=("view", "click", "purchase")))
+    # partial aggregation before every stage exchange
+    assert "partial_min" in plan or "HashAggregate" in plan
+    # exactly one Window operator (the 3-row summary lag)
+    assert plan.count("Window") <= 2  # operator + its detail block
+
+
+def test_clustering_audit_overlap_join_is_broadcast(spark):
+    """The pairwise overlap self-join runs on the P-row range table and
+    must broadcast (metadata-sized), never shuffle the data side."""
+    from tokenqc import layout
+
+    df = spark.createDataFrame(
+        [(i % 4, i) for i in range(100)], "p int, v int"
+    )
+    plan = plan_of(layout.clustering_audit(df, "p", "v"))
+    assert "BroadcastExchange" in plan
