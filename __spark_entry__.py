@@ -416,6 +416,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-9: recall@k index-quality evaluation (set coverage of
         # a candidate-restricted top-k vs exact ground truth)
         "ann_recall": HT.q_ann_recall,
+        # session-9: embedding-snapshot drift (per-dim mean shift vs
+        # the baseline's own spread; the vector member of the snapshot
+        # family — catches model swaps row counts can't see)
+        "embed_drift": HT.q_embed_drift,
         # session-9: row-granularity snapshot churn (digest add/remove
         # per key — catches same-size silent row swaps table_diff can't)
         "seq_row_diff": H.q_seq_row_diff,
@@ -500,6 +504,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seq_bigram_logprob": HT.oracle_seq_bigram_logprob(),
         "embed_quantize": HT.oracle_embed_quantize(),
         "ann_recall": HT.oracle_ann_recall(),
+        "embed_drift": HT.oracle_embed_drift(),
         "seq_row_diff": H.oracle_seq_row_diff(),
         "seq_clustering_audit": H.oracle_seq_clustering_audit(),
         "seq_zorder_key": H.oracle_seq_zorder_key(),

@@ -241,3 +241,33 @@ def test_psi_from_histograms_hand_computed(spark):
     warn = {r["source"]: r["status"] for r in
             drift.psi_from_histograms(hist, base, psi_warn=0.1, psi_fail=5.0).collect()}
     assert warn["b"] == "WARN"
+
+
+def test_embedding_drift_hand_computed(spark):
+    """Mean-shift z against a numpy replay; NEW_DIM/DROPPED_DIM on
+    width changes; NaN/null/empty vectors excluded from both sides."""
+    import numpy as np
+    from tokenqc.checks import drift
+
+    rng = [[float(i), float(i % 3)] for i in range(10)]
+    base = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)] + [(99, None)],
+        "vec_id long, embedding array<float>",
+    )
+    # dim 0 shifted by +100 sigma-ish, dim 1 untouched, dim 2 appended
+    cur_rows = [(i, [v[0] + 50.0, v[1], 7.0]) for i, v in enumerate(rng)]
+    cur_rows.append((98, [float("nan"), 1.0, 1.0]))  # excluded
+    cur = spark.createDataFrame(cur_rows, "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in drift.embedding_drift(cur, base, z_max=3.0).collect()}
+    a = np.array(rng, dtype=np.float64)
+    mb0, vb0 = a[:, 0].mean(), a[:, 0].var()
+    z0 = abs((a[:, 0] + 50.0).mean() - mb0) / np.sqrt(vb0 + 1e-12)
+    assert out[0]["status"] == "SHIFTED"
+    assert abs(out[0]["z"] - round(z0, 6)) < 1e-5
+    assert out[1]["status"] == "OK" and out[1]["z"] == 0.0
+    assert out[2]["status"] == "NEW_DIM" and out[2]["n_base"] is None
+    assert out[0]["n_cur"] == 10  # NaN row excluded
+    # dropped width: swap roles
+    back = {r["dim"]: r["status"] for r in
+            drift.embedding_drift(base, cur, z_max=1e9).collect()}
+    assert back[2] == "DROPPED_DIM"

@@ -327,6 +327,75 @@ def psi_from_histograms(
     )
 
 
+def embedding_drift(
+    cur: DataFrame,
+    base: DataFrame,
+    vec_col: str = "embedding",
+    z_max: float = 3.0,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Embedding-snapshot drift: per-DIMENSION mean shift of the vector
+    store between two table versions, graded against the baseline's own
+    spread — the vector-payload member of the snapshot family
+    (`snapshot.table_diff` grades row inventory, `psi/js/chi2` grade
+    scalar histograms; an embedding model swap or a re-normalization
+    bug moves MEANS while leaving row counts and n_tok distributions
+    untouched).
+
+        z_d = |mean_cur(d) - mean_base(d)| / sqrt(var_base(d) + eps)
+
+    Variance via the explicit avg(v^2) - avg(v)^2 form (no stddev
+    builtin — sample-vs-population conventions differ across engines);
+    z rounds to 6 decimals and the verdict grades on the rounded value,
+    so Spark and any SQL replay agree exactly.
+
+    Scale shape: each side is ONE posexplode pass partial-aggregated to
+    dim-bounded (dim, n, sum, sumsq) rows — the exchange carries at
+    most tasks x ndim rows; the join and grading run on the ndim-row
+    tables. Null/NaN/empty vectors are excluded (embed_profile owns
+    those). Dimensions present on only one side grade NEW_DIM /
+    DROPPED_DIM (a width change is a schema event, surfaced here too).
+
+    Output: (dim, n_cur, n_base, mean_cur, mean_base, z, status).
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        vec = F.col(vec_col)
+        no_nan = ~F.exists(vec, lambda x: F.isnan(x))
+        return (
+            df.where(vec.isNotNull() & (F.size(vec) > 0) & no_nan)
+            .select(F.posexplode(vec).alias("dim", "v"))
+            .groupBy("dim")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.sum(F.col("v").cast("double")).alias(f"s_{tag}"),
+                F.sum(
+                    F.col("v").cast("double") * F.col("v").cast("double")
+                ).alias(f"q_{tag}"),
+            )
+        )
+
+    j = side(cur, "cur").join(side(base, "base"), "dim", "full_outer")
+    mean_c = F.col("s_cur") / F.col("n_cur")
+    mean_b = F.col("s_base") / F.col("n_base")
+    var_b = F.col("q_base") / F.col("n_base") - mean_b * mean_b
+    z = F.round(F.abs(mean_c - mean_b) / F.sqrt(var_b + F.lit(eps)), 6)
+    status = (
+        F.when(F.col("n_base").isNull(), F.lit("NEW_DIM"))
+        .when(F.col("n_cur").isNull(), F.lit("DROPPED_DIM"))
+        .when(z > z_max, F.lit("SHIFTED"))
+        .otherwise(F.lit("OK"))
+    )
+    return j.select(
+        "dim",
+        "n_cur",
+        "n_base",
+        F.round(mean_c, 6).alias("mean_cur"),
+        F.round(mean_b, 6).alias("mean_base"),
+        z.alias("z"),
+        status.alias("status"),
+    )
+
+
 def token_histogram(
     df: DataFrame,
     n_buckets: int = 256,

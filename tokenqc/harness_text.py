@@ -2110,6 +2110,67 @@ def oracle_embed_quantize() -> str:
     )
 
 
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-snapshot drift (drift.embedding_drift, z_max=3):
+    current = the store with dimension 3 planted +0.5 (an embedding-
+    model swap signature) and an appended 65th value for every 11th
+    vector (a width change -> NEW_DIM); baseline = the unshifted store
+    minus every 5th vector. Dim 3 must grade SHIFTED, dim 64 NEW_DIM,
+    all others OK — and the statistic is replayed per-dim in SQL with
+    identical double math (graded on the 6dp-rounded z)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shifted = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        + F.when(i == 3, F.lit(0.5)).otherwise(F.lit(0.0)),
+    )
+    cur = emb.withColumn(
+        "embedding",
+        F.when(
+            F.pmod(F.col("vec_id"), F.lit(11)) == 0,
+            F.concat(shifted, F.array(F.lit(0.25))),
+        ).otherwise(shifted),
+    )
+    base = emb.where(F.pmod(F.col("vec_id"), F.lit(5)) != 4)
+    from tokenqc.checks import drift as drift_mod
+
+    return drift_mod.embedding_drift(cur, base, z_max=3.0)
+
+
+def oracle_embed_drift() -> str:
+    return (
+        "WITH curd AS ("
+        "  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim, "
+        "    CAST(unnest(embedding) AS DOUBLE) "
+        "      + CASE WHEN generate_subscripts(embedding, 1) - 1 = 3 "
+        "             THEN 0.5 ELSE 0.0 END AS v "
+        "  FROM embeddings "
+        "  UNION ALL "
+        "  SELECT vec_id, 64 AS dim, 0.25 AS v FROM embeddings WHERE vec_id % 11 = 0"
+        "), based AS ("
+        "  SELECT generate_subscripts(embedding, 1) - 1 AS dim, "
+        "    CAST(unnest(embedding) AS DOUBLE) AS v "
+        "  FROM embeddings WHERE vec_id % 5 <> 4"
+        "), c AS (SELECT dim, count(*) AS n_cur, sum(v) AS s, sum(v*v) AS q "
+        "  FROM curd GROUP BY 1), "
+        "b AS (SELECT dim, count(*) AS n_base, sum(v) AS s, sum(v*v) AS q "
+        "  FROM based GROUP BY 1), "
+        "j AS ("
+        "  SELECT coalesce(c.dim, b.dim) AS dim, c.n_cur, b.n_base, "
+        "    c.s / c.n_cur AS mean_c, b.s / b.n_base AS mean_b, "
+        "    b.q / b.n_base - (b.s / b.n_base) * (b.s / b.n_base) AS var_b "
+        "  FROM c FULL OUTER JOIN b ON c.dim = b.dim) "
+        "SELECT CAST(dim AS INTEGER) AS dim, n_cur, n_base, "
+        "  round(mean_c, 6) AS mean_cur, round(mean_b, 6) AS mean_base, "
+        "  round(abs(mean_c - mean_b) / sqrt(var_b + 1e-12), 6) AS z, "
+        "  CASE WHEN n_base IS NULL THEN 'NEW_DIM' "
+        "       WHEN n_cur IS NULL THEN 'DROPPED_DIM' "
+        "       WHEN round(abs(mean_c - mean_b) / sqrt(var_b + 1e-12), 6) > 3.0 "
+        "         THEN 'SHIFTED' ELSE 'OK' END AS status "
+        "FROM j"
+    )
+
+
 def q_embed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-table ingest gate: dimension consistency, NaN/null
     content, zero-norm count, norm spread (simsearch.embedding_profile)."""
