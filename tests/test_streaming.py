@@ -951,3 +951,81 @@ def test_streaming_rate_spikes_matches_batch(spark, tmp_path):
     assert got == want
     spikes = {(t, b.hour) for t, b, *_, s in got if s == "SPIKE"}
     assert ("a", 6) in spikes and not any(t == "b" for t, _ in spikes)
+
+
+def test_streaming_funnel_matches_batch_gate(spark, tmp_path):
+    """Greedy first-in-time-order IS min-after-anchor: with time-ordered
+    arrival (wave 2 strictly later than wave 1), final per-user stages
+    — and the derived funnel counts — equal relops.funnel_counts over
+    the full input, across a query restart. Planted users cover: full
+    funnel split across waves, click-before-view, purchase-without-
+    click, same-second tie (not 'strictly after'), and never-viewed."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyspark.sql.functions as F
+
+    from tokenqc import relops, streaming
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(eid, sec, uid, etype):
+        return {
+            "event_id": eid, "ts": t0 + dt.timedelta(seconds=sec),
+            "user_id": uid, "event_type": etype, "value": 1.0, "props": "{}",
+        }
+
+    wave1 = [
+        ev(1, 1, 1, "view"), ev(2, 5, 1, "click"),        # u1 mid-funnel
+        ev(3, 2, 2, "click"), ev(4, 6, 2, "view"),        # u2 click-first
+        ev(5, 3, 3, "view"), ev(6, 4, 3, "purchase"),     # u3 skips click
+        ev(7, 7, 4, "view"), ev(8, 7, 4, "click"),        # u4 same-second tie
+        ev(9, 8, 5, "error"),                             # u5 never views
+    ]
+    wave2 = [
+        ev(10, 100, 1, "purchase"),                        # u1 completes
+        ev(11, 101, 2, "click"),                           # u2 now converts
+        ev(12, 102, 3, "click"), ev(13, 103, 3, "purchase"),
+        ev(14, 104, 4, "click"),                           # u4 click AFTER tie
+        ev(15, 105, 5, "view"),
+    ]
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    inp = tmp_path / "fn_in"
+    inp.mkdir()
+    out = str(tmp_path / "fn_out")
+    _write_ordered(pa.Table.from_pylist(wave1, schema=schema), str(inp / "w1.parquet"))
+
+    q = streaming.streaming_funnel(spark, str(inp), out)
+    assert q.awaitTermination(420), "stream did not finish"
+
+    _write_ordered(pa.Table.from_pylist(wave2, schema=schema), str(inp / "w2.parquet"))
+    q2 = streaming.streaming_funnel(spark, str(inp), out)  # restart
+    assert q2.awaitTermination(420), "stream did not finish"
+
+    got_df = spark.read.parquet(f"{out}/funnel_stream")
+    mx = got_df.groupBy("user_id").agg(F.max("epoch").alias("epoch"))
+    latest = {
+        r["user_id"]: r["stage"]
+        for r in got_df.join(F.broadcast(mx), ["user_id", "epoch"]).collect()
+    }
+    # hand-derived: u1 view@1,click@5,purchase@100 -> 3; u2 view@6,click@101 -> 2
+    # u3 view@3, clicks@102, purchase@103 -> 3; u4 tie click@7 skipped,
+    # click@104 -> 2; u5 view@105 -> 1
+    assert latest == {1: 3, 2: 2, 3: 3, 4: 2, 5: 1}
+    # counts equal the batch gate over the full static input
+    static = spark.createDataFrame(
+        [(e["event_id"], e["ts"], e["user_id"], e["event_type"]) for e in wave1 + wave2],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    batch = {
+        r["step"]: r["n_users"]
+        for r in relops.funnel_counts(static, steps=("view", "click", "purchase")).collect()
+    }
+    stream_counts = {
+        i: sum(1 for s in latest.values() if s >= i) for i in (1, 2, 3)
+    }
+    assert stream_counts == batch

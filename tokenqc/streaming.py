@@ -746,3 +746,98 @@ def streaming_rate_spikes(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_funnel(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    checkpoint_dir: str | None = None,
+):
+    """Stateful streaming twin of `relops.funnel_counts`: per-user
+    funnel progress maintained in checkpointed state across
+    micro-batches and restarts. State per user = (stage, anchor) — the
+    number of completed steps and the epoch-second of the last
+    qualifying event; each micro-batch sorts the user's new events by
+    (ts, event_id) and advances greedily: at stage s, the first
+    steps[s] event strictly after the anchor advances to s+1.
+
+    Equivalence contract (the streaming_pack precedent, stated
+    honestly): greedy first-in-time-order IS the batch gate's
+    min-after-anchor, so with TIME-ORDERED arrival (later files carry
+    later timestamps) the final per-user stages — and therefore the
+    funnel counts — equal `funnel_counts` over the full input, pinned
+    across a query restart. Out-of-order arrival stays valid and
+    monotone (a user's stage never decreases) but can under-advance: a
+    step event consumed before its predecessor arrived is not
+    revisited (state is O(1) per user BY DESIGN — replaying would need
+    the event log).
+
+    Scale shape: state is two longs per user — never an event list;
+    Python sees Arrow batches of (user_id, ts, event_id, event_type)
+    only. Output rows (user_id, stage, anchor, epoch) append under
+    out_dir/funnel_stream; the latest row per user is current, and the
+    step-i user count is |{users: stage >= i}|.
+    """
+    import numpy as np  # noqa: F401  (parity with sibling operators)
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(input_dir)
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("ep"),
+            "event_id",
+            "event_type",
+        )
+    )
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def update(key: tuple, pdfs, state: GroupState):
+        if state.exists:
+            stage, anchor = state.get
+        else:
+            stage, anchor = 0, -1
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ep", "event_id"])
+            for ep, etype in zip(pdf["ep"].to_numpy(), pdf["event_type"]):
+                if stage < len(steps) and step_of.get(etype) == stage:
+                    if stage == 0 or ep > anchor:
+                        stage += 1
+                        anchor = int(ep)
+        state.update((int(stage), int(anchor)))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "stage": int(stage), "anchor": int(anchor)}]
+        )
+
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, stage int, anchor long",
+        stateStructType="stage int, anchor long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        out_dir, f"_funnel_checkpoint_v{STATE_SCHEMA_VERSION}"
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            os.path.join(out_dir, "funnel_stream")
+        )
+
+    return (
+        updated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
