@@ -398,6 +398,26 @@ def run_suite(spark, data_dir: str, sf_dir: str) -> tuple[dict[str, float], dict
         side_trials,
     )
     timed("q_stats_profile", lambda: stats.profile(seq, cfg).count(), side_trials)
+    # structural snapshot diff (late r5): table-version validation is
+    # ~free — two key-bounded partial-agg counts (table_diff, the key
+    # column only) and one digest-level distinct diff (row_diff, which
+    # DOES hash the token payload — the honest row-identity cost)
+    from tokenqc.checks import snapshot as snap_mod
+
+    snap_prev = seq.where(F.pmod(F.xxhash64("doc_id"), F.lit(10)) != 0)
+    timed(
+        "q_snapshot_diff",
+        lambda: snap_mod.table_diff(seq, snap_prev).count(),
+        side_trials,
+    )
+    dg = F.xxhash64("doc_id", "tokens")
+    timed(
+        "q_snapshot_row_diff",
+        lambda: snap_mod.row_diff(
+            seq.withColumn("_dg", dg), snap_prev.withColumn("_dg", dg), digest_col="_dg"
+        ).count(),
+        side_trials,
+    )
 
     # text/embedding headliners on the driver testdata
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
