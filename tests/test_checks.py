@@ -414,11 +414,21 @@ def test_schema_diff_metadata_only(spark):
     out = {r["column"]: r for r in snapshot.schema_diff(cur, base).collect()}
     assert out["a"]["change"] == "TYPE_CHANGED"
     assert (out["a"]["cur_type"], out["a"]["base_type"]) == ("int", "bigint")
+    # bigint -> int is a NARROWING: breaking, not a safe widening
+    assert out["a"]["compat"] == "BREAKING"
     assert out["c"]["change"] == "ADDED" and out["c"]["base_type"] is None
+    assert out["c"]["compat"] == "COMPATIBLE"
     assert out["d"]["change"] == "DROPPED" and out["d"]["cur_type"] is None
+    assert out["d"]["compat"] == "BREAKING"
     assert "b" not in out
     # identical schemas -> empty diff
     assert snapshot.schema_diff(cur, cur).count() == 0
+    # the Iceberg-safe promotions grade WIDENED
+    w = {r["column"]: r["compat"] for r in snapshot.schema_diff(
+        spark.createDataFrame([], "a bigint, f double, s string"),
+        spark.createDataFrame([], "a int, f float, s string"),
+    ).collect()}
+    assert w == {"a": "WIDENED", "f": "WIDENED"}
 
 
 def test_row_diff_hand_computed(spark):

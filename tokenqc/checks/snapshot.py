@@ -146,7 +146,12 @@ def schema_diff(cur: DataFrame, base: DataFrame) -> DataFrame:
     commonly tighten it without a semantic change.
 
     Output: (column, change in {ADDED, DROPPED, TYPE_CHANGED},
-    cur_type, base_type) — empty when the schemas agree.
+    cur_type, base_type, compat) — empty when the schemas agree.
+    `compat` grades each movement against Iceberg's schema-evolution
+    rules: ADDED is COMPATIBLE (old readers ignore unknown columns),
+    DROPPED is BREAKING, and a type change is WIDENED only for the
+    value-preserving primitive promotions (int->bigint, float->double,
+    ...), BREAKING otherwise.
     """
     cur_t = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
     base_t = {f.name: f.dataType.simpleString() for f in base.schema.fields}
@@ -154,11 +159,32 @@ def schema_diff(cur: DataFrame, base: DataFrame) -> DataFrame:
     for name in sorted(set(cur_t) | set(base_t)):
         c, b = cur_t.get(name), base_t.get(name)
         if c is None:
-            rows.append((name, "DROPPED", None, b))
+            # readers selecting the column break
+            rows.append((name, "DROPPED", None, b, "BREAKING"))
         elif b is None:
-            rows.append((name, "ADDED", c, None))
+            # old readers ignore unknown columns
+            rows.append((name, "ADDED", c, None, "COMPATIBLE"))
         elif c != b:
-            rows.append((name, "TYPE_CHANGED", c, b))
+            compat = "WIDENED" if (b, c) in _SAFE_WIDENINGS else "BREAKING"
+            rows.append((name, "TYPE_CHANGED", c, b, compat))
     return cur.sparkSession.createDataFrame(
-        rows, "column string, change string, cur_type string, base_type string"
+        rows,
+        "column string, change string, cur_type string, base_type string, "
+        "compat string",
     )
+
+
+# The value-preserving primitive promotions (Iceberg's schema-evolution
+# rules: int->long, float->double, decimal scale growth is omitted —
+# simpleString carries precision so it would need parsing). Everything
+# else — narrowing, string<->numeric, nested-type edits — is BREAKING.
+_SAFE_WIDENINGS = {
+    ("int", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("float", "double"),
+    ("date", "timestamp"),
+}
