@@ -307,7 +307,7 @@ def test_token_contamination_is_shuffle_free(spark):
     out = textqc.token_contamination_flags(train, bench, k=3)
     plan = plan_of(out)
     assert "Exchange" not in plan, plan
-    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+    assert "MapInArrow" in plan, plan
 
 
 def test_knn_label_vote_broadcasts_seeds_no_query_shuffle(spark):
@@ -362,7 +362,7 @@ def test_token_entropy_zero_shuffle(spark):
     )
     plan = plan_of(textqc.token_entropy(df))
     assert "Exchange" not in plan, plan
-    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "MapInArrow" in plan
 
 
 def test_token_kgram_repetition_zero_shuffle(spark):
@@ -375,7 +375,7 @@ def test_token_kgram_repetition_zero_shuffle(spark):
     )
     plan = plan_of(textqc.token_kgram_repetition(df, k=4))
     assert "Exchange" not in plan, plan
-    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "MapInArrow" in plan
 
 
 def test_length_buckets_partial_agg_single_exchange(spark):
@@ -430,7 +430,7 @@ def test_degeneracy_two_arrow_passes_zero_shuffle(spark):
     """The degeneracy gate runs one zero-shuffle Arrow pass per enabled
     facet — the MEASURED optimum over a fused single pass, whose doubled
     per-worker working set cost more than the saved transfer (module
-    docstring, checks/degeneracy.py). Pin: two MapInPandas branches,
+    docstring, checks/degeneracy.py). Pin: two MapInArrow branches,
     NO Exchange anywhere; disabling a facet drops its pass."""
     import re
 
@@ -447,10 +447,10 @@ def test_degeneracy_two_arrow_passes_zero_shuffle(spark):
     )
     plan = plan_of(degeneracy.violations(df, cfg))
     assert "Exchange" not in plan, plan
-    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 2, plan
+    assert len(re.findall(r"^\(\d+\) MapInArrow", plan, re.M)) == 2, plan
     one = CheckConfig(n_partitions=4, checks=("degenerate",), min_entropy=1.5)
     plan1 = plan_of(degeneracy.violations(df, one))
-    assert len(re.findall(r"^\(\d+\) MapInPandas", plan1, re.M)) == 1, plan1
+    assert len(re.findall(r"^\(\d+\) MapInArrow", plan1, re.M)) == 1, plan1
 
 
 def test_winnow_fingerprints_zero_shuffle(spark):
@@ -463,7 +463,7 @@ def test_winnow_fingerprints_zero_shuffle(spark):
     )
     plan = plan_of(dedup.winnow_fingerprints(df, k=4, w=4))
     assert "Exchange" not in plan, plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
 
 
 def test_corpus_datacard_aggregates_before_dup_join(spark):
@@ -502,7 +502,7 @@ def test_remap_tokens_zero_shuffle(spark):
     df = spark.createDataFrame([(0, [1, 1])], "doc_id long, tokens array<int>")
     plan = plan_of(textqc.remap_tokens(df, remap))
     assert "Exchange" not in plan, plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
 
 
 def test_window_chunks_zero_shuffle_no_python(spark):

@@ -582,19 +582,20 @@ def dup_span_coverage(
     where whole-doc digests and shingle Jaccard both under-report
     (a unique page quoting a viral paragraph scores 0 on both).
 
-    Scale shape, entirely JVM-side: the scan projects each doc to its
-    window-hash array (`transform` over start positions, `xxhash64` on
-    the codegen'd k-slice — the token array itself never leaves the
-    scan stage), then posexplodes to slim (id, n_tok, p, h) rows. Three
-    keyed exchanges, all on 8-byte-hash/numeric rows: (h, id) partial
-    agg for distinct-doc frequency, the h-equi-join back (no broadcast
-    hint — the dup-hash dimension is data-dependent; AQE upgrades and
-    skew-splits at runtime), and the per-doc interval sweep, a window
-    partitioned BY DOCUMENT so its group size is bounded by n_tok —
-    never by corpus-wide key popularity. Coverage = classic sorted
-    sweep: contribution of window [p, p+k) is the part past the
-    running max end of earlier windows, so overlapping spans are
-    merged without materializing per-token rows.
+    Scale shape: one Arrow stage projects each doc to its window-hash
+    array (`_dup_window_rows` — the vectorized multiply-accumulate over
+    the list column's flat buffer; the token array itself never leaves
+    the scan stage), then posexplodes to slim (id, n_tok, p, h) rows.
+    Three keyed exchanges, all on 8-byte-hash/numeric rows: the per-h
+    min/max(id) partial agg for the >=2-distinct-docs test, the
+    h-equi-join back (no broadcast hint — the dup-hash dimension is
+    data-dependent; AQE upgrades and skew-splits at runtime), and the
+    per-doc interval sweep, a window partitioned BY DOCUMENT so its
+    group size is bounded by n_tok — never by corpus-wide key
+    popularity. Coverage = classic sorted sweep: contribution of
+    window [p, p+k) is the part past the running max end of earlier
+    windows, so overlapping spans are merged without materializing
+    per-token rows.
 
     Output: (id, n_tok, n_dup_kgrams, covered_tokens, dup_span_ppm)
     for docs with at least one duplicated window; dup_span_ppm is
@@ -630,28 +631,86 @@ def _dup_window_rows(
 ) -> DataFrame:
     """Shared front half of the exact-substring dedup pair
     (`dup_span_coverage` / `dup_span_scrub`): slim (id, n_tok, p, h)
-    rows for every k-gram window whose xxhash64 occurs in >= `min_docs`
-    distinct documents. The token array never leaves the scan stage —
-    windows hash in-row; only 8-byte-hash rows explode and shuffle. No
-    broadcast hint on the dup-hash dimension: its cardinality is
+    rows for every k-gram window whose 64-bit window hash occurs in
+    >= `min_docs` distinct documents.
+
+    Window hashing runs in ONE Arrow mapInArrow stage (the textqc
+    shifted multiply-accumulate over the list column's flat values
+    buffer, zero copies) — NOT the JVM `transform(sequence, p ->
+    xxhash64(slice(toks, p, k)))` formulation: higher-order functions
+    are CodegenFallback-interpreted and allocate a k-slice per window
+    (the measured 15-22 s trap documented at
+    textqc.token_contamination_flags; swapping this stage measured
+    ~2.4x on the whole operator). Equal windows still hash equal and
+    the 64-bit collision odds (~n²/2⁶⁵ corpus-wide) are the same class
+    as xxhash64's — the hash never appears in any output. The stage
+    emits one hash ARRAY row per doc; the JVM posexplodes, so only
+    8-byte-hash rows shuffle.
+
+    The duplicated-hash dimension: at the default min_docs=2 the test
+    "appears in >= 2 distinct docs" is exactly min(id) != max(id),
+    which plain partial-aggregates map-side — no count_distinct
+    (whose rewrite shuffles the deduped (h, id) pairs through a second
+    exchange). General min_docs keeps the count_distinct path. No
+    broadcast hint on the join back: the dup-hash cardinality is
     data-dependent, AQE upgrades/skew-splits at runtime."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tokenqc.textops.textqc import (
+        _flat_window_hashes,
+        _list_flat,
+        _shingle_powers,
+    )
+
+    powers = _shingle_powers(k)
+
+    def hash_op(it):
+        for batch in it:
+            if not batch.num_rows:
+                continue
+            flat, offs = _list_flat(batch.column(1))
+            lens = np.diff(offs)
+            h, n_sh, _ = _flat_window_hashes(
+                flat.astype(np.uint64, copy=False), lens, k, powers
+            )
+            h_offs = np.concatenate(([0], np.cumsum(n_sh)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(lens.astype(np.int32)),
+                    pa.ListArray.from_arrays(
+                        pa.array(h_offs.astype(np.int32)), pa.array(h)
+                    ),
+                ],
+                names=[id_col, "n_tok", "_hs"],
+            )
+
     toks = F.col(tokens_col)
-    slim = df.where(toks.isNotNull() & (F.size(toks) >= k)).select(
-        F.col(id_col),
-        F.size(toks).cast("int").alias("n_tok"),
-        toks.alias("_t"),
+    dtypes = dict(df.dtypes)
+    hashed = (
+        df.where(toks.isNotNull() & (F.size(toks) >= k))
+        .select(id_col, tokens_col)
+        .mapInArrow(
+            hash_op,
+            schema=f"{id_col} {dtypes[id_col]}, n_tok int, _hs array<bigint>",
+        )
     )
-    hashes = F.transform(
-        F.sequence(F.lit(0), F.size("_t") - k),
-        lambda p: F.xxhash64(F.slice("_t", p + F.lit(1), F.lit(k))),
-    )
-    wins = slim.select(id_col, "n_tok", F.posexplode(hashes).alias("p", "h"))
-    duph = (
-        wins.groupBy("h")
-        .agg(F.count_distinct(id_col).alias("n_docs"))
-        .where(F.col("n_docs") >= min_docs)
-        .select("h")
-    )
+    wins = hashed.select(id_col, "n_tok", F.posexplode("_hs").alias("p", "h"))
+    if min_docs == 2:
+        duph = (
+            wins.groupBy("h")
+            .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+            .where(F.col("_lo") != F.col("_hi"))
+            .select("h")
+        )
+    else:
+        duph = (
+            wins.groupBy("h")
+            .agg(F.count_distinct(id_col).alias("n_docs"))
+            .where(F.col("n_docs") >= min_docs)
+            .select("h")
+        )
     return wins.join(duph, "h")
 
 
@@ -873,14 +932,16 @@ def winnow_fingerprints(
     that any shared run of >= w + k - 1 tokens yields at least one
     shared fingerprint in both documents.
 
-    Scale shape: ONE Arrow mapInPandas stage over a slim (id, tokens)
-    projection — each batch flattens once, window hashes come from k
-    shifted multiply-accumulate passes mod P (O(n) memory, exact), the
-    winnow minimum from an O(n) block prefix/suffix pass (never an
-    (n, w) view), per-row dedup from one lexsort. One array row per
-    document crosses Arrow back (~2/(w+1) of the token volume); the
-    JVM explodes it to (id, fp) rows, so only 16-byte rows ever reach
-    an exchange. Zero shuffles inside this operator (plan-pinned).
+    Scale shape: ONE Arrow mapInArrow stage over a slim (id, tokens)
+    projection — each batch's token column is consumed as the raw Arrow
+    buffers (flat values + offsets, zero copies — guide §4.2), window
+    hashes come from k shifted multiply-accumulate passes mod P (O(n)
+    memory, exact), the winnow minimum from an O(n) block prefix/suffix
+    pass (never an (n, w) view), per-row dedup from one lexsort. The
+    stage emits the (id, fp) rows directly (~2/(w+1) of the token
+    volume — the id repeat is one Arrow take), so only 16-byte-payload
+    rows ever reach an exchange. Zero shuffles inside this operator
+    (plan-pinned).
 
     The hash is a k-term polynomial mod P < 2^31 — replayable exactly
     in plain 64-bit integer SQL, which is what the oracle does (no
@@ -897,7 +958,7 @@ def winnow_fingerprints(
     fingerprints over the token payload.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
@@ -907,12 +968,14 @@ def winnow_fingerprints(
     min_len = k + w - 1
 
     def winnow_op(it):
-        for pdf in it:
-            if not len(pdf):
+        from tokenqc.textops.textqc import _list_flat
+
+        for batch in it:
+            if not batch.num_rows:
                 continue
-            arrs = [np.asarray(a, dtype=np.uint64) for a in pdf[tokens_col]]
-            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
-            flat = np.concatenate(arrs)
+            flat, l_offs = _list_flat(batch.column(1))
+            flat = flat.astype(np.uint64, copy=False)
+            lens = np.diff(l_offs)
             n_win = flat.size - (k - 1)
             h_flat = np.zeros(n_win, dtype=np.uint64)
             for j in range(k):
@@ -921,7 +984,7 @@ def winnow_fingerprints(
             n_sh = lens - (k - 1)
             offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
             sh_offs = np.cumsum(n_sh) - n_sh
-            row_of = np.repeat(np.arange(len(arrs)), n_sh)
+            row_of = np.repeat(np.arange(lens.size), n_sh)
             pos = np.arange(int(n_sh.sum())) - sh_offs[row_of]
             hv = h_flat[offs[row_of] + pos].view(np.int64)
             # winnow: min over each window of w consecutive same-row hashes
@@ -935,19 +998,20 @@ def winnow_fingerprints(
             keep = np.ones(s.shape[0], dtype=bool)
             keep[1:] = (s[1:] != s[:-1]) | (r[1:] != r[:-1])
             s, r = s[keep], r[keep]
-            # every input row has >= 1 winnow window (filtered upstream)
-            row_starts = np.flatnonzero(np.r_[True, r[1:] != r[:-1]])
-            fps = np.split(s, row_starts[1:])
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "fps": fps})
+            # r is sorted and covers every row (>= 1 window upstream):
+            # it IS the repeat index for the exploded id column
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0).take(pa.array(r)), pa.array(s)],
+                names=[id_col, "fp"],
+            )
 
     dtypes = dict(df.dtypes)
     toks = F.col(tokens_col)
-    out = (
+    return (
         df.where(toks.isNotNull() & (F.size(toks) >= min_len))
         .select(id_col, tokens_col)
-        .mapInPandas(winnow_op, schema=f"{id_col} {dtypes[id_col]}, fps array<bigint>")
+        .mapInArrow(winnow_op, schema=f"{id_col} {dtypes[id_col]}, fp bigint")
     )
-    return out.select(id_col, F.explode("fps").alias("fp"))
 
 
 def winnow_overlap_pairs(

@@ -676,14 +676,23 @@ def dsir_weights(
     `score_top_sample` (exact top fraction) or `score_weighted_sample`
     (soft keep) downstream.
 
-    Scale shape: features are hashed to bucket ids IN-ROW (`transform`
-    over the word array — text never enters any exchange); only a slim
-    (id, bucket, is_target) table explodes. Both models come from ONE
-    pass over that table (conditional sums), partial-agg'd map-side and
-    bounded by `n_buckets` rows; totals are a one-row broadcast cross
-    join; the per-bucket log-ratio table (<= n_buckets rows) joins back
-    BROADCAST onto the exploded features; the per-doc sum partial-aggs
-    before its shuffle. Zero Python anywhere.
+    Scale shape: feature STRINGS form in-row (cheap concats — the word
+    array never enters any exchange) and the md5 bucket hash runs in a
+    codegen'd projection AFTER the explode — NOT inside the `transform`
+    lambda, where higher-order functions are CodegenFallback-interpreted
+    and the hash paid the expression interpreter per word (the
+    token_contamination_flags trap; moving it measured ~3x on this
+    operator). Both models come from ONE pass over the slim exploded
+    (id, bucket, is_target) table (conditional sums), partial-agg'd
+    map-side and bounded by `n_buckets` rows — and that model frame is
+    localCheckpoint'ed (<= n_buckets rows, config-bounded) so the
+    totals cross join and the log-ratio table derive from the
+    materialized copy instead of each re-running the whole explode scan
+    (the uncheckpointed plan scanned the corpus THREE times). Totals
+    are a one-row broadcast cross join; the per-bucket log-ratio table
+    (<= n_buckets rows) joins back BROADCAST onto the exploded
+    features; the per-doc sum partial-aggs before its shuffle. Zero
+    Python anywhere.
 
     The bucket hash is the repo's portable md5 idiom
     (first-8-hex-chars of md5(salt || feature) mod n_buckets), so the
@@ -700,32 +709,39 @@ def dsir_weights(
         raise ValueError("n_buckets must be >= 2")
     ws = F.split(F.trim(F.col(text_col)), r"\s+")
 
-    def bucket(feat: Column) -> Column:
-        return (
-            F.conv(F.substring(F.md5(F.concat(F.lit(salt), feat)), 1, 8), 16, 10)
-            .cast("long")
-            % n_buckets
-        )
-
-    uni = F.transform(ws, bucket)
     # guard: sequence(0, -1) would DESCEND; docs of one word have no bigrams
     bi = F.when(
         F.size(ws) >= 2,
         F.transform(
             F.sequence(F.lit(0), F.size(ws) - F.lit(2)),
-            lambda i: bucket(
-                F.concat(F.element_at(ws, i + 1), F.lit(" "), F.element_at(ws, i + 2))
+            lambda i: F.concat(
+                F.element_at(ws, i + 1), F.lit(" "), F.element_at(ws, i + 2)
             ),
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    feats = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
-        F.col(id_col),
-        target_pred.alias("__tgt"),
-        F.explode(F.concat(uni, bi)).alias("__b"),
+    ).otherwise(F.array().cast("array<string>"))
+    # md5/conv AFTER the explode: codegen'd, one hash per feature row
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col("__f"))), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
     )
-    model = feats.groupBy("__b").agg(
-        F.sum(F.col("__tgt").cast("long")).alias("__ct"),
-        F.count(F.lit(1)).alias("__cr"),
+    feats = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            target_pred.alias("__tgt"),
+            F.explode(F.concat(ws, bi)).alias("__f"),
+        )
+        .select(id_col, "__tgt", bucket.alias("__b"))
+    )
+    # <= n_buckets rows: materialize once so totals + lam reuse it
+    model = (
+        feats.groupBy("__b")
+        .agg(
+            F.sum(F.col("__tgt").cast("long")).alias("__ct"),
+            F.count(F.lit(1)).alias("__cr"),
+        )
+        .localCheckpoint(eager=True)
     )
     totals = model.agg(
         F.sum("__ct").alias("__tt"), F.sum("__cr").alias("__tr")
@@ -807,6 +823,24 @@ def tfidf_top_terms(
     )
 
 
+def _list_flat(arr):
+    """Flat values + relative int64 offsets of a pyarrow ListArray whose
+    entries are non-null (callers filter null arrays upstream): zero-copy
+    views of the Arrow buffers — a list column IS one contiguous values
+    buffer plus an offsets array (guide §4.2), so no per-row ndarray is
+    ever materialized (the mapInPandas path allocated one object per row
+    plus a concatenate copy — the measured bulk of every token pass)."""
+    import numpy as np
+
+    offs = np.asarray(arr.offsets)  # int32, len n+1, absolute into values
+    vals = arr.values
+    if vals.null_count:
+        raise ValueError("null token elements are not supported")
+    v = vals.to_numpy(zero_copy_only=True)
+    lo = int(offs[0])
+    return v[lo : int(offs[-1])], offs.astype(np.int64) - lo
+
+
 def token_entropy(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -820,16 +854,18 @@ def token_entropy(
     low-entropy docs (loops, padding floods, single-token spam); also
     emits the distinct-token ratio, the standard "diversity" signal
     (reference analogue: the per-field domain lints of
-    /root/reference/bin/check_tool.py re-expressed over the payload).
+    /root/reference/bin/analyze_joss.py:199-266 re-expressed over the
+    payload).
 
-    Scale shape: one Arrow mapInPandas stage over a slim
-    (id, tokens) projection, ONE output row per input row, ZERO
-    shuffles — entropy is a within-row statistic, so unlike
-    unigram_logprob no corpus-wide model or explode is needed. Inside
-    each batch the arrays are flattened once and the per-row
-    distributions come from a single lexsort + run-length pass
-    (vectorized; no per-row Python loop). Empty/null-token rows are
-    excluded (completeness violations upstream).
+    Scale shape: one Arrow mapInArrow stage over a slim (id, tokens)
+    projection, ONE output row per input row, ZERO shuffles — entropy is
+    a within-row statistic, so unlike unigram_logprob no corpus-wide
+    model or explode is needed. Each batch's token column is consumed
+    as the raw Arrow buffers — one flat values array + offsets, zero
+    copies (guide §4.2) — and the per-row distributions come from a
+    single packed-key sort + run-length pass (vectorized; no per-row
+    Python allocation at all). Empty/null-token rows are excluded
+    (completeness violations upstream).
 
     Output: (id, carry..., n_tok, n_distinct, entropy, distinct_ratio,
     low_entropy). Entropy/ratio round to 6 decimals: sums of <=1e3
@@ -838,24 +874,28 @@ def token_entropy(
     for its violation rows).
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     carry_cols = list(carry_cols)
+    tok_idx = 1 + len(carry_cols)
 
     def ent_op(it):
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            n = batch.num_rows
+            if not n:
                 continue
-            arrs = list(pdf[tokens_col])
-            sizes = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
-            flat = (
-                np.concatenate([np.asarray(a, dtype=np.int64) for a in arrs])
-                if len(arrs)
-                else np.empty(0, dtype=np.int64)
-            )
-            row_of = np.repeat(np.arange(len(arrs), dtype=np.int64), sizes)
-            order = np.lexsort((flat, row_of))
-            s, r = flat[order], row_of[order]
+            flat, offs = _list_flat(batch.column(tok_idx))
+            sizes = np.diff(offs)
+            row_of = np.repeat(np.arange(n, dtype=np.int64), sizes)
+            # one single-key sort of (row << 32 | token-offset-by-2^31):
+            # row-major, token-minor — replaces the two-pass lexsort
+            key = (row_of.astype(np.uint64) << np.uint64(32)) | (
+                flat.astype(np.int64).astype(np.uint64)
+                ^ np.uint64(1 << 31)
+            ) & np.uint64(0xFFFFFFFF)
+            key.sort()
+            s = key & np.uint64(0xFFFFFFFF)
+            r = (key >> np.uint64(32)).astype(np.int64)
             # starts of each (row, token) run in the sorted stream
             new_run = np.ones(s.shape[0], dtype=bool)
             new_run[1:] = (s[1:] != s[:-1]) | (r[1:] != r[:-1])
@@ -864,38 +904,31 @@ def token_entropy(
             grp_row = r[starts]  # sorted by construction
             p = counts / sizes[grp_row]
             terms = -p * np.log(p)
-            row_starts = np.flatnonzero(
-                np.r_[True, grp_row[1:] != grp_row[:-1]]
-            ) if grp_row.size else np.empty(0, dtype=np.int64)
-            ent = (
-                np.add.reduceat(terms, row_starts)
-                if grp_row.size
-                else np.empty(0, dtype=np.float64)
-            )
+            row_starts = np.flatnonzero(np.r_[True, grp_row[1:] != grp_row[:-1]])
+            ent = np.add.reduceat(terms, row_starts)
             ndist = np.diff(np.append(row_starts, grp_row.shape[0]))
             # half-away-from-zero on non-negative values (np.round is
             # half-to-even: 1/640 -> 0.001562 vs every SQL engine's
             # 0.001563) and +0.0 (np keeps -0.0 from -1*log(1))
             r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6
-            out = {id_col: pdf[id_col].to_numpy()}
-            for c in carry_cols:
-                out[c] = pdf[c].to_numpy()
-            out.update(
-                {
-                    "n_tok": sizes.astype(np.int32),
-                    "n_distinct": ndist.astype(np.int32),
-                    "entropy": r6(ent),
-                    "distinct_ratio": r6(ndist / sizes),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(tok_idx)]
+                + [
+                    pa.array(sizes.astype(np.int32)),
+                    pa.array(ndist.astype(np.int32)),
+                    pa.array(r6(ent)),
+                    pa.array(r6(ndist / sizes)),
+                ],
+                names=[id_col, *carry_cols, "n_tok", "n_distinct",
+                       "entropy", "distinct_ratio"],
             )
-            yield pd.DataFrame(out)
 
     dtypes = dict(df.dtypes)
     carry_schema = "".join(f", {c} {dtypes[c]}" for c in carry_cols)
     out = (
         df.where(F.col(tokens_col).isNotNull() & (F.size(tokens_col) > 0))
         .select(id_col, *carry_cols, tokens_col)
-        .mapInPandas(
+        .mapInArrow(
             ent_op,
             schema=(
                 f"{id_col} {dtypes[id_col]}{carry_schema}, n_tok int, "
@@ -922,18 +955,19 @@ def token_kgram_repetition(
     even when its unigram entropy looks healthy — a 4-token cycle
     repeated 100× has entropy ln(4) but dup_kgram_frac → 1.
 
-    Scale shape: ONE Arrow mapInPandas stage over a slim (id, tokens)
+    Scale shape: ONE Arrow mapInArrow stage over a slim (id, tokens)
     projection, one output row per input row, ZERO shuffles (the
-    statistic is within-row, plan-pinned). Each batch flattens once;
-    every k-window 64-bit polynomial hash comes from the k shifted
-    multiply-accumulate passes of `_batch_window_hashes` (O(n) extra
-    memory), and per-row distinct counts from a single lexsort +
-    run-length pass — no per-row Python loop. Distinctness is over the
-    64-bit window hash: a row with w windows has collision odds
-    ~w²/2^65 (a 10k-token doc: ~3e-12), documented rather than paid
-    for with exact window comparison. Rows with fewer than k tokens
-    are excluded — no window exists (completeness gates catch
-    empty/null upstream).
+    statistic is within-row, plan-pinned). Each batch's token column is
+    consumed as the raw Arrow buffers — one flat values array + offsets,
+    zero copies (guide §4.2); every k-window 64-bit polynomial hash
+    comes from the k shifted multiply-accumulate passes of
+    `_flat_window_hashes` (O(n) extra memory), and per-row distinct
+    counts from a single lexsort + run-length pass — no per-row Python
+    allocation. Distinctness is over the 64-bit window hash: a row with
+    w windows has collision odds ~w²/2^65 (a 10k-token doc: ~3e-12),
+    documented rather than paid for with exact window comparison. Rows
+    with fewer than k tokens are excluded — no window exists
+    (completeness gates catch empty/null upstream).
 
     Output: (id, carry..., n_tok, n_kgrams, n_distinct_kgrams,
     dup_kgram_frac, repetitive). dup_kgram_frac rounds 6dp
@@ -941,20 +975,25 @@ def token_kgram_repetition(
     rule); `carry_cols` pass through the Arrow stage untouched.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     if k < 1:
         raise ValueError("k must be >= 1")
     carry_cols = list(carry_cols)
     powers = _shingle_powers(k)
+    tok_idx = 1 + len(carry_cols)
 
     def rep_op(it):
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            n = batch.num_rows
+            if not n:
                 continue
-            arrs = [np.asarray(a, dtype=np.uint64) for a in pdf[tokens_col]]
-            h, n_sh, _ = _batch_window_hashes(arrs, k, powers)
-            row_of = np.repeat(np.arange(len(arrs), dtype=np.int64), n_sh)
+            flat, offs = _list_flat(batch.column(tok_idx))
+            sizes = np.diff(offs)
+            h, n_sh, _ = _flat_window_hashes(
+                flat.astype(np.uint64, copy=False), sizes, k, powers
+            )
+            row_of = np.repeat(np.arange(n, dtype=np.int64), n_sh)
             order = np.lexsort((h, row_of))
             s, r = h[order], row_of[order]
             new_run = np.ones(s.shape[0], dtype=bool)
@@ -967,21 +1006,17 @@ def token_kgram_repetition(
             ndist = np.diff(np.append(row_starts, grp_row.shape[0]))
             frac = 1.0 - ndist / n_sh
             r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6
-            sizes = np.fromiter(
-                (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(tok_idx)]
+                + [
+                    pa.array(sizes.astype(np.int32)),
+                    pa.array(n_sh.astype(np.int32)),
+                    pa.array(ndist.astype(np.int32)),
+                    pa.array(r6(frac)),
+                ],
+                names=[id_col, *carry_cols, "n_tok", "n_kgrams",
+                       "n_distinct_kgrams", "dup_kgram_frac"],
             )
-            out = {id_col: pdf[id_col].to_numpy()}
-            for c in carry_cols:
-                out[c] = pdf[c].to_numpy()
-            out.update(
-                {
-                    "n_tok": sizes.astype(np.int32),
-                    "n_kgrams": n_sh.astype(np.int32),
-                    "n_distinct_kgrams": ndist.astype(np.int32),
-                    "dup_kgram_frac": r6(frac),
-                }
-            )
-            yield pd.DataFrame(out)
 
     dtypes = dict(df.dtypes)
     carry_schema = "".join(f", {c} {dtypes[c]}" for c in carry_cols)
@@ -989,7 +1024,7 @@ def token_kgram_repetition(
     out = (
         df.where(toks.isNotNull() & (F.size(toks) >= k))
         .select(id_col, *carry_cols, tokens_col)
-        .mapInPandas(
+        .mapInArrow(
             rep_op,
             schema=(
                 f"{id_col} {dtypes[id_col]}{carry_schema}, n_tok int, "
@@ -1016,16 +1051,15 @@ def _shingle_powers(k: int):
     return np.array(pw[::-1], dtype=np.uint64)
 
 
-def _batch_window_hashes(arrs, k: int, powers):
-    """All k-window hashes of a batch of token arrays in ONE vectorized
-    pass: concatenate, slide once over the flat array, drop the k-1
-    window starts that straddle a row boundary. Returns (h_all int64,
-    n_sh per row, flat shingle index per row start) — no per-row Python
-    loop (measured ~2x over row-at-a-time hashing)."""
+def _flat_window_hashes(flat, lens, k: int, powers):
+    """All k-window hashes over the concatenation of rows with lengths
+    `lens` (each >= k): slide once over the flat uint64 array, drop the
+    k-1 window starts that straddle a row boundary. Returns (h_all
+    int64, n_sh per row, flat shingle index per row start) — no per-row
+    Python loop. The flat core so Arrow callers can feed the list
+    column's values buffer directly (zero copies, guide §4.2)."""
     import numpy as np
 
-    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
-    flat = np.concatenate(arrs).astype(np.uint64, copy=False)
     # k shifted multiply-accumulate passes, O(n) extra memory — NOT
     # sliding_window_view * powers, which materializes an (n, k) uint64
     # product array (n·k·8 bytes per batch: ~200 MB at k=50)
@@ -1037,9 +1071,19 @@ def _batch_window_hashes(arrs, k: int, powers):
     n_sh = lens - (k - 1)  # >= 1: short rows filtered upstream
     offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
     sh_offs = np.cumsum(n_sh) - n_sh
-    row_of = np.repeat(np.arange(len(arrs)), n_sh)
+    row_of = np.repeat(np.arange(lens.size), n_sh)
     pos = np.arange(int(n_sh.sum())) - sh_offs[row_of]
     return h_flat[offs[row_of] + pos], n_sh, sh_offs
+
+
+def _batch_window_hashes(arrs, k: int, powers):
+    """List-of-arrays wrapper over `_flat_window_hashes` (kept for
+    callers that hold per-row arrays rather than Arrow buffers)."""
+    import numpy as np
+
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    flat = np.concatenate(arrs).astype(np.uint64, copy=False)
+    return _flat_window_hashes(flat, lens, k, powers)
 
 
 def collect_benchmark_shingles(
@@ -1052,22 +1096,25 @@ def collect_benchmark_shingles(
     every micro-batch of the streaming gate) without re-running the
     benchmark job."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     powers = _shingle_powers(k)
     toks = F.col(tokens_col)
 
     def bench_op(it):
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            if not batch.num_rows:
                 continue
-            h, _, _ = _batch_window_hashes(list(pdf[tokens_col]), k, powers)
-            yield pd.DataFrame({"__h": np.unique(h)})
+            flat, offs = _list_flat(batch.column(0))
+            h, _, _ = _flat_window_hashes(
+                flat.astype(np.uint64, copy=False), np.diff(offs), k, powers
+            )
+            yield pa.RecordBatch.from_arrays([pa.array(np.unique(h))], names=["__h"])
 
     bench_h = (
         benchmark.where(toks.isNotNull() & (F.size(toks) >= k))
         .select(tokens_col)
-        .mapInPandas(bench_op, schema="__h long")
+        .mapInArrow(bench_op, schema="__h long")
         .distinct()
     )
     # Arrow toPandas, not collect(): at the 10M-row bound a list of Row
@@ -1107,7 +1154,7 @@ def flag_against_shingles(
     the per-call copies accumulate until GC — the streaming gate does
     exactly this."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     powers = _shingle_powers(k)
     toks = F.col(tokens_col)
@@ -1119,22 +1166,26 @@ def flag_against_shingles(
 
     def train_op(it):
         ba = bcast.value
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            if not batch.num_rows:
                 continue
-            h, n_sh, sh_offs = _batch_window_hashes(list(pdf[tokens_col]), k, powers)
+            flat, offs = _list_flat(batch.column(1))
+            h, n_sh, sh_offs = _flat_window_hashes(
+                flat.astype(np.uint64, copy=False), np.diff(offs), k, powers
+            )
             if ba.size:
                 pos = np.searchsorted(ba, h).clip(max=ba.size - 1)
                 hit = ba[pos] == h
             else:
                 hit = np.zeros(h.shape[0], dtype=bool)
             n_cont = np.add.reduceat(hit, sh_offs)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "n_shingles": n_sh.astype(np.int32),
-                    "n_contaminated": n_cont.astype(np.int32),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(n_sh.astype(np.int32)),
+                    pa.array(n_cont.astype(np.int32)),
+                ],
+                names=[id_col, "n_shingles", "n_contaminated"],
             )
 
     id_type = next(
@@ -1143,7 +1194,7 @@ def flag_against_shingles(
     out = (
         df.where(toks.isNotNull() & (F.size(toks) >= k))
         .select(id_col, tokens_col)
-        .mapInPandas(
+        .mapInArrow(
             train_op, schema=f"{id_col} {id_type}, n_shingles int, n_contaminated int"
         )
     )
@@ -1798,11 +1849,13 @@ def remap_tokens(
     tokenizer artifact, not data), so it follows the engine's
     bounded-model pattern (unigram_logprob's vocab model, kmeans'
     C×dim centroids): ONE driver collect builds a dense numpy lookup
-    array, broadcast once, and one Arrow mapInPandas pass rewrites
-    each batch with a single fancy-index gather — no per-token Python,
-    no JVM higher-order map lookup (a 50k-entry literal map in a
-    `transform` lambda is CodegenFallback-interpreted, the measured
-    15-22 s trap), ZERO shuffles (plan-pinned).
+    array, broadcast once, and one Arrow mapInArrow pass rewrites
+    each batch with a single fancy-index gather over the list column's
+    flat values buffer, rebuilding the output ListArray from the same
+    offsets — no per-token Python, no per-row ndarray, no JVM
+    higher-order map lookup (a 50k-entry literal map in a `transform`
+    lambda is CodegenFallback-interpreted, the measured 15-22 s trap),
+    ZERO shuffles (plan-pinned).
 
     Ids absent from the remap — including negatives and ids past the
     table — become `unk_id` (strict tokenizer-swap semantics); with
@@ -1817,7 +1870,7 @@ def remap_tokens(
     to the whole payload.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     stats = remap.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1847,29 +1900,35 @@ def remap_tokens(
     def remap_op(it):
         table = blut.value
         n_lut = table.shape[0]
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            if not batch.num_rows:
                 continue
-            arrs = [np.asarray(a, dtype=np.int64) for a in pdf[tokens_col]]
-            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
-            flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+            # the list column's raw buffers: one gather over the flat
+            # values, then the output ListArray is rebuilt from the SAME
+            # offsets — no per-row ndarray, no np.split object array
+            # (guide §4.2: re-slice the buffer, don't copy rows)
+            flat, offs = _list_flat(batch.column(1))
+            flat = flat.astype(np.int64, copy=False)
             ok = (flat >= 0) & (flat < n_lut)
             oov = flat if passthrough else np.int64(unk)
             out = np.where(ok, table[np.clip(flat, 0, n_lut - 1)], oov)
-            bounds = np.cumsum(lens)[:-1]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    tokens_col: np.split(out.astype(np.int32), bounds),
-                    "n_tok": lens.astype(np.int32),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.ListArray.from_arrays(
+                        pa.array(offs.astype(np.int32)),
+                        pa.array(out.astype(np.int32)),
+                    ),
+                    pa.array(np.diff(offs).astype(np.int32)),
+                ],
+                names=[id_col, tokens_col, "n_tok"],
             )
 
     dtypes = dict(df.dtypes)
     return (
         df.where(F.col(tokens_col).isNotNull())
         .select(id_col, tokens_col)
-        .mapInPandas(
+        .mapInArrow(
             remap_op,
             schema=f"{id_col} {dtypes[id_col]}, {tokens_col} array<int>, n_tok int",
         )
