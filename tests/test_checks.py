@@ -348,6 +348,65 @@ def test_degeneracy_facets_opt_in_and_null_safe(spark):
         CheckConfig(degen_kgram_k=0)
 
 
+def test_degeneracy_fused_equals_two_standalone_passes(spark):
+    """r6 optimization pin: with BOTH facets enabled the gate runs one
+    fused Arrow pass (textqc.token_degen_stats) — its violation rows
+    must equal the union the two standalone ops produce, byte for byte
+    (same rounded stats, same observed/expected strings), including the
+    sub-k-row NULL and the single-token entropy-0 edge cases."""
+    from pyspark.sql import functions as F
+
+    from tokenqc.checks import degeneracy
+    from tokenqc.checks.base import CheckConfig
+    from tokenqc.textops import textqc
+
+    df = spark.createDataFrame(
+        [
+            (0, "doc-a", [5] * 20),             # entropy 0 + repetitive
+            (1, "doc-b", [1, 2]),               # sub-k: kgram NULL
+            (2, "doc-c", list(range(40)) * 3),  # healthy entropy, tiling
+            (3, "doc-d", [7]),                  # single token
+            (4, "doc-e", list(range(200))),     # clean
+        ],
+        "partition_id int, doc_id string, tokens array<int>",
+    )
+    cfg = CheckConfig(
+        n_partitions=8, checks=("degenerate",),
+        min_entropy=1.5, max_dup_kgram_frac=0.2,
+    )
+    fused = degeneracy.violations(df, cfg)
+    ent = textqc.token_entropy(
+        df, id_col="doc_id", min_entropy=1.5, carry_cols=("partition_id",)
+    )
+    rep = textqc.token_kgram_repetition(
+        df, id_col="doc_id", k=cfg.degen_kgram_k, max_dup_frac=0.2,
+        carry_cols=("partition_id",),
+    )
+    expected = degeneracy._rows(
+        ent, F.col("low_entropy"), "low_entropy", F.col("entropy"),
+        f"token unigram entropy >= {cfg.min_entropy}",
+    ).unionByName(
+        degeneracy._rows(
+            rep, F.col("repetitive"), "repetitive", F.col("dup_kgram_frac"),
+            f"duplicated {cfg.degen_kgram_k}-gram fraction <= "
+            f"{cfg.max_dup_kgram_frac}",
+        )
+    )
+    got = sorted(map(tuple, fused.collect()))
+    want = sorted(map(tuple, expected.collect()))
+    assert got == want and len(got) >= 3, (got, want)
+    # the fused stats themselves match the standalone ops row-for-row
+    st = textqc.token_degen_stats(df, id_col="doc_id").collect()
+    ent_by_id = {r.doc_id: r for r in ent.collect()}
+    rep_by_id = {r.doc_id: r for r in rep.collect()}
+    for r in st:
+        assert r.entropy == ent_by_id[r.doc_id].entropy
+        if r.doc_id in rep_by_id:
+            assert r.dup_kgram_frac == rep_by_id[r.doc_id].dup_kgram_frac
+        else:
+            assert r.dup_kgram_frac is None
+
+
 def test_robust_outliers_discrete_fences(spark):
     from tokenqc.checks import stats
 

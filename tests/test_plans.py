@@ -426,12 +426,12 @@ def test_score_top_sample_window_is_boundary_bounded(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_degeneracy_two_arrow_passes_zero_shuffle(spark):
-    """The degeneracy gate runs one zero-shuffle Arrow pass per enabled
-    facet — the MEASURED optimum over a fused single pass, whose doubled
-    per-worker working set cost more than the saved transfer (module
-    docstring, checks/degeneracy.py). Pin: two MapInArrow branches,
-    NO Exchange anywhere; disabling a facet drops its pass."""
+def test_degeneracy_fused_single_pass_zero_shuffle(spark):
+    """Both facets enabled -> ONE fused zero-shuffle Arrow pass (the r6
+    re-measured optimum: the corpus is read and crosses Arrow once —
+    module docstring, checks/degeneracy.py). Pin: exactly one MapInArrow,
+    NO Exchange anywhere; a single enabled facet still runs exactly one
+    standalone pass."""
     import re
 
     from tokenqc.checks import degeneracy
@@ -447,7 +447,7 @@ def test_degeneracy_two_arrow_passes_zero_shuffle(spark):
     )
     plan = plan_of(degeneracy.violations(df, cfg))
     assert "Exchange" not in plan, plan
-    assert len(re.findall(r"^\(\d+\) MapInArrow", plan, re.M)) == 2, plan
+    assert len(re.findall(r"^\(\d+\) MapInArrow", plan, re.M)) == 1, plan
     one = CheckConfig(n_partitions=4, checks=("degenerate",), min_entropy=1.5)
     plan1 = plan_of(degeneracy.violations(df, one))
     assert len(re.findall(r"^\(\d+\) MapInArrow", plan1, re.M)) == 1, plan1

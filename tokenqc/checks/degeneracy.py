@@ -8,21 +8,32 @@ padding floods, single-token spam) and "does it tile?" (boilerplate
 loops, decoding stutter — healthy entropy, duplicated k-grams).
 
 Both statistics are within-row, so they cannot ride the fused JVM row
-scan (they need the Arrow stage). Formulations MEASURED at sf0.01 /
-30 M tokens / local[32], interleaved min-of-6:
+scan (they need the Arrow stage). The fusion question was re-measured
+each round as the Arrow formulation changed:
 
-- one fused Arrow pass computing both (shared flatten, two lexsorts in
-  one UDF invocation): 5.3 s — the doubled peak working set per Python
-  worker (value sort + window-hash sort live simultaneously) costs more
-  than the saved Arrow transfer;
-- TWO independent zero-shuffle passes (`textqc.token_entropy`,
-  `textqc.token_kgram_repetition`, violations unioned): 4.0 s. SHIPPED.
+- r5 (mapInPandas, per-row object arrays): one fused pass computing
+  both was 5.3 s vs 4.0 s for two independent passes at sf0.01 — the
+  doubled per-worker OBJECT working set cost more than the saved
+  transfer; two passes shipped.
+- r6 (mapInArrow over the raw list buffers, textqc.token_degen_stats):
+  the verdict FLIPS — the working set is two flat int64 arrays and the
+  saved second scan + Arrow transfer dominates, but ONLY with the
+  no-copy fast path for all-rows->=k batches: the first fused cut
+  masked the payload per batch (flat[np.repeat(ok, sizes)]) and
+  measured 11.6 s vs 7.8 s for the two unioned passes (interleaved
+  min-of-6, sf0.1 noop — the union overlaps both Arrow stages in one
+  128-task job, so it is NOT the sum of the standalone walls); with
+  the copy skipped the fused pass measured 7.3 s vs 9.1 s
+  (interleaved min-of-8). Fused ships for the both-facets case; the
+  single-facet configs still run exactly the one standalone op.
 
-Each pass stays the oracle-verified standalone operator (extras
-seq_token_entropy / seq_token_kgram_rep), carrying partition_id through
-Arrow for the engine's violation rows. Like the token lints, each facet
-is opt-in via config: `min_entropy` / `max_dup_kgram_frac` of None
-disables it (and its pass) even when "degenerate" is listed in checks.
+The standalone operators remain the oracle-verified extras
+(seq_token_entropy / seq_token_kgram_rep); the fused pass shares their
+formulas via textqc and its violation rows are built JVM-side from the
+same rounded values, so all three emit identical statistics. Like the
+token lints, each facet is opt-in via config: `min_entropy` /
+`max_dup_kgram_frac` of None disables it (and its work) even when
+"degenerate" is listed in checks.
 """
 
 from __future__ import annotations
@@ -55,10 +66,56 @@ def violations(df: DataFrame, cfg: cb.CheckConfig) -> DataFrame:
     """Violation rows for the enabled degeneracy facets, in the
     engine's standard (partition_id, doc_id, check_name, observed,
     expected) shape. `df` must carry partition_id (the runner attaches
-    it). One zero-shuffle Arrow pass per enabled facet (the measured
-    optimum — module docstring); a disabled facet costs nothing.
+    it). Both facets enabled -> ONE fused zero-shuffle Arrow pass
+    (textqc.token_degen_stats; the corpus is read once); a single
+    enabled facet runs exactly its standalone op; a disabled facet
+    costs nothing (measurement history in the module docstring).
     """
     from tokenqc.textops import textqc
+
+    if cfg.min_entropy is not None and cfg.max_dup_kgram_frac is not None:
+        stats = textqc.token_degen_stats(
+            df,
+            id_col="doc_id",
+            k=cfg.degen_kgram_k,
+            carry_cols=("partition_id",),
+        )
+        min_ent = float(cfg.min_entropy)
+        max_frac = float(cfg.max_dup_kgram_frac)
+        ent_row = F.when(
+            F.coalesce(F.col("entropy") < min_ent, F.lit(False)),
+            F.struct(
+                F.concat(
+                    F.lit("low_entropy: "), F.col("entropy").cast("string")
+                ).alias("observed"),
+                F.lit(f"token unigram entropy >= {cfg.min_entropy}").alias(
+                    "expected"
+                ),
+            ),
+        )
+        rep_row = F.when(
+            F.coalesce(F.col("dup_kgram_frac") > max_frac, F.lit(False)),
+            F.struct(
+                F.concat(
+                    F.lit("repetitive: "), F.col("dup_kgram_frac").cast("string")
+                ).alias("observed"),
+                F.lit(
+                    f"duplicated {cfg.degen_kgram_k}-gram fraction <= "
+                    f"{cfg.max_dup_kgram_frac}"
+                ).alias("expected"),
+            ),
+        )
+        return stats.select(
+            "partition_id",
+            "doc_id",
+            F.explode(F.array_compact(F.array(ent_row, rep_row))).alias("_v"),
+        ).select(
+            "partition_id",
+            "doc_id",
+            F.lit(CHECK).alias("check_name"),
+            F.col("_v.observed").alias("observed"),
+            F.col("_v.expected").alias("expected"),
+        )
 
     parts: list[DataFrame] = []
     if cfg.min_entropy is not None:

@@ -40,6 +40,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # allow shuffled-hash joins where the build side fits (guide
+        # §3.1): the engine's equi-joins are overwhelmingly slim
+        # digest/hash/id frames whose per-partition build maps are tiny,
+        # and SHJ skips both sort passes of sort-merge. The planner-side
+        # switch uses size estimates; the AQE threshold is the
+        # runtime-stat-backed version (SMJ -> SHJ when every post-shuffle
+        # partition is under 64 MB — bounded build memory per task, so
+        # the setting is scale-safe, not a local[32] tune).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("TOKENQC_DRIVER_MEM", "8g"))
