@@ -37,10 +37,24 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _shingles(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of a text column (JVM-side only)."""
+    """Distinct word n-gram shingles of a text column (JVM-side only).
+
+    Formed by zipping n shifted slices of the word array — NOT a
+    `transform(idx, i -> concat_ws(slice(words, i+1, n)))` lambda:
+    higher-order functions are interpreted and re-evaluate argument
+    subtrees per element, so the slice-in-lambda form re-ran the whole
+    split PER SHINGLE — O(words²) per document. Here each slice is an
+    argument expression (evaluated once per row) and the lambda is
+    O(1) per shingle; `arrays_zip` pads the tail slices with NULLs,
+    which `concat_ws` skips — byte-identical grams to the slice form
+    (including the short trailing grams of docs with < n words)."""
     words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    m = F.greatest(F.size(words) - n, F.lit(0)) + 1  # gram count
+    shifted = [F.slice(words, j + 1, m).alias(f"w{j}") for j in range(n)]
+    grams = F.transform(
+        F.arrays_zip(*shifted),
+        lambda x: F.concat_ws(" ", *[x[f"w{j}"] for j in range(n)]),
+    )
     return F.array_distinct(grams)
 
 
@@ -535,14 +549,21 @@ def chunk_dup_stats(
     Output: (doc_id, n_chunks, n_dup_chunks, dup_chunk_ratio) — ratio
     rounded to 6dp; docs with no duplicated chunk report 0.0.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")
+    # words materialize ONCE per row behind a projection boundary: the
+    # slice inside the interpreted transform lambda would otherwise
+    # re-run the whole split per chunk — O(words²/chunk) per document
+    # (the _shingles/dsir lesson; CollapseProject keeps the boundary
+    # because split is not a cheap expression)
+    w = F.col("__w")
+    n_chunks = F.ceil(F.size(w) / F.lit(float(chunk_words))).cast("int")
     idx = F.sequence(F.lit(0), n_chunks - 1)
     chunks = F.transform(
         idx,
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i * chunk_words + 1, chunk_words))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i * chunk_words + 1, chunk_words))),
     )
-    hashed = df.select(F.col(id_col), F.explode(chunks).alias("chash"))
+    hashed = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
+    ).select(F.col(id_col), F.explode(chunks).alias("chash"))
     dups = (
         hashed.groupBy("chash")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
@@ -938,11 +959,10 @@ def winnow_fingerprints(
     hashes come from k shifted multiply-accumulate passes mod P (O(n)
     memory, exact), the winnow minimum from an O(n) block prefix/suffix
     pass (never an (n, w) view), per-row dedup from per-row segment
-    sorts + one adjacent-equality pass. The
-    stage emits the (id, fp) rows directly (~2/(w+1) of the token
-    volume — the id repeat is one Arrow take), so only 16-byte-payload
-    rows ever reach an exchange. Zero shuffles inside this operator
-    (plan-pinned).
+    sorts + one adjacent-equality pass. One fps ARRAY row per document
+    crosses Arrow back (~2/(w+1) of the token volume); the JVM explodes
+    it to (id, fp) rows, so only 16-byte rows ever reach an exchange.
+    Zero shuffles inside this operator (plan-pinned).
 
     The hash is a k-term polynomial mod P < 2^31 — replayable exactly
     in plain 64-bit integer SQL, which is what the oracle does (no
@@ -1006,21 +1026,30 @@ def winnow_fingerprints(
             eq[wb[1:-1]] = False
             keep = ~eq
             s = sel[keep]
-            r = np.repeat(np.arange(lens.size), cnt_w)[keep]
-            # r is sorted and covers every row (>= 1 window upstream):
-            # it IS the repeat index for the exploded id column
+            # ONE fps ARRAY row per doc — the id explodes JVM-side:
+            # emitting pre-exploded (id, fp) rows repeated the string id
+            # per fingerprint through Arrow (~2.5x the bytes; measured a
+            # 1.75x operator regression before this was reverted)
+            cnt = np.add.reduceat(keep, wb[:-1])
+            f_offs = np.concatenate(([0], np.cumsum(cnt)))
             yield pa.RecordBatch.from_arrays(
-                [batch.column(0).take(pa.array(r)), pa.array(s)],
-                names=[id_col, "fp"],
+                [
+                    batch.column(0),
+                    pa.ListArray.from_arrays(
+                        pa.array(f_offs.astype(np.int32)), pa.array(s)
+                    ),
+                ],
+                names=[id_col, "fps"],
             )
 
     dtypes = dict(df.dtypes)
     toks = F.col(tokens_col)
-    return (
+    out = (
         df.where(toks.isNotNull() & (F.size(toks) >= min_len))
         .select(id_col, tokens_col)
-        .mapInArrow(winnow_op, schema=f"{id_col} {dtypes[id_col]}, fp bigint")
+        .mapInArrow(winnow_op, schema=f"{id_col} {dtypes[id_col]}, fps array<bigint>")
     )
+    return out.select(id_col, F.explode("fps").alias("fp"))
 
 
 def winnow_overlap_pairs(

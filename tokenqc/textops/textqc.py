@@ -707,8 +707,18 @@ def dsir_weights(
     """
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
-    ws = F.split(F.trim(F.col(text_col)), r"\s+")
-
+    # materialize the word array ONCE per row behind a projection
+    # boundary: higher-order lambdas are interpreted, and an
+    # element_at(split(...), i) inside the bigram lambda re-evaluates
+    # the whole split PER ELEMENT — O(words^2) per document (the
+    # optimizer's CollapseProject keeps the boundary because split is
+    # not a cheap expression)
+    base = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        target_pred.alias("__tgt"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__ws"),
+    )
+    ws = F.col("__ws")
     # guard: sequence(0, -1) would DESCEND; docs of one word have no bigrams
     bi = F.when(
         F.size(ws) >= 2,
@@ -725,15 +735,9 @@ def dsir_weights(
         .cast("long")
         % n_buckets
     )
-    feats = (
-        df.where(F.length(F.trim(F.col(text_col))) > 0)
-        .select(
-            F.col(id_col),
-            target_pred.alias("__tgt"),
-            F.explode(F.concat(ws, bi)).alias("__f"),
-        )
-        .select(id_col, "__tgt", bucket.alias("__b"))
-    )
+    feats = base.select(
+        id_col, "__tgt", F.explode(F.concat(ws, bi)).alias("__f")
+    ).select(id_col, "__tgt", bucket.alias("__b"))
     # <= n_buckets rows: materialize once so totals + lam reuse it
     model = (
         feats.groupBy("__b")
@@ -1890,11 +1894,18 @@ def repetition_stats(
         step,
         lambda s: s["best"],
     )
+    # 2-grams by zipping two shifted slices (slices are ARGUMENT
+    # expressions, evaluated once per row): a `F.get(w, i)` inside the
+    # interpreted transform lambda re-ran the whole split per element —
+    # O(words²) per document (the _shingles lesson)
     grams = F.when(
         n_words >= 2,
         F.transform(
-            F.sequence(F.lit(0), n_words - 2),
-            lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1)),
+            F.arrays_zip(
+                F.slice(w, 1, n_words - 1).alias("a"),
+                F.slice(w, 2, n_words - 1).alias("b"),
+            ),
+            lambda x: F.concat_ws(" ", x["a"], x["b"]),
         ),
     ).otherwise(F.array().cast("array<string>"))
     total2 = F.size(grams)
