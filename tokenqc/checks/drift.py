@@ -377,7 +377,14 @@ def embedding_drift(
     j = side(cur, "cur").join(side(base, "base"), "dim", "full_outer")
     mean_c = F.col("s_cur") / F.col("n_cur")
     mean_b = F.col("s_base") / F.col("n_base")
-    var_b = F.col("q_base") / F.col("n_base") - mean_b * mean_b
+    # clamp: avg(v^2) - mean^2 can come out slightly NEGATIVE from float
+    # cancellation on large-magnitude dimensions; sqrt(negative + eps)
+    # is NaN and NaN > z_max is false, silently grading a shifted
+    # dimension OK (r5 ADVICE). greatest(_, 0) keeps the genuinely-
+    # constant-dimension case loud (z explodes on any mean shift).
+    var_b = F.greatest(
+        F.col("q_base") / F.col("n_base") - mean_b * mean_b, F.lit(0.0)
+    )
     z = F.round(F.abs(mean_c - mean_b) / F.sqrt(var_b + F.lit(eps)), 6)
     status = (
         F.when(F.col("n_base").isNull(), F.lit("NEW_DIM"))

@@ -178,6 +178,9 @@ def schema_diff(cur: DataFrame, base: DataFrame) -> DataFrame:
 # rules: int->long, float->double, decimal scale growth is omitted —
 # simpleString carries precision so it would need parsing). Everything
 # else — narrowing, string<->numeric, nested-type edits — is BREAKING.
+# date->timestamp is NOT here: Iceberg v1/v2 do not permit that
+# promotion, so grading it WIDENED could report a reader-breaking
+# change as compatible (r5 ADVICE).
 _SAFE_WIDENINGS = {
     ("int", "bigint"),
     ("smallint", "int"),
@@ -186,5 +189,4 @@ _SAFE_WIDENINGS = {
     ("tinyint", "int"),
     ("tinyint", "bigint"),
     ("float", "double"),
-    ("date", "timestamp"),
 }

@@ -806,9 +806,16 @@ def streaming_funnel(
             stage, anchor = state.get
         else:
             stage, anchor = 0, -1
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ep", "event_id"])
-            for ep, etype in zip(pdf["ep"].to_numpy(), pdf["event_type"]):
+        # concatenate ALL of the group's chunks before sorting: state
+        # delivers a group's micro-batch rows split at arbitrary Arrow
+        # chunk boundaries in shuffle order, so sorting each chunk
+        # independently could process a >1-chunk user out of time order
+        # and silently violate the batch-equivalence contract (r5 ADVICE)
+        chunks = [c for c in pdfs if len(c)]
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values(["ep", "event_id"])
+            for ep, etype in zip(batch["ep"].to_numpy(), batch["event_type"]):
                 if stage < len(steps) and step_of.get(etype) == stage:
                     if stage == 0 or ep > anchor:
                         stage += 1

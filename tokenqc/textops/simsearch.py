@@ -201,8 +201,10 @@ def batch_topk(
     cos = cosine_expr(F.col(vec_col), F.col(q_vec_col))
     cond = F.col(id_col) != F.col(q_id_col)
     if label_col is not None:
-        # null-safe: a NULL label matches nothing, so unlabeled corpus
-        # rows are never excluded
+        # null-safe exclusion: eqNullSafe(NULL, NULL) is TRUE, so a
+        # NULL-labeled query also excludes NULL-labeled corpus rows
+        # (two unlabeled rows count as "same label"); current callers
+        # (hard_negatives) coalesce labels upstream — r5 ADVICE
         cond = cond & ~F.col(label_col).eqNullSafe(F.col(q_label_col))
     scored = (
         df.crossJoin(q)
