@@ -72,3 +72,30 @@ def test_baseline_hist_sums_to_one():
     for s, total in sums.items():
         assert abs(total - 1.0) < 1e-9, s
     assert set(sums) == set(synth.SOURCES)
+
+
+def test_reference_citations_exist():
+    """Every /root/reference/... path cited in tokenqc docstrings and
+    comments must exist on disk (r5 VERDICT #1: two invented paths —
+    bin/check_tool.py, bin/analyze_almanack.py — poisoned the audit
+    trail; this pins the whole citation surface)."""
+    import os
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1] / "tokenqc"
+    pat = re.compile(r"/root/reference/[A-Za-z0-9_./-]+")
+    missing = []
+    if not os.path.isdir("/root/reference"):
+        import pytest
+
+        pytest.skip("reference repo not mounted")
+    for py in root.rglob("*.py"):
+        text = py.read_text()
+        for m in pat.findall(text):
+            path = m.rstrip(".,)")
+            # strip a trailing :line[-line] citation
+            path = re.sub(r":[0-9-]+$", "", path)
+            if not os.path.exists(path):
+                missing.append(f"{py.name}: {m}")
+    assert not missing, missing

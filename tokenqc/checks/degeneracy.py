@@ -2,7 +2,7 @@
 k-gram fraction as first-class engine checks — the payload-quality twin
 of the token-array lints (checks/tokens.py). The reference grades each
 tool's *content* fields beyond mere presence
-(/root/reference/bin/check_tool.py:24-52); for a pre-tokenized corpus
+(/root/reference/bin/analyze_joss.py:199-266); for a pre-tokenized corpus
 the content questions are "is this text degenerate?" (entropy collapse:
 padding floods, single-token spam) and "does it tile?" (boilerplate
 loops, decoding stutter — healthy entropy, duplicated k-grams).

@@ -2,7 +2,7 @@
 
 The reference validates each tool's *payload fields* against their legal
 domain and layout — URL fields must parse, identifiers must match their
-scheme (/root/reference/bin/check_tool.py:24-52) — before any content
+scheme (/root/reference/main.nf:62-66, bin/analyze_joss.py:199-266) — before any content
 check runs. For a pre-tokenized corpus the payload is the token array,
 and the analogous gates are:
 

@@ -945,7 +945,7 @@ def plant_token_anomalies(df: DataFrame) -> DataFrame:
 def q_seq_token_lints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-array lint violations (checks/tokens.py): id domain, special-
     token layout, degenerate runs — the payload-domain gates the reference
-    applies to each tool's fields (/root/reference/bin/check_tool.py:24-52)
+    applies to each tool's fields (/root/reference/main.nf:62-66, bin/analyze_joss.py:199-266)
     re-expressed over a pre-tokenized corpus. All four facets ride the
     single narrow scan (higher-order array functions, zero Python)."""
     from tokenqc.checks import tokens as token_lints

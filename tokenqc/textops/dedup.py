@@ -543,7 +543,7 @@ def chunk_dup_stats(
     Both aggregations partial-aggregate map-side.
 
     Reference analogue: the reference grades each repo once per check
-    (analyze_almanack.py); this is the corpus-level sibling where the
+    (bin/analyze_joss.py:302-345); this is the corpus-level sibling where the
     unit of grading is a sub-document span.
 
     Output: (doc_id, n_chunks, n_dup_chunks, dup_chunk_ratio) — ratio
@@ -829,7 +829,7 @@ def cross_source_dup_matrix(
     the distinct-digest dimension is corpus-sized by design.
 
     Reference analogue: the reference's cross-tool consistency join
-    (/root/reference/bin/check_tool.py:24-52 keyed across sources)
+    (/root/reference/bin/analyze_joss.py:199-266 keyed across sources)
     lifted to content identity across corpus slices.
 
     Output: (source_a, source_b, n_shared) with source_a < source_b.
@@ -975,7 +975,7 @@ def winnow_fingerprints(
     excluded. Output: (id_col, fp) — distinct per document.
 
     Reference analogue: the content-overlap lint family of
-    /root/reference/bin/check_tool.py:24-52, re-expressed as passage
+    /root/reference/bin/analyze_joss.py:199-266, re-expressed as passage
     fingerprints over the token payload.
     """
     import numpy as np

@@ -149,7 +149,7 @@ def corpus_datacard(
     rest. dup_ppm is integer (n_dup_docs * 10^6 div n_docs) — exact
     cross-engine. Reference analogue: the run-level summary the
     reference assembles per tool (/root/reference/bin/
-    analyze_almanack.py:1-40), lifted to corpus granularity.
+    analyze_joss.py:302-345), lifted to corpus granularity.
     """
     e = _quality_exprs(text_col)
     rows = df.where(
@@ -217,7 +217,7 @@ def boilerplate_scrub(
 
     Output: (id, source, n_lines, n_boiler_lines, scrubbed) — scrubbed
     is '' when every line was chrome. Reference analogue: the
-    reference's per-field content lints (check_tool.py) decide keep /
+    reference's per-field content lints (bin/analyze_joss.py:199-266) decide keep /
     drop per unit; this lifts the unit to corpus-frequency evidence.
     """
     if max_df < 1:
@@ -702,7 +702,7 @@ def dsir_weights(
 
     Output: (id, n_feats, dsir_logratio), one row per doc with >= 1
     word. Reference analogue: the reference's scored-curation stages
-    (/root/reference/bin/check_tool.py lints feeding a keep/drop
+    (/root/reference/bin/analyze_joss.py:199-266 lints feeding a keep/drop
     decision) lifted to a corpus-level distribution-matching score.
     """
     if n_buckets < 2:
@@ -961,7 +961,7 @@ def token_kgram_repetition(
     """Within-document duplicated k-gram fraction — the Gopher /
     MassiveText "repeated n-gram" quality rule re-expressed over the
     token payload (reference analogue: the per-field content lints of
-    /root/reference/bin/check_tool.py): a document whose k-grams repeat
+    /root/reference/bin/analyze_joss.py:199-266): a document whose k-grams repeat
     (boilerplate tiling, copy-paste loops, decoding stutter) is flagged
     even when its unigram entropy looks healthy — a 4-token cycle
     repeated 100× has entropy ln(4) but dup_kgram_frac → 1.
@@ -1717,7 +1717,7 @@ def score_top_sample(
     stratified_sample tie contract).
 
     Reference analogue: the reference's pass-rate threshold verdicts
-    (/root/reference/bin/analyze_almanack.py score gating), lifted
+    (/root/reference/bin/analyze_joss.py:302-345 score gating), lifted
     from "grade each item" to "keep the best fraction".
     """
     if not isinstance(keep_ppm, int) or isinstance(keep_ppm, bool) or not (
@@ -2004,7 +2004,7 @@ def remap_tokens(
     gates own them). Output: (id_col, tokens_col rewritten, n_tok).
 
     Reference analogue: the reference's per-field value normalization
-    before grading (/root/reference/bin/check_tool.py:24-52), lifted
+    before grading (/root/reference/bin/analyze_joss.py:199-266), lifted
     to the whole payload.
     """
     import numpy as np
